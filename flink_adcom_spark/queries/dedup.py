@@ -1,0 +1,261 @@
+"""Deduplication operators over `documents` — the training-data-pipeline dedup
+suite: exact hash dedup, MinHash+LSH candidate pairs, n-gram Jaccard pairs,
+SimHash signatures.
+
+Cross-engine determinism: every hash is md5 (byte-identical in Spark and
+DuckDB); set similarities are exact integer ratios. No floating-point
+summation anywhere, so the oracles match bit-for-bit.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on the 16-byte digest; group state is O(1).
+- MinHash/LSH: per-doc signatures are computed scan-side (explode + min-agg on
+  doc_id — combiner collapses each doc's shingles before any shuffle); the
+  candidate join is an equi-join on (band, band-hash), i.e. only docs sharing a
+  bucket ever meet — this is the standard linear-ish-scale near-dup pipeline
+  (vs the quadratic all-pairs join it replaces).
+- n-gram Jaccard: the pair join is restricted to pairs sharing >= 1 shingle;
+  at scale you additionally cap the join by dropping ultra-common shingles
+  (stop-shingles) — represented here by the DISTINCT shingle set per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+from .text import words_col, _WORDS_SQL
+
+SHINGLE_K = 3  # words per shingle
+N_HASHES = 4  # minhash permutations (md5 salted 0..3)
+JACCARD_THRESHOLD = 0.05
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- exact dedup --------------------------------------------------------------
+@query(
+    "q40_exact_dedup",
+    "SELECT fp, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies "
+    "FROM (SELECT doc_id, md5(lower(text)) AS fp FROM documents) t GROUP BY fp",
+    tags=("dedup", "agg"),
+    bench=True,
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: md5(normalized text) -> canonical doc + copy
+    count. Keep rows where n_copies > 1 to list duplicates; the full group
+    table is returned so the oracle checks the whole partition function."""
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- shingling ---------------------------------------------------------------
+
+
+def shingles_col(k: int = SHINGLE_K) -> Column:
+    """Array of k-word shingles from the text column (empty if < k words)."""
+    w = words_col()
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+    # guard: sequence(1, n) with n < 1 would count DOWN; emit [] instead
+    return F.when(F.size(w) >= k, shingles).otherwise(F.array().cast("array<string>"))
+
+
+def _shingles_sql(k: int = SHINGLE_K) -> str:
+    # DuckDB list comprehension; list slice l[i:j] is 1-based inclusive.
+    return (
+        f"[array_to_string(w[i:i+{k - 1}], ' ') for i in range(1, len(w) - {k - 2})]"
+    )
+
+
+_SHINGLE_DOCS_SQL = (
+    f"SELECT doc_id, unnest({_shingles_sql()}) AS sh "
+    f"FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t "
+    f"WHERE len(w) >= {SHINGLE_K}"
+)
+
+
+def shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded rows."""
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id", shingles_col().alias("shs"))
+        .filter(F.size("shs") > 0)
+        .select("doc_id", F.explode("shs").alias("sh"))
+    )
+
+
+# --- MinHash + LSH candidate pairs -------------------------------------------
+@query(
+    "q41_minhash_lsh_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_DOCS_SQL}),
+    js AS (SELECT unnest(range(0, {N_HASHES})) AS j),
+    hs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh CROSS JOIN js GROUP BY doc_id, j)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+    FROM hs a JOIN hs b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "minhash", "join"),
+    bench=True,
+)
+def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 4 salted-md5 minhashes per doc, band
+    size 1 -> pairs sharing any minhash, with the band-match count as the
+    similarity estimate (n_bands/4 estimates Jaccard)."""
+    sh = shingle_docs(spark, sf_dir)
+    js = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("j")
+    sig = (
+        sh.select("doc_id", "sh", js)
+        .withColumn("h", F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("sh"))))
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+# --- exact n-gram Jaccard pairs ----------------------------------------------
+@query(
+    "q42_ngram_jaccard_pairs",
+    f"""
+    WITH d AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DOCS_SQL}) s),
+    c AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter,
+           (CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) AS jaccard
+    FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+    WHERE (CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "join"),
+)
+def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for all doc pairs sharing a shingle.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) as an exact integer ratio (identical
+    double in any engine). The equi-join on shingle bounds the pair space."""
+    d = shingle_docs(spark, sf_dir).distinct()
+    c = d.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    p = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = c.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = c.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        p.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+# 16-bit simhash from the first 16 bits of each word's md5. Hex->int is spelled
+# as ascii() arithmetic so the identical expression runs on both engines.
+SIMHASH_BITS = 16
+
+
+def _hexval_sql(k: int) -> str:
+    c = f"ascii(substr(md5(word), {k}, 1))"
+    return f"(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END)"
+
+
+_H16_SQL = f"((({_hexval_sql(1)} * 16 + {_hexval_sql(2)}) * 16 + {_hexval_sql(3)}) * 16 + {_hexval_sql(4)})"
+
+
+def _bit_sql(j: int) -> str:
+    return f"(CAST(FLOOR(h16 / POW(2, {j})) AS INT) % 2)"
+
+
+_BIT_SUMS_SQL = ", ".join(
+    f"SUM(CASE WHEN {_bit_sql(j)} = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_FOLD_SQL = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+
+@query(
+    "q43_simhash",
+    f"""
+    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits
+    """,
+    tags=("dedup", "simhash"),
+)
+def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash (majority vote over word-hash bits, words
+    weighted by occurrence). Near-dup detection then compares hamming distance
+    on the signature — O(1) per pair vs O(|doc|) for raw text."""
+    wrds = _documents(spark, sf_dir).select("doc_id", F.explode(words_col()).alias("word"))
+    h = wrds.select("doc_id", F.expr(_H16_SQL).alias("h16"))
+    bit_sums = [
+        F.sum(F.when(F.expr(_bit_sql(j)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_sums)
+    fold = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fold = term if fold is None else fold + term
+    return bits.select("doc_id", fold.cast("bigint").alias("simhash"))
+
+
+# --- simhash near-dup pairs ---------------------------------------------------
+@query(
+    "q44_simhash_neardup",
+    f"""
+    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash", "join"),
+)
+def q44_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= 3.
+
+    Demonstration form is all-pairs; the scale path blocks on simhash bytes
+    (join on any of 4 4-bit chunks matching) exactly like q41's LSH bands."""
+    sig = q43_simhash(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

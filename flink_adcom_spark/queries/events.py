@@ -1,0 +1,145 @@
+"""Event-stream query set: tumbling windows, sessionization, running state.
+
+The reference's windowing surface is a tumbling processing-time window before a
+keyed reduce (WordCountPreAggregate.java:178-181, SURVEY.md W1) and the AdCom
+flush interval itself ("similar to a tumbling window" — WordCountPreAggregate
+.java:6-8). Here the batch forms are defined over the `events` table with exact
+event-time semantics (the upgrade the reference lacks — SURVEY.md W3); the
+streaming forms (with watermarks) live in streaming/jobs.py and are
+differentially tested against these batch plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec_sum
+from ..registry import query
+from ..tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- tumbling window aggregation --------------------------------------------
+@query(
+    "q20_tumbling_hourly",
+    "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+    "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+    tags=("events", "window", "agg"),
+    bench=True,
+)
+def q20_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time window per event_type (W1 batch form).
+
+    Uses F.window — the same operator the streaming variant uses — and projects
+    window.start; hour-aligned tumbles make start == date_trunc('hour', ts),
+    which is the oracle formulation."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- sessionization ----------------------------------------------------------
+@query(
+    "q21_user_sessions",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+    tags=("events", "session", "window"),
+)
+def q21_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user.
+
+    Classic lag + cumulative-sum session assignment. One hash shuffle on
+    user_id serves both window functions and the final aggregate (Catalyst
+    reuses the partitioning). Epoch microseconds (unix_micros / epoch_us) keep
+    the gap arithmetic integer-exact in both engines."""
+    ev = _events(spark, sf_dir)
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > SESSION_GAP_MIN * 60 * 1_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- running cumulative state -------------------------------------------------
+# Batch rendering of the reference's continuous KeyedStream.reduce emissions
+# (SURVEY.md R1): the running per-key aggregate AFTER each event — what the
+# reference's update stream prints at every bundle flush.
+@query(
+    "q22_running_count",
+    "SELECT event_id, user_id, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+    "AS running_cnt FROM events",
+    tags=("events", "window", "reference-faithful"),
+)
+def q22_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event count at each event (continuous-emission parity)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return _events(spark, sf_dir).select(
+        "event_id", "user_id", F.row_number().over(w).cast("bigint").alias("running_cnt")
+    )
+
+
+# --- per-type daily stats (multi-agg over two keys) ---------------------------
+@query(
+    "q23_type_daily_stats",
+    "SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n, "
+    "(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS avg_value, MAX(value) AS max_value, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY 1, 2",
+    tags=("events", "agg", "distinct"),
+)
+def q23_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type stats: count / avg / max / distinct users in one pass."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (dec_sum("value") / F.count(F.lit(1))).alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

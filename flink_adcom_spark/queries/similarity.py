@@ -1,0 +1,196 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Brute-force cosine top-k as the correctness baseline, a sign-LSH-bucketed
+variant as the scale path, and a per-label centroid rollup (array aggregation).
+
+All vector math uses JVM-side higher-order functions (zip_with / aggregate) on
+double-cast arrays — no Python in the loop. Cosines are rounded to 6 decimals
+on BOTH engines before any ordering/thresholding so summation-order noise
+(~1e-15) can't flip a rank or a filter.
+
+Scale notes (100 TB): brute force is O(|Q|·N·d) with the query side broadcast —
+correct baseline, linear in N per query. The real scale path is q51's bucketed
+join: hyperplane-sign buckets turn the all-pairs join into an equi-join on
+bucket id (the same LSH-band trick as dedup.q41). An IVF variant would replace
+the sign buckets with nearest-centroid assignment; centroid computation is
+exactly q52's pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+N_QUERY_VECS = 20  # vec_id < 20 are the query workload
+TOP_K = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with double-cast vector + L2 norm."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select("vec_id", "label", v.alias("v")).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+# DuckDB side: explode to (vec_id, i, val) rows, dot products via equi-join on i.
+_X_SQL = (
+    "SELECT vec_id, label, generate_subscripts(embedding, 1) AS i, "
+    "unnest(embedding::DOUBLE[]) AS val FROM embeddings"
+)
+_N_SQL = "SELECT vec_id, sqrt(SUM(val * val)) AS nrm FROM x GROUP BY vec_id"
+
+
+# --- brute-force cosine top-k -------------------------------------------------
+@query(
+    "q50_knn_bruteforce",
+    f"""
+    WITH x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, SUM(a.val * b.val) AS dot
+          FROM x a JOIN x b ON a.i = b.i AND a.vec_id < {N_QUERY_VECS}
+                            AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+    c AS (SELECT q_id, n_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+          FROM p JOIN n na ON p.q_id = na.vec_id JOIN n nb ON p.n_id = nb.vec_id),
+    r AS (SELECT q_id, n_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+          FROM c)
+    SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "knn"),
+    bench=True,
+)
+def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors for each query vector (vec_id < 20).
+
+    The query side is broadcast; the corpus is scanned once per partition with
+    the dot product fused into codegen. Rank ties broken by neighbor id."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    d = e.select(F.col("vec_id").alias("n_id"), F.col("v").alias("dv"), F.col("nrm").alias("dn"))
+    cos = F.round(_dot("qv", "dv") / (F.col("qn") * F.col("dn")), 6)
+    pairs = (
+        F.broadcast(q)
+        .join(d, F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cos)
+        .select("q_id", "n_id", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# --- sign-LSH bucketed top pair per bucket ------------------------------------
+N_BUCKET_DIMS = 4  # first 4 dims' signs -> 16 buckets
+
+
+def _bucket_col() -> Column:
+    b = F.lit(0)
+    for i in range(1, N_BUCKET_DIMS + 1):
+        b = b + F.when(F.element_at("v", i) >= 0, F.lit(1 << (i - 1))).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
+    for i in range(1, N_BUCKET_DIMS + 1)
+)
+
+
+@query(
+    "q51_lsh_bucket_top_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+    x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    p AS (SELECT ea.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 SUM(a.val * b.val) AS dot
+          FROM x a JOIN e ea ON a.vec_id = ea.vec_id
+                 JOIN e eb ON ea.bucket = eb.bucket
+                 JOIN x b ON b.vec_id = eb.vec_id AND a.i = b.i
+          WHERE a.vec_id < b.vec_id
+          GROUP BY 1, 2, 3),
+    c AS (SELECT bucket, vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+          FROM p JOIN n na ON p.vec_a = na.vec_id JOIN n nb ON p.vec_b = nb.vec_id),
+    r AS (SELECT bucket, vec_a, vec_b, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY bucket
+                                    ORDER BY cosine DESC, vec_a, vec_b) AS rnk
+          FROM c)
+    SELECT bucket, vec_a, vec_b, cosine FROM r WHERE rnk = 1
+    """,
+    tags=("similarity", "lsh", "join"),
+)
+def q51_lsh_bucket_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-similar pair within each sign-LSH bucket (axis-aligned hyperplane
+    LSH on the first 4 dims -> 16 buckets). The pair join is an equi-join on
+    bucket — the linear-scale ANN pattern; at 100 TB the bucket count grows
+    with N (more dims) to keep per-bucket work bounded."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col())
+    a = e.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", cos)
+        .select("bucket", "vec_a", "vec_b", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+
+
+# --- per-label centroids ------------------------------------------------------
+@query(
+    "q52_label_centroids",
+    """
+    SELECT label, dim, ROUND(AVG(val), 6) AS centroid FROM (
+      SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             unnest(embedding::DOUBLE[]) AS val
+      FROM embeddings) t
+    GROUP BY 1, 2
+    """,
+    tags=("similarity", "agg"),
+)
+def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim). posexplode + groupBy: the
+    shuffle carries (label, dim, partial sum/count) — 640 keys regardless of N.
+    This is the centroid-update step an IVF index build would iterate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
+        .select("label", F.col("pos").cast("int").alias("dim"), F.col("col").alias("val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("centroid"))
+    )

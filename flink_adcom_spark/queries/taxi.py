@@ -1,0 +1,258 @@
+"""Taxi-ride query set — SURVEY.md §2.3 Q1-Q7 and Q11.
+
+Each query is the reference's keyed streaming aggregation re-expressed as a
+DataFrame plan. Catalyst compiles every groupBy().agg() here to
+HashAggregate(partial) -> Exchange(hash on key) -> HashAggregate(final): the
+partial stage IS the reference's pre-shuffle combiner
+(flink-streaming-java/.../api/datastream/DataStream.java:1403-1436), with
+map-side combining and spill built in — nothing to hand-schedule.
+
+Scale notes (100 TB): all queries below shuffle only (key, partial-state) pairs,
+never raw rows; key cardinality is |drivers| (low), so the final agg is tiny and
+the shuffle is bounded by the partial-agg output, exactly the property AdCom
+exists to create. Skewed driver ids are handled by AQE (skewed-partition split)
+rather than the reference's manual random pre-shard (Q11 / AveragePreAggregate
+random-key trick, SURVEY.md A7) — partial aggregation already neutralizes hot
+keys for algebraic aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec_sum
+from ..registry import query
+from .rides import rides, rides_oracle_cte
+
+
+# --- Q1: count per driver --------------------------------------------------
+# Reference: TaxiRideCountPreAggregate.java:53-70 (+ combiner
+# udfs/TaxiRideCountPreAggregateFunction.java:11-28).
+@query(
+    "q01_ride_count",
+    rides_oracle_cte(
+        "SELECT driver_id, COUNT(*) AS ride_cnt FROM rides GROUP BY driver_id"
+    ),
+    tags=("taxi", "agg"),
+    bench=True,
+)
+def q01_ride_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT driverId, COUNT(*) FROM rides GROUP BY driverId."""
+    return rides(spark, sf_dir).groupBy("driver_id").agg(F.count("*").alias("ride_cnt"))
+
+
+# --- Q2: count distinct drivers per day ------------------------------------
+# Reference: TaxiRideCountDistinctPreAggregate.java:53-70. The reference's
+# combiner is APPROXIMATE (dedups only within a bundle, overcounts across
+# bundles — udfs/TaxiRideCountDistinctPreAggregateFunction.java:11-34); its own
+# Table variant is exact SQL COUNT(DISTINCT) (TaxiRideCountDistinctTable
+# PreAggregate.java:69). We implement the exact semantics. Catalyst plans
+# COUNT(DISTINCT) as a two-level aggregate (Expand + partial dedup before the
+# shuffle), which is precisely the Blink "distinct-agg split" the reference
+# toggles on (OptimizerConfigOptions.java:60) — free here.
+@query(
+    "q02_ride_count_distinct",
+    rides_oracle_cte(
+        "SELECT day_of_year, COUNT(DISTINCT driver_id) AS n_drivers "
+        "FROM rides GROUP BY day_of_year"
+    ),
+    tags=("taxi", "agg", "distinct"),
+    bench=True,
+)
+def q02_ride_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT dayOfTheYear, COUNT(DISTINCT driverId) FROM rides GROUP BY dayOfTheYear."""
+    return (
+        rides(spark, sf_dir)
+        .groupBy("day_of_year")
+        .agg(F.countDistinct("driver_id").alias("n_drivers"))
+    )
+
+
+# --- Q3: avg passengers per driver -----------------------------------------
+# Reference: TaxiRideAvgPassengerPreAggregate.java + (sum,count) combiner
+# udfs/TaxiRidePassengerSumAndCountPreAggregateFunction.java:11-40. Spark's avg
+# keeps (sum, count) partial state — same algebra, but exact on every output
+# (the reference's final reducer divides on every merge and is only correct on
+# the last emission; SURVEY.md A4).
+@query(
+    "q03_ride_avg_passengers",
+    rides_oracle_cte(
+        "SELECT driver_id, (CAST(SUM(passenger_cnt) AS DOUBLE) / COUNT(*)) AS avg_passengers "
+        "FROM rides GROUP BY driver_id"
+    ),
+    tags=("taxi", "agg"),
+)
+def q03_ride_avg_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT driverId, AVG(passengerCnt) FROM rides GROUP BY driverId."""
+    return (
+        rides(spark, sf_dir)
+        .groupBy("driver_id")
+        .agg((F.sum("passenger_cnt").cast("double") / F.count(F.lit(1))).alias("avg_passengers"))
+    )
+
+
+# --- Q4: multi-average per driver ------------------------------------------
+# Reference: TaxiRideAveragePreAggregate / TaxiRideAvgTablePreAggregate.java:70-76
+# (3-way (sum,count) combiner udfs/TaxiRidePassengerDistanceTimeSumAndCount
+# PreAggregateFunction.java:11-47; distance from P5's haversine map).
+@query(
+    "q04_ride_multi_avg",
+    rides_oracle_cte(
+        "SELECT driver_id, (CAST(SUM(passenger_cnt) AS DOUBLE) / COUNT(*)) AS avg_passengers, "
+        "ROUND(AVG(distance_km), 4) AS avg_distance_km, "
+        "(CAST(SUM(CAST(elapsed_min AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS avg_elapsed_min "
+        "FROM rides GROUP BY driver_id"
+    ),
+    tags=("taxi", "agg"),
+)
+def q04_ride_multi_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT driverId, AVG(passengerCnt), AVG(distance_km), AVG(elapsed) GROUP BY driverId."""
+    return (
+        rides(spark, sf_dir)
+        .groupBy("driver_id")
+        .agg(
+            (F.sum("passenger_cnt").cast("double") / F.count(F.lit(1))).alias("avg_passengers"),
+            F.round(F.avg("distance_km"), 4).alias("avg_distance_km"),
+            (dec_sum("elapsed_min") / F.count(F.lit(1))).alias("avg_elapsed_min"),
+        )
+    )
+
+
+# --- Q5: max passengers per driver -----------------------------------------
+# Reference: TaxiRideMaxPassengerPreAggregate.java:64-66 + combiner
+# udfs/TaxiRideMaxPassengerPreAggregateFunction.java:11-29.
+@query(
+    "q05_ride_max_passengers",
+    rides_oracle_cte(
+        "SELECT driver_id, MAX(passenger_cnt) AS max_passengers "
+        "FROM rides GROUP BY driver_id"
+    ),
+    tags=("taxi", "agg"),
+)
+def q05_ride_max_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT driverId, MAX(passengerCnt) FROM rides GROUP BY driverId."""
+    return (
+        rides(spark, sf_dir)
+        .groupBy("driver_id")
+        .agg(F.max("passenger_cnt").alias("max_passengers"))
+    )
+
+
+# --- Q6: sum passengers per driver ------------------------------------------
+# Reference: TaxiRideTopNPreAggregate.java:46-63 (sums passengers despite the
+# "TopN" name — udfs/TaxiRideTopPassengerPreAggregateFunction.java:11-28).
+@query(
+    "q06_ride_sum_passengers",
+    rides_oracle_cte(
+        "SELECT driver_id, CAST(SUM(passenger_cnt) AS BIGINT) AS sum_passengers "
+        "FROM rides GROUP BY driver_id"
+    ),
+    tags=("taxi", "agg"),
+)
+def q06_ride_sum_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT driverId, SUM(passengerCnt) FROM rides GROUP BY driverId."""
+    return (
+        rides(spark, sf_dir)
+        .groupBy("driver_id")
+        .agg(F.sum("passenger_cnt").cast("bigint").alias("sum_passengers"))
+    )
+
+
+# --- Q7: global top-10 ride distances ---------------------------------------
+# Reference: TaxiRideDistanceTopNPreAggregate.java:167-206,256-305 (fixed-size
+# sorted Double[] merged pairwise). Spark: ORDER BY + LIMIT plans as
+# TakeOrderedAndProject — each partition keeps only its local top-10 (the
+# combiner role of the reference's bounded array), then the driver merges
+# 10*numPartitions rows. No full sort, no full shuffle, scales to any input.
+@query(
+    "q07_top10_distances",
+    rides_oracle_cte(
+        "SELECT ride_id, ROUND(distance_km, 6) AS distance_km FROM rides "
+        "ORDER BY distance_km DESC, ride_id LIMIT 10"
+    ),
+    tags=("taxi", "topn"),
+)
+def q07_top10_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 longest rides (global); ride_id tie-break keeps the set deterministic."""
+    return (
+        rides(spark, sf_dir)
+        .select("ride_id", F.round("distance_km", 6).alias("distance_km"))
+        .orderBy(F.desc("distance_km"), F.asc("ride_id"))
+        .limit(10)
+    )
+
+
+# --- Q7b: top-3 distances per driver (keyed top-N) ---------------------------
+# The keyed form of A8, via ranking window. At scale: single hash shuffle on
+# driver_id, per-partition sort bounded by rank pushdown (WindowGroupLimit
+# pushes rank<=3 into the sort since Spark 3.5).
+@query(
+    "q07b_topn_per_driver",
+    rides_oracle_cte(
+        "SELECT driver_id, ride_id, ROUND(distance_km, 6) AS distance_km FROM ("
+        "  SELECT driver_id, ride_id, distance_km, "
+        "         ROW_NUMBER() OVER (PARTITION BY driver_id "
+        "                            ORDER BY distance_km DESC, ride_id) AS rn "
+        "  FROM rides) t WHERE rn <= 3"
+    ),
+    tags=("taxi", "topn", "window"),
+)
+def q07b_topn_per_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest rides per driver."""
+    w = Window.partitionBy("driver_id").orderBy(F.desc("distance_km"), F.asc("ride_id"))
+    return (
+        rides(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("driver_id", "ride_id", F.round("distance_km", 6).alias("distance_km"))
+    )
+
+
+# --- Q11: global average distance -------------------------------------------
+# Reference: AveragePreAggregate.java:59-299 keys by rand(0..9) to pre-shard the
+# single global key (udfs/TaxiRideDistanceTokenizerMap.java:10-32). Spark's
+# partial aggregation already computes one (sum,count) per partition before a
+# 1-row shuffle — the random-key trick is subsumed (SURVEY.md A7).
+@query(
+    "q11_global_avg_distance",
+    rides_oracle_cte(
+        "SELECT ROUND(AVG(distance_km), 4) AS avg_distance_km FROM rides"
+    ),
+    tags=("taxi", "agg", "global"),
+)
+def q11_global_avg_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global AVG(distance_km) over all rides."""
+    return rides(spark, sf_dir).agg(F.round(F.avg("distance_km"), 4).alias("avg_distance_km"))
+
+
+# --- grid: rides per NYC grid cell ------------------------------------------
+# Exercises the reference's GeoUtils surface (util/GeoUtils.java:10-120, F2) the
+# way its DataExpend/grid examples use it: filter to the NYC box, map to a cell,
+# count per cell. Grid arithmetic is floor/mod column math on both engines.
+@query(
+    "q12_grid_cell_counts",
+    rides_oracle_cte(
+        # Cell widths are injected as repr() of the Python-computed doubles
+        # (DuckDB would otherwise evaluate pure literals in DECIMAL arithmetic
+        # and land on a different double than Spark's F.lit).
+        "SELECT CAST(CAST(FLOOR((start_lon - (-74.05)) / CAST('{dlon!r}' AS DOUBLE)) AS INT) "
+        "     + CAST(FLOOR((41.0 - start_lat) / CAST('{dlat!r}' AS DOUBLE)) AS INT) * 250 AS INT) AS cell, "
+        "COUNT(*) AS n FROM rides "
+        "WHERE start_lon <= -73.7 AND start_lon >= -74.05 "
+        "  AND start_lat <= 41.0 AND start_lat >= 40.5 "
+        "GROUP BY 1".format(dlon=(-73.7 - (-74.05)) / 250, dlat=(41.0 - 40.5) / 400)
+    ),
+    tags=("taxi", "geo"),
+)
+def q12_grid_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ride starts per ~100m NYC grid cell (GeoUtils parity)."""
+    from ..functions import geo
+
+    r = rides(spark, sf_dir)
+    return (
+        r.filter(geo.is_in_nyc(F.col("start_lon"), F.col("start_lat")))
+        .select(geo.map_to_grid_cell(F.col("start_lon"), F.col("start_lat")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,176 @@
+"""Text-analysis query set over `documents` — word count (SURVEY.md Q10) plus
+the training-data-pipeline text operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All operators are pure column expressions (split / higher-order array functions
+/ md5) — JVM-side, no Python UDFs in the hot path. At 100 TB these run as a
+single scan + narrow projection; only the word-count aggregation shuffles, and
+that shuffle carries (word, partial_count) pairs after map-side combining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Marker stopwords per language for the n-gram/keyword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "las"),
+    "fr": ("le", "les", "et"),
+}
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def words_col(text: str = "text") -> Column:
+    """Non-empty lowercase whitespace tokens (reference tokenizer P11 —
+    WordCountPreAggregate.java:219-233 — splits on \\W+ and lowercases; the
+    synthetic corpus is single-space-delimited so a space split is exact and
+    portable to the oracle)."""
+    return F.filter(F.split(F.lower(F.col(text)), " "), lambda x: x != "")
+
+
+_WORDS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+# --- Q10: word count ---------------------------------------------------------
+@query(
+    "q10_wordcount",
+    f"SELECT word, COUNT(*) AS cnt FROM (SELECT unnest({_WORDS_SQL}) AS word "
+    "FROM documents) t GROUP BY word",
+    tags=("text", "agg"),
+    bench=True,
+)
+def q10_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT word, COUNT(*) FROM words GROUP BY word (reference Q10,
+    WordCountPreAggregate.java). explode -> groupBy plans the canonical
+    flatMap + partial agg + shuffle + final agg pipeline."""
+    return (
+        _documents(spark, sf_dir)
+        .select(F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- token statistics ---------------------------------------------------------
+@query(
+    "q30_token_stats",
+    f"SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens, "
+    "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars, "
+    f"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_WORDS_SQL})) AS avg_token_len "
+    "FROM documents",
+    tags=("text",),
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + average token length per document."""
+    w = words_col()
+    n_tokens = F.size(w).cast("bigint")
+    n_chars = F.length(F.regexp_replace("text", " ", "")).cast("bigint")
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_word_chars"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+# --- quality scoring ----------------------------------------------------------
+_STOP_IN = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+@query(
+    "q31_quality_score",
+    f"""SELECT doc_id,
+        CAST(len(list_filter({_WORDS_SQL}, x -> x IN {_STOP_IN})) AS BIGINT) AS n_stopwords,
+        (CAST(len(list_filter({_WORDS_SQL}, x -> x IN {_STOP_IN})) AS DOUBLE)
+           / len({_WORDS_SQL})) AS stop_ratio,
+        CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS is_short
+        FROM documents""",
+    tags=("text",),
+)
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: stopword ratio + short-doc flag.
+
+    Real pipelines threshold on these to drop boilerplate/junk; the features
+    are pure array expressions so the filter runs scan-side at full speed."""
+    w = words_col()
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(w)).alias("stop_ratio"),
+        F.when(F.col("n_chars") < 100, 1).otherwise(0).alias("is_short"),
+    )
+
+
+# --- language identification ---------------------------------------------------
+def _marker_count(words: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda x: x.isin(*markers))).cast("bigint")
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    inlist = "(" + ", ".join(f"'{m}'" for m in markers) + ")"
+    return f"CAST(len(list_filter({_WORDS_SQL}, x -> x IN {inlist})) AS BIGINT)"
+
+
+_LANG_SCORES_SQL = ", ".join(
+    f"{_marker_count_sql(m)} AS score_{lang}" for lang, m in LANG_MARKERS.items()
+)
+
+
+@query(
+    "q32_lang_id",
+    f"""WITH t AS (SELECT doc_id, lang, {_LANG_SCORES_SQL} FROM documents)
+        SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_es, score_fr,
+        CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr' END AS pred_lang
+        FROM t""",
+    tags=("text",),
+)
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic (argmax over per-language marker
+    counts, deterministic en>de>es>fr tie order)."""
+    w = words_col()
+    scores = {lang: _marker_count(w, m) for lang, m in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), F.lit("de"))
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+        pred.alias("pred_lang"),
+    )
+
+
+# --- document fingerprinting ----------------------------------------------------
+@query(
+    "q33_fingerprint",
+    "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    tags=("text", "dedup"),
+)
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint: md5 over normalized text. md5 is
+    byte-identical across engines, so the fingerprint doubles as the
+    exact-dedup key (see q40)."""
+    return _documents(spark, sf_dir).select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))

@@ -1,0 +1,256 @@
+"""TPC-H query set — SURVEY.md §2.3 Q8/Q9 plus join extensions.
+
+The reference runs TPC-H Q1 and Q6 semantics over a replayed lineitem stream
+(flink-adcom/.../TPCHQuery01PreAggregate.java, TPCHQuery06PreAggregate.java).
+Notably its dataflow OMITS Q1's shipdate filter and final sort — they exist only
+in the SQL doc comment (TPCHQuery01PreAggregate.java:33-40). We implement the
+real queries (filter + deterministic ordering at the consumer) and keep a
+"reference-faithful" unfiltered variant for parity.
+
+Money aggregates use exact decimal arithmetic (functions/exact.py) so results
+are bit-identical to the DuckDB oracle — and deterministic under any partial-agg
+merge order, which also makes streaming/batch differential runs exact.
+
+Scale notes (100 TB):
+- Q1/Q6 are scan + partial agg with 2-5 groups: shuffle traffic is O(partitions),
+  not O(rows). Predicates and the needed-column projection push into the parquet
+  scan (verified by plans/explain.py + tests/test_plans.py).
+- Join queries broadcast every dimension side. At 100 TB customer/orders stop
+  fitting the broadcast threshold and AQE falls back to sort-merge with skew
+  split — the plan degrades gracefully rather than wrongly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import (
+    dec_sum,
+    money,
+    rate,
+    sql_dec_sum,
+    sql_money,
+    sql_rate,
+)
+from ..registry import query
+from ..tables import load_table
+
+# TPC-H Q1 date constant: 1998-12-01 minus 90 days (spec DELTA=90).
+Q1_CUTOFF = "1998-09-02"
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _q1_aggs() -> list:
+    disc_price = money("l_extendedprice") * (1 - rate("l_discount"))
+    charge = disc_price * (1 + rate("l_tax"))
+    n = F.count(F.lit(1))
+    sum_qty = F.sum("l_quantity")  # whole-number doubles: exact in fp64
+    return [
+        sum_qty.cast("double").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (sum_qty.cast("double") / n).alias("avg_qty"),
+        (dec_sum("l_extendedprice") / n).alias("avg_price"),
+        (F.sum(rate("l_discount")).cast("double") / n).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    ]
+
+
+_P = sql_money("l_extendedprice")
+_D = sql_rate("l_discount")
+_T = sql_rate("l_tax")
+_Q1_AGGS_SQL = (
+    "CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, "
+    f"{sql_dec_sum('l_extendedprice')} AS sum_base_price, "
+    f"CAST(SUM({_P} * (1 - {_D})) AS DOUBLE) AS sum_disc_price, "
+    f"CAST(SUM({_P} * (1 - {_D}) * (1 + {_T})) AS DOUBLE) AS sum_charge, "
+    "(CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*)) AS avg_qty, "
+    f"({sql_dec_sum('l_extendedprice')} / COUNT(*)) AS avg_price, "
+    f"(CAST(SUM({_D}) AS DOUBLE) / COUNT(*)) AS avg_disc, "
+    "COUNT(*) AS count_order"
+)
+
+
+# --- Q8: TPC-H Q1, full semantics -------------------------------------------
+@query(
+    "q08_tpch_q1",
+    "SELECT l_returnflag, l_linestatus, "
+    + _Q1_AGGS_SQL
+    + f" FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'"
+    " GROUP BY l_returnflag, l_linestatus",
+    tags=("tpch", "agg"),
+    bench=True,
+)
+def q08_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (real WHERE; result-set comparison is unordered,
+    so the ORDER BY lives at the consumer). Reference omits the filter:
+    TPCHQuery01PreAggregate.java:73-113 vs its own doc comment at :33-40."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*_q1_aggs())
+    )
+
+
+# --- Q8-ref: reference-faithful unfiltered variant ---------------------------
+@query(
+    "q08_tpch_q1_ref",
+    "SELECT l_returnflag, l_linestatus, "
+    + _Q1_AGGS_SQL
+    + " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    tags=("tpch", "agg", "reference-faithful"),
+)
+def q08_tpch_q1_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregation exactly as the reference's dataflow computes it (no
+    shipdate filter — LineItemToTuple11Map.java:9-32 feeds every row)."""
+    return _lineitem(spark, sf_dir).groupBy("l_returnflag", "l_linestatus").agg(*_q1_aggs())
+
+
+# --- Q9: TPC-H Q6 forecast revenue ------------------------------------------
+# Date window adapted to the synthetic data's 1995-2001 shipdate range (the
+# spec's 1994 window would select zero rows; constants are substitution
+# parameters in the spec anyway). Reference declares Q6 in
+# TPCHQuery06PreAggregate.java:3-6.
+Q6_START, Q6_END = "1996-01-01", "1997-01-01"
+
+
+@query(
+    "q09_tpch_q6",
+    f"SELECT CAST(SUM({_P} * {_D}) AS DOUBLE) AS revenue FROM lineitem "
+    f"WHERE l_shipdate >= TIMESTAMP '{Q6_START} 00:00:00' "
+    f"AND l_shipdate < TIMESTAMP '{Q6_END} 00:00:00' "
+    "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
+    tags=("tpch", "agg", "global"),
+    bench=True,
+)
+def q09_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: global revenue of discounted small-quantity shipments.
+
+    Filter + single global aggregate: all three predicates push down to the
+    parquet scan; the partial agg reduces each partition to one row before a
+    1-row exchange."""
+    li = _lineitem(spark, sf_dir)
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(money("l_extendedprice") * rate("l_discount")).cast("double").alias("revenue"))
+
+
+# --- Q9b: revenue per order --------------------------------------------------
+# Reference helper: LineItemSource.java:176-206 computes per-order
+# sum(extendedprice*(1-discount)).
+@query(
+    "q09b_order_revenue",
+    f"SELECT l_orderkey, CAST(SUM({_P} * (1 - {_D})) AS DOUBLE) AS revenue "
+    "FROM lineitem GROUP BY l_orderkey",
+    tags=("tpch", "agg"),
+)
+def q09b_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order discounted revenue."""
+    return (
+        _lineitem(spark, sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.sum(money("l_extendedprice") * (1 - rate("l_discount"))).cast("double").alias("revenue"))
+    )
+
+
+# --- Join extensions ---------------------------------------------------------
+# The reference implements no joins (SURVEY.md §2.2 "Joins"); Spark provides
+# them natively. Declared as engine extensions exercising broadcast-hash joins.
+
+
+@query(
+    "q14_revenue_by_nation",
+    "SELECT n_name AS nation, "
+    f"CAST(SUM({_P} * (1 - {_D})) AS DOUBLE) AS revenue, "
+    "COUNT(*) AS n_items "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name",
+    tags=("join", "agg"),
+    bench=True,
+)
+def q14_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem revenue rolled up to customer nation (3-way join).
+
+    Dimension sides are explicitly broadcast: at any SF, nation is tiny and
+    orders/customer are orders of magnitude smaller than lineitem. The fact
+    table never shuffles before aggregation."""
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(money("l_extendedprice") * (1 - rate("l_discount"))).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q15_top_customers",
+    f"SELECT c_custkey, c_name, {sql_dec_sum('o_totalprice')} AS total_spend, "
+    "COUNT(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_custkey, c_name ORDER BY total_spend DESC, c_custkey LIMIT 10",
+    tags=("join", "agg", "topn"),
+)
+def q15_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order value; exact decimal spend makes the ordering
+    (and therefore the selected set) engine-independent; c_custkey tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dec_sum("o_totalprice").alias("total_spend"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q16_mktsegment_stats",
+    "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+    f"({sql_dec_sum('c_acctbal')} / COUNT(*)) AS avg_acctbal "
+    "FROM customer GROUP BY c_mktsegment",
+    tags=("agg",),
+)
+def q16_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer count + average balance per market segment."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (dec_sum("c_acctbal") / F.count(F.lit(1))).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "q17_orders_without_lineitems",
+    "SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN "
+    "(SELECT l_orderkey FROM lineitem)",
+    tags=("join", "anti"),
+)
+def q17_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity probe via left-anti join (NOT EXISTS)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = _lineitem(spark, sf_dir).select(F.col("l_orderkey").alias("o_orderkey"))
+    return orders.join(li, "o_orderkey", "left_anti")

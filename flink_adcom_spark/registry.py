@@ -1,0 +1,83 @@
+"""Central query registry.
+
+Every implemented operator/query from SURVEY.md §2 registers here with:
+  - a Spark builder:  (SparkSession, sf_dir) -> DataFrame   (DataFrame/SQL plan)
+  - a DuckDB oracle:  ANSI SQL string over the same parquet views (or None for
+    genuinely non-SQL-expressible ops — the driver then records a rows-only check)
+
+`__spark_entry__.py` exposes this registry to the driver verbatim.
+
+Column-name contract: the driver sorts columns by name before value-hashing, so the
+Spark result and the oracle result must use IDENTICAL column names. Keep every
+computed column aliased on both sides.
+
+Float contract: double aggregates are rounded (ROUND n) on BOTH sides so that
+engine-level summation-order noise (Spark partial/final agg trees vs DuckDB's
+sequential sums) cannot flip a value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in _REGISTRY:
+        raise ValueError(f"duplicate query name {spec.name!r}")
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def query(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+):
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        register(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or fn.__doc__ or "", tags=tags, bench=bench))
+        return fn
+
+    return wrap
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def get(name: str) -> QuerySpec:
+    _load_all()
+    return _REGISTRY[name]
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every query module exactly once (imports run the decorators)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from .queries import taxi, tpch, events, text, dedup, similarity  # noqa: F401
+
+    _LOADED = True
