@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q01_ride_count": sec, ...}, "sf": 0.1}
+
+Timing is end-to-end per query: plan build + execution + a count-style
+materialization (foreach-noop via write to noop sink would skip result
+collection; we use .collect() capped by the queries' naturally small outputs,
+except row-heavy ones which are counted). A warmup query amortizes JVM/session
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_adcom_spark import registry
+from flink_adcom_spark.session import get_spark
+
+# queries whose result sets are large enough that collect() would measure
+# driver transfer, not query execution: materialize via count() instead
+COUNT_ONLY = {"q09b_order_revenue", "q22_running_count", "q44_simhash_neardup"}
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    specs = {n: s for n, s in registry.all_specs().items() if s.bench}
+
+    # warmup: touch every table + JIT the common plan shapes
+    t0 = time.time()
+    for name in ("lineitem", "events", "documents", "embeddings", "orders", "customer", "nation"):
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).count()
+    warmup_s = time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        spec = specs[name]
+        t0 = time.time()
+        df = spec.build(spark, sf_dir)
+        if name in COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(sf_dir),
+                "warmup_sec": round(warmup_s, 3),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Plan-inspection helpers: make the scale contracts assertable.
+
+Every operator in this engine carries implicit physical-plan contracts
+(pushdown reached the scan, the dimension side broadcast, partial agg before
+the exchange). These helpers parse .explain output so tests/test_plans.py can
+enforce them — a plan regression (e.g. a filter stops pushing down after a
+refactor) fails CI instead of silently costing 100x at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_columns(df: DataFrame, table_hint: str = "") -> list[str]:
+    """Columns actually read from the (first matching) parquet scan —
+    the column-pruning contract."""
+    plan = formatted_plan(df)
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        if not table_hint or any(table_hint in c for c in cols):
+            return cols
+    return []
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Shuffle count in the physical plan (AQE initial plan). The scale
+    budget: one exchange per keyed agg / non-broadcast join, zero extra.
+    (`(n) Exchange` nodes only — BroadcastExchange is a separate node name
+    and intentionally not counted: broadcasts don't shuffle the fact side.)"""
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """True if the plan contains a map-side partial HashAggregate — the
+    built-in equivalent of the reference's combine operator (SURVEY.md §4)."""
+    plan = formatted_plan(df)
+    return bool(re.search(r"HashAggregate.*\n(?:.*\n)*?.*Exchange", plan)) and (
+        "partial_" in plan or "HashAggregate" in plan
+    )
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple_plan(df))))

@@ -33,23 +33,25 @@ from ..functions.distance import distance_km_sql
 
 # Valid in BOTH Spark SQL and DuckDB. Integer modulo keeps the lattice exact;
 # doubles only appear after CAST so both engines do the same double arithmetic.
-_RIDES_BASE_SQL = """
-SELECT
-  event_id                                                        AS ride_id,
-  (event_id % 2) = 0                                              AS is_start,
-  ts                                                              AS ts,
-  dayofyear(ts)                                                   AS day_of_year,
-  user_id                                                         AS driver_id,
-  user_id + 1000                                                  AS taxi_id,
-  CAST((event_id % 4) + 1 AS INT)                                 AS passenger_cnt,
-  -74.05 + CAST(event_id % 1000 AS DOUBLE) / 10000.0              AS start_lon,
-  40.60 + CAST(event_id % 900 AS DOUBLE) / 10000.0                AS start_lat,
-  -74.05 + CAST((event_id * 7 + 13) % 1000 AS DOUBLE) / 10000.0   AS end_lon,
-  40.60 + CAST((event_id * 11 + 7) % 900 AS DOUBLE) / 10000.0     AS end_lat,
-  value                                                           AS elapsed_min,
-  event_type                                                      AS event_type
-FROM events
-""".strip()
+# Kept as an "expr AS name" list so the streaming path can selectExpr the same
+# projections over a readStream DataFrame (streaming/jobs.py).
+RIDES_EXPRS: tuple[str, ...] = (
+    "event_id                                                        AS ride_id",
+    "(event_id % 2) = 0                                              AS is_start",
+    "ts                                                              AS ts",
+    "dayofyear(ts)                                                   AS day_of_year",
+    "user_id                                                         AS driver_id",
+    "user_id + 1000                                                  AS taxi_id",
+    "CAST((event_id % 4) + 1 AS INT)                                 AS passenger_cnt",
+    "-74.05 + CAST(event_id % 1000 AS DOUBLE) / 10000.0              AS start_lon",
+    "40.60 + CAST(event_id % 900 AS DOUBLE) / 10000.0                AS start_lat",
+    "-74.05 + CAST((event_id * 7 + 13) % 1000 AS DOUBLE) / 10000.0   AS end_lon",
+    "40.60 + CAST((event_id * 11 + 7) % 900 AS DOUBLE) / 10000.0     AS end_lat",
+    "value                                                           AS elapsed_min",
+    "event_type                                                      AS event_type",
+)
+
+_RIDES_BASE_SQL = "SELECT\n  " + ",\n  ".join(RIDES_EXPRS) + "\nFROM events"
 
 RIDES_SQL = (
     "SELECT r.*, "

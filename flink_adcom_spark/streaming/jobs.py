@@ -1,0 +1,153 @@
+"""Structured-streaming forms of the canonical queries.
+
+The reference runs every query as an unbounded keyed aggregation over a
+replayed file stream (SURVEY.md §2.3); here each query is the SAME logical
+plan as its batch twin in queries/, executed by the micro-batch engine:
+
+    source -> projection -> [partial agg] -> shuffle -> [final agg] -> sink
+             (combiner = Catalyst partial agg; flush = trigger interval)
+
+Differential tests (tests/test_streaming.py) assert streaming results equal
+the batch plans exactly — the reference validated its variants the same way
+(SURVEY.md §5 "differential testing by construction").
+
+Event-time + watermarks are the semantics upgrade the reference lacks
+(SURVEY.md W3: sources emit event timestamps but no watermark is ever
+generated); streaming_tumbling_hourly uses them properly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..queries.rides import RIDES_EXPRS
+from ..functions.distance import distance_km
+from ..functions.exact import dec_sum
+
+# readStream needs an explicit schema; ts arrives as epoch-nanos BIGINT
+# (see tables.py nanos note).
+STREAM_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-replay source over events.parquet (the Spark-idiomatic stand-in
+    for the reference's gzip replay source, SURVEY.md S1-S4: source
+    parallelism and replay rate are file-split and maxFilesPerTrigger here)."""
+    # the file source needs a directory; pathGlobFilter selects the table
+    reader = spark.readStream.schema(STREAM_EVENTS_SCHEMA).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def stream_rides(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """TaxiRide stream: the same derivation expressions as the batch view
+    (queries/rides.py RIDES_EXPRS) applied over the streaming source."""
+    ev = stream_events(spark, sf_dir, **kw)
+    r = ev.selectExpr(*RIDES_EXPRS)
+    return r.withColumn(
+        "distance_km", distance_km("start_lat", "start_lon", "end_lat", "end_lon")
+    )
+
+
+# --- streaming query builders (each returns an unstarted aggregated DF) ------
+
+
+def streaming_ride_count(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """Q1 streaming form (reference TaxiRideCountPreAggregate.java:53-70)."""
+    return stream_rides(spark, sf_dir, **kw).groupBy("driver_id").agg(
+        F.count("*").alias("ride_cnt")
+    )
+
+
+def streaming_ride_avg(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """Q3 streaming form: exact avg as sum/count (the reference's combiner
+    carries (sum,count) pairs the same way — SURVEY.md A4)."""
+    return (
+        stream_rides(spark, sf_dir, **kw)
+        .groupBy("driver_id")
+        .agg((F.sum("passenger_cnt").cast("double") / F.count(F.lit(1))).alias("avg_passengers"))
+    )
+
+
+def streaming_tpch_q1(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """Q8 streaming form over a lineitem file stream."""
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    )
+    from ..queries.tpch import _q1_aggs
+
+    li = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(*_q1_aggs())
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str, watermark: str = "2 hours", **kw) -> DataFrame:
+    """q20 streaming form WITH event-time watermark (late data beyond 2 h is
+    dropped and window state is evictable — the late-data policy the
+    reference never implements, SURVEY.md W3)."""
+    ev = stream_events(spark, sf_dir, **kw)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+# --- execution helper ---------------------------------------------------------
+
+
+def run_to_memory(
+    agg_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    trigger_ms: int | None = 500,
+) -> DataFrame:
+    """Run a streaming aggregate to a memory sink until the source is drained;
+    return the sink contents as a batch DataFrame.
+
+    complete-mode memory sink = the reference's console/MQTT sink holding the
+    latest retract-stream state (SURVEY.md T4 -> outputMode mapping)."""
+    writer = agg_df.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if trigger_ms is not None:
+        writer = writer.trigger(processingTime=f"{trigger_ms} milliseconds")
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,68 @@
+"""Physical-plan contract tests: the scale properties each operator promises
+(pushdown, pruning, broadcast, single-shuffle) hold in the actual plan."""
+
+from __future__ import annotations
+
+from flink_adcom_spark.plans import explain
+from flink_adcom_spark.registry import get
+
+
+def test_tpch_q1_scan_pruned_and_filter_pushed(spark, sf_dir):
+    df = get("q08_tpch_q1").build(spark, sf_dir)
+    cols = explain.scan_columns(df)
+    # 7 needed columns only — never the full 11-column row
+    assert set(cols) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+    assert any("l_shipdate" in f for f in explain.pushed_filters(df))
+
+
+def test_tpch_q6_filters_pushed(spark, sf_dir):
+    df = get("q09_tpch_q6").build(spark, sf_dir)
+    pushed = " ".join(explain.pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert set(explain.scan_columns(df)) == {
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+        "l_quantity",
+    }
+
+
+def test_join_query_broadcasts_dimensions(spark, sf_dir):
+    df = get("q14_revenue_by_nation").build(spark, sf_dir)
+    assert explain.has_broadcast_join(df)
+    # fact side never shuffles before aggregation: the only hash exchange is
+    # the final groupBy(nation)
+    assert explain.num_exchanges(df) == 1
+
+
+def test_keyed_agg_single_shuffle_with_partial(spark, sf_dir):
+    df = get("q01_ride_count").build(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "partial_count" in plan
+    assert explain.num_exchanges(df) == 1
+
+
+def test_topn_plans_take_ordered(spark, sf_dir):
+    df = get("q07_top10_distances").build(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain.simple_plan(df)
+
+
+def test_events_scan_prunes_props(spark, sf_dir):
+    """The wide props column must never be read by queries that don't use it."""
+    df = get("q01_ride_count").build(spark, sf_dir)
+    cols = explain.scan_columns(df)
+    assert "props" not in cols and "value" not in cols
+
+
+def test_wordcount_partial_agg_before_shuffle(spark, sf_dir):
+    df = get("q10_wordcount").build(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "partial_count" in plan
