@@ -1,0 +1,73 @@
+"""Skew-handling aggregation: salted two-level aggregate.
+
+The reference simulates a hot key by routing the word "GUTENBERG" to a single
+partition with a custom Partitioner (WordCountPreAggregate.java:285-298, X2)
+and relies on AdCom's pre-aggregation to absorb it. In Spark the same defense
+is structural:
+
+1. For ALGEBRAIC aggregates, Catalyst's partial aggregation already collapses
+   a hot key to one row per map partition — no salting needed (why q01-q06
+   need nothing special).
+2. For aggregates whose partial state is LARGE (collect_list, exact distinct
+   sets, large top-N state) a hot key still concentrates final-agg work on one
+   reducer. salted_agg splits each key into `buckets` sub-keys, aggregates
+   partially per (key, salt), then merges — two small shuffles instead of one
+   skewed one. This is exactly Blink's distinct-agg split rule
+   (OptimizerConfigOptions.java:60, SURVEY.md §4) generalized to any
+   decomposable aggregate.
+3. For joins, AQE's skew-join splitting (enabled in session.py) handles it at
+   runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_expr: Column,
+    buckets: int,
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+) -> DataFrame:
+    """Two-level (salted) aggregation.
+
+    salt_expr must be deterministic per row (e.g. a row id modulo buckets —
+    NOT rand(), so retries/replays stay consistent at scale).
+    partial_aggs aggregate within (keys, salt); final_aggs merge the partials
+    per keys. The caller guarantees partial+final compose to the intended
+    aggregate (count -> sum, sum -> sum, distinct-set -> union, ...)."""
+    salted = df.withColumn("__salt", salt_expr % buckets)
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_count(df: DataFrame, keys: Sequence[str], salt_expr: Column, buckets: int = 16) -> DataFrame:
+    """COUNT(*) per key, skew-proofed (partial counts per salt, then summed)."""
+    return salted_agg(
+        df,
+        keys,
+        salt_expr,
+        buckets,
+        [F.count(F.lit(1)).alias("__partial_cnt")],
+        [F.sum("__partial_cnt").alias("cnt")],
+    )
+
+
+def salted_count_distinct(
+    df: DataFrame, keys: Sequence[str], distinct_col: str, buckets: int = 16
+) -> DataFrame:
+    """Exact COUNT(DISTINCT x) per key via the two-level distinct split:
+    dedup on (key, x-hash-salt) first, then count — the hot key's distinct
+    set is built across `buckets` reducers instead of one."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(buckets)))
+    partial = (
+        salted.groupBy(*keys, "__salt")
+        .agg(F.countDistinct(distinct_col).alias("__partial_nd"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial_nd").alias("n_distinct"))

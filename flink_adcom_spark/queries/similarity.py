@@ -194,3 +194,139 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("val"), 6).alias("centroid"))
     )
+
+
+# --- embedding-cosine near-dup pairs (dedup by embedding) ---------------------
+NEARDUP_COSINE = 0.9
+
+
+@query(
+    "q53_embed_neardup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+    x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.val * b.val) AS dot
+          FROM x a JOIN e ea ON a.vec_id = ea.vec_id
+                 JOIN e eb ON ea.bucket = eb.bucket
+                 JOIN x b ON b.vec_id = eb.vec_id AND a.i = b.i
+          WHERE a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM p JOIN n na ON p.vec_a = na.vec_id JOIN n nb ON p.vec_b = nb.vec_id
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= {NEARDUP_COSINE}
+    """,
+    tags=("similarity", "dedup", "lsh"),
+)
+def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.9), restricted to
+    sign-LSH bucket mates — the embedding leg of the dedup suite. Candidate
+    generation is the bucket equi-join; true near-dups land in the same
+    bucket with high probability (agreeing signs), the standard recall/cost
+    trade of hyperplane LSH."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col())
+    a = e.select("bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# --- IVF (inverted-file) ANN search -------------------------------------------
+@query(
+    "q54_ivf_knn",
+    f"""
+    WITH x AS ({_X_SQL}),
+    cent AS (SELECT label, i, AVG(val) AS cval FROM x GROUP BY label, i),
+    cnorm AS (SELECT label, sqrt(SUM(cval * cval)) AS cnrm FROM cent GROUP BY label),
+    n AS ({_N_SQL}),
+    qc AS (SELECT q.vec_id AS q_id, c.label AS label, SUM(q.val * c.cval) AS dot
+           FROM x q JOIN cent c ON q.i = c.i WHERE q.vec_id < {N_QUERY_VECS}
+           GROUP BY 1, 2),
+    probe AS (SELECT q_id, label FROM (
+                SELECT q_id, qc.label,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q_id
+                         ORDER BY ROUND(qc.dot / (nq.nrm * cn.cnrm), 6) DESC, qc.label
+                       ) AS crnk
+                FROM qc JOIN n nq ON qc.q_id = nq.vec_id
+                        JOIN cnorm cn ON qc.label = cn.label) t
+              WHERE crnk = 1),
+    cand AS (SELECT p.q_id, e.vec_id AS n_id
+             FROM probe p JOIN embeddings e ON e.label = p.label
+             WHERE e.vec_id <> p.q_id),
+    d AS (SELECT c.q_id, c.n_id, SUM(a.val * b.val) AS dot
+          FROM cand c JOIN x a ON a.vec_id = c.q_id
+                      JOIN x b ON b.vec_id = c.n_id AND a.i = b.i
+          GROUP BY 1, 2),
+    scored AS (SELECT d.q_id, d.n_id, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+               FROM d JOIN n na ON d.q_id = na.vec_id JOIN n nb ON d.n_id = nb.vec_id)
+    SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q_id, n_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "ivf"),
+)
+def q54_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search, nprobe=1: route each query to its nearest centroid
+    (label groups stand in for trained k-means cells — the centroid-update
+    step is q52), then search only that cell.
+
+    Scale shape: centroids are tiny and broadcast; the corpus is scanned
+    once pre-partitioned by cell, so each query touches |corpus|/n_cells
+    vectors — the linear-to-sublinear step that makes 100 TB ANN feasible.
+    Versus q50 (exact), recall is whatever cell routing gives (nprobe
+    trades recall for cost)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)  # vec_id, label, v, nrm
+    # centroids per cell (label): posexplode + avg, then reassembled
+    cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform("pairs", lambda p: p.cval).alias("cv"),
+        )
+        .withColumn("cnrm", F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qc = F.broadcast(q).crossJoin(F.broadcast(cent))
+    ccos = F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cnrm")), 6)
+    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("label"))
+    probe = (
+        qc.withColumn("ccos", ccos)
+        .withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") == 1)
+        .select("q_id", "qv", "qn", "label")
+    )
+    cand = F.broadcast(probe).join(e, "label").filter(F.col("vec_id") != F.col("q_id"))
+    cos = F.round(
+        F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.withColumn("cosine", cos)
+        .select("q_id", F.col("vec_id").alias("n_id"), "cosine")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

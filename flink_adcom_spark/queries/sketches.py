@@ -1,0 +1,59 @@
+"""Approximate (sketch) aggregates: HyperLogLog distinct + approximate
+quantiles.
+
+These are the scale path for Q2-style distinct queries: at 100 TB an exact
+distinct is a full dedup shuffle, while approx_count_distinct ships one HLL
+sketch per partition per key (KBs) with ~2% error. The reference itself ships
+an approximate distinct (its combiner overcounts across bundles — SURVEY.md
+A5); ours carries a principled error bound instead.
+
+No DuckDB oracle: sketch results are engine-specific by construction (DuckDB's
+approx_count_distinct uses a different HLL seed/width). The driver records the
+rows-only check; tests/test_sketches.py bounds the error against the exact
+answer instead — a stronger property than cross-engine equality for these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "q70_approx_distinct_users",
+    None,  # sketches are engine-specific; bounded-error-tested instead
+    tags=("events", "sketch", "distinct"),
+)
+def q70_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event_type (rsd=2%)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+@query(
+    "q71_value_percentiles",
+    None,
+    tags=("events", "sketch", "quantile"),
+)
+def q71_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of event value per type (GK sketch,
+    accuracy 10000 -> error <= 0.01%)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts")
+        )
+        .select(
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p95"),
+            F.col("pcts")[2].alias("p99"),
+        )
+    )

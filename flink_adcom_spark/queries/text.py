@@ -174,3 +174,27 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical across engines, so the fingerprint doubles as the
     exact-dedup key (see q40)."""
     return _documents(spark, sf_dir).select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))
+
+
+# --- BPE-ish regex tokenization -----------------------------------------------
+# Tokens = letter runs | digit runs | single non-space symbol — the classic
+# pre-tokenizer shape BPE vocabularies assume. One codegen'd regex pass.
+_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q34_regex_token_count",
+    f"SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS BIGINT)"
+    " AS n_bpe_tokens FROM documents",
+    tags=("text",),
+)
+def q34_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token count per document (letter-run/digit-run/symbol
+    pre-tokenization). The regex is RE2/Java-compatible so the oracle runs
+    the identical pattern."""
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"CAST(size(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}', 0)) AS BIGINT)").alias(
+            "n_bpe_tokens"
+        ),
+    )

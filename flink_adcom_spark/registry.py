@@ -78,6 +78,15 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .queries import taxi, tpch, events, text, dedup, similarity  # noqa: F401
+    from .queries import (  # noqa: F401
+        taxi,
+        tpch,
+        events,
+        text,
+        dedup,
+        similarity,
+        sql_surface,
+        sketches,
+    )
 
     _LOADED = True

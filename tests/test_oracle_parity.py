@@ -34,7 +34,8 @@ def _norm(v):
 
 
 def _rows(recs):
-    return sorted(tuple(_norm(x) for x in r) for r in recs)
+    # sort by repr: total order even with None/mixed types (rollup subtotals)
+    return sorted((tuple(_norm(x) for x in r) for r in recs), key=repr)
 
 
 @pytest.mark.parametrize("name", sorted(n for n, s in SPECS.items() if s.oracle))

@@ -1,0 +1,66 @@
+"""Sketch queries have no cross-engine oracle (engine-specific HLL/GK); the
+correctness property is a bounded error against the exact answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_adcom_spark.registry import get
+from flink_adcom_spark.tables import load_table
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in get("q70_approx_distinct_users").build(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.1 * n), (t, approx[t], n)
+
+
+def test_percentiles_bracket_exact(spark, sf_dir):
+    rows = get("q71_value_percentiles").build(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    for r in rows:
+        vals = sorted(
+            x["value"] for x in ev.filter(F.col("event_type") == r["event_type"]).collect()
+        )
+        for col, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            lo = vals[max(0, int(q * len(vals)) - 2)]
+            hi = vals[min(len(vals) - 1, int(q * len(vals)) + 2)]
+            assert lo <= r[col] <= hi, (r["event_type"], col, r[col], lo, hi)
+
+
+def test_salted_count_equals_plain(spark, sf_dir):
+    from flink_adcom_spark.operators.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r["cnt"]
+        for r in salted_count(ev, ["event_type"], F.col("event_id"), 16).collect()
+    }
+    want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert got == want
+
+
+def test_salted_distinct_equals_plain(spark, sf_dir):
+    from flink_adcom_spark.operators.skew import salted_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_count_distinct(ev, ["event_type"], "user_id", 16).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got == want

@@ -146,3 +146,24 @@ def test_words_stream_source(spark):
         q.stop()
     words = {r["word"] for r in spark.sql(f"SELECT DISTINCT word FROM {name}").collect()}
     assert words and words <= set(CORPORA[1])
+
+
+def test_streaming_file_sink_roundtrip(spark, sf_dir, tmp_path):
+    """K3 parity: streaming file sink (exactly-once via checkpoint) writes the
+    full projected stream; batch read-back matches the source."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = jobs.stream_rides(spark, sf_dir).select("ride_id", "driver_id", "distance_km")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == rides(spark, sf_dir).count()
+    assert set(got.columns) == {"ride_id", "driver_id", "distance_km"}
