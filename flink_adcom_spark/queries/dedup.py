@@ -180,8 +180,8 @@ def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = c.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        p.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        p.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "inter", "jaccard")

@@ -184,16 +184,20 @@ def q09b_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineitem revenue rolled up to customer nation (3-way join).
 
-    Dimension sides are explicitly broadcast: at any SF, nation is tiny and
-    orders/customer are orders of magnitude smaller than lineitem. The fact
-    table never shuffles before aggregation."""
+    nation (fixed-size) carries a broadcast hint; orders/customer are sized
+    by AQE at runtime — broadcast while they fit, sort-merge beyond. Locally
+    everything broadcasts and the fact table never shuffles before
+    aggregation (plan-asserted)."""
     li = _lineitem(spark, sf_dir).select("l_orderkey", "l_extendedprice", "l_discount")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # only nation gets a broadcast HINT (fixed 25-row table at any SF);
+    # orders/customer scale with SF, so the decision is left to AQE: auto-
+    # broadcast under the threshold locally, sort-merge + skew-split at 100 TB
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -216,7 +220,7 @@ def q15_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(dec_sum("o_totalprice").alias("total_spend"), F.count("*").alias("n_orders"))
         .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
