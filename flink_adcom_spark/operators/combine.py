@@ -150,3 +150,42 @@ class TopNDistancePreAggregate(PreAggregateFunction):
         for k, arr in buffer.items():
             for rank, d in enumerate(arr, start=1):
                 yield {"key": k, "rnk": rank, "distance_km": d}
+
+
+class MaxPreAggregate(PreAggregateFunction):
+    """Reference TaxiRideMaxPassengerPreAggregateFunction.java:11-29."""
+
+    def __init__(self, key: str = "driver_id", value: str = "passenger_cnt"):
+        self.key, self.value = key, value
+
+    def key_of(self, row):
+        return row[self.key]
+
+    def add_input(self, value, row):
+        v = row[self.value]
+        return v if value is None else max(value, v)
+
+    def collect(self, buffer):
+        for k, v in buffer.items():
+            yield {"key": k, "max_val": v}
+
+
+class AvgPreAggregate(PreAggregateFunction):
+    """Reference TaxiRidePassengerSumAndCountPreAggregateFunction.java:11-40:
+    the bundle carries (sum, count); division happens only at collect — the
+    exact semantics the reference's every-merge-divide reducer only reaches
+    on its final emission (SURVEY.md A4)."""
+
+    def __init__(self, key: str = "driver_id", value: str = "passenger_cnt"):
+        self.key, self.value = key, value
+
+    def key_of(self, row):
+        return row[self.key]
+
+    def add_input(self, value, row):
+        s, c = value if value is not None else (0.0, 0)
+        return (s + float(row[self.value]), c + 1)
+
+    def collect(self, buffer):
+        for k, (s, c) in buffer.items():
+            yield {"key": k, "avg_val": s / c, "cnt": c}

@@ -151,3 +151,49 @@ def run_to_memory(
     finally:
         q.stop()
     return agg_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_user_sessions(
+    spark: SparkSession, sf_dir: str, gap_min: int = 30, watermark: str = "2 hours", **kw
+) -> DataFrame:
+    """Event-time sessionization with the built-in session_window — the
+    streaming twin of q21 (batch lag+cumsum): one row per (user, session).
+    Aggregating per user downstream gives q21's n_sessions/n_events."""
+    ev = stream_events(spark, sf_dir, **kw)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def streaming_ride_count_updates(
+    spark: SparkSession, sf_dir: str, name: str, trigger_ms: int = 100, **kw
+) -> DataFrame:
+    """Q1 in update mode — the retract-stream surface (reference T4:
+    toRetractStream emits (flag, row) deltas; Spark's update mode emits the
+    changed rows per batch). The memory sink accumulates every emission;
+    the LAST emission per key is the final state."""
+    agg = streaming_ride_count(spark, sf_dir, **kw)
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark_ = agg.sparkSession
+    # last update per key = final aggregate state
+    return spark_.sql(
+        f"""SELECT driver_id, ride_cnt FROM (
+              SELECT driver_id, ride_cnt,
+                     ROW_NUMBER() OVER (PARTITION BY driver_id ORDER BY mono DESC) rn
+              FROM (SELECT driver_id, ride_cnt,
+                           monotonically_increasing_id() AS mono FROM {name}))
+            WHERE rn = 1"""
+    )

@@ -75,10 +75,12 @@ def test_streaming_tumbling_watermark_append(spark, sf_dir):
     assert len(got_rows) >= 0.5 * len(want_rows)
 
 
-def test_ad_combine_stream_deltas_sum_to_batch(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("interval_ms", [200, 1000])
+def test_ad_combine_stream_deltas_sum_to_batch(spark, sf_dir, tmp_path, interval_ms):
     """Tier-3 generic combiner: bundle deltas summed downstream equal the
-    batch count regardless of flush interval (the reference's correctness
-    contract for combine — flush frequency is a performance knob only)."""
+    batch count regardless of flush interval — the static-vs-adaptive
+    differential invariant the reference's variants rely on (flush frequency
+    is a performance knob only, never a correctness knob)."""
     from flink_adcom_spark.streaming.adcombine import (
         ad_combine_stream,
         count_emit,
@@ -92,7 +94,7 @@ def test_ad_combine_stream_deltas_sum_to_batch(spark, sf_dir, tmp_path):
         fold=count_fold,
         emit=count_emit,
         output_schema="driver_id long, cnt_delta long",
-        interval_ms=200,
+        interval_ms=interval_ms,
     )
     name = f"s_{uuid.uuid4().hex[:8]}"
     q = (
@@ -167,3 +169,76 @@ def test_streaming_file_sink_roundtrip(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == rides(spark, sf_dir).count()
     assert set(got.columns) == {"ride_id", "driver_id", "distance_km"}
+
+
+def test_streaming_session_window_matches_batch_sessionization(spark, sf_dir):
+    """session_window streaming twin vs the batch lag+cumsum sessionizer
+    (q21): same per-user session count and event total."""
+    stream = jobs.streaming_user_sessions(spark, sf_dir)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        f"SELECT user_id, CAST(COUNT(*) AS BIGINT) n_sessions, "
+        f"SUM(n_events) n_events FROM {name} GROUP BY user_id"
+    )
+    want = get("q21_user_sessions").build(spark, sf_dir)
+    cols = ["user_id", "n_sessions", "n_events"]
+    got_rows, want_rows = _rowset(got, cols), _rowset(want, cols)
+    # append-mode session windows may withhold the final (unclosed-by-
+    # watermark) session per user; require exact match on emitted users'
+    # sessions when complete, else subset with the last session pending
+    assert len(got_rows) >= 0.5 * len(want_rows)
+    want_by_user = {r[0]: r for r in want_rows}
+    for u, ns, ne in got_rows:
+        w = want_by_user[u]
+        assert ns <= w[1] and ne <= w[2]
+        assert ns >= w[1] - 1  # at most the last session withheld
+
+
+def test_streaming_update_mode_retract_surface(spark, sf_dir):
+    """T4 parity: update-mode emissions; last update per key equals the
+    batch aggregate (the 'add' side of the reference's retract stream)."""
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    got = jobs.streaming_ride_count_updates(spark, sf_dir, name, max_files_per_trigger=1)
+    want = get("q01_ride_count").build(spark, sf_dir)
+    cols = ["driver_id", "ride_cnt"]
+    assert _rowset(got, cols) == _rowset(want, cols)
+
+
+def test_combine_generic_max_and_avg_folds(spark, sf_dir):
+    """Reference A3/A4 folds via the generic tier equal builtin aggs."""
+    from flink_adcom_spark.operators.combine import AvgPreAggregate, MaxPreAggregate, combine_generic
+
+    r = rides(spark, sf_dir).select("driver_id", "passenger_cnt")
+    got_max = {
+        row["key"]: row["max_val"]
+        for row in combine_generic(
+            r, ["driver_id"], MaxPreAggregate(), "key long, max_val int"
+        ).collect()
+    }
+    want_max = {
+        row["driver_id"]: row["max(passenger_cnt)"]
+        for row in r.groupBy("driver_id").max("passenger_cnt").collect()
+    }
+    assert got_max == want_max
+
+    got_avg = {
+        row["key"]: round(row["avg_val"], 9)
+        for row in combine_generic(
+            r, ["driver_id"], AvgPreAggregate(), "key long, avg_val double, cnt long"
+        ).collect()
+    }
+    want_avg = {
+        row["driver_id"]: round(row["avg(passenger_cnt)"], 9)
+        for row in r.groupBy("driver_id").avg("passenger_cnt").collect()
+    }
+    assert got_avg == want_avg
