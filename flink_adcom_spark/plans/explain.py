@@ -63,4 +63,15 @@ def has_partial_aggregate(df: DataFrame) -> bool:
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple_plan(df))))
+    """Distinct fused-codegen spans. The formatted plan tags member nodes
+    with `[codegen id : N]`; the executed-plan string uses
+    `WholeStageCodegen (N)` — count whichever appears."""
+    plan = formatted_plan(df)
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    if ids:
+        return len(ids)
+    # under AQE the pre-execution formatted plan omits codegen ids; the
+    # codegen explain mode still reports "Found N WholeStageCodegen subtrees"
+    cg = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+    return int(m.group(1)) if m else 0

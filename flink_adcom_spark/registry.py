@@ -87,6 +87,7 @@ def _load_all() -> None:
         similarity,
         sql_surface,
         sketches,
+        fares,
     )
 
     _LOADED = True
