@@ -75,6 +75,8 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    stream_rps = _stream_throughput(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -86,9 +88,45 @@ def main() -> None:
                 "sf": sf_from_dir(sf_dir),
                 "warmup_sec": round(warmup_s, 3),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "stream_wordcount_rows_per_sec": stream_rps,
             }
         )
     )
+
+
+def _stream_throughput(spark, offer_rps: int = 2_000_000, run_s: float = 12.0) -> int:
+    """Sustained streaming keyed-count throughput (rows/s).
+
+    The reference's benchmark axis is source rate sustained by the combiner
+    pipeline (BASELINE.md: busy-sleep sources up to 2M rec/s). Here: offer
+    2M rows/s from the rate source through word-count (update mode, memory
+    sink) and report the max processedRowsPerSecond observed — the pipeline's
+    sustained capacity on this machine."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.sources.replay import words_stream
+
+    agg = words_stream(spark, rows_per_second=offer_rps).groupBy("word").agg(
+        F.count("*").alias("cnt")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bench_stream_tp")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    best = 0.0
+    try:
+        deadline = time.time() + run_s
+        while time.time() < deadline:
+            time.sleep(0.5)
+            for p in q.recentProgress:
+                rps = p.get("processedRowsPerSecond") or 0.0
+                best = max(best, float(rps))
+    finally:
+        q.stop()
+    return int(best)
 
 
 if __name__ == "__main__":

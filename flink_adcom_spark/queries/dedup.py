@@ -30,6 +30,7 @@ from .text import words_col, _WORDS_SQL
 SHINGLE_K = 3  # words per shingle
 N_HASHES = 4  # minhash permutations (md5 salted 0..3)
 JACCARD_THRESHOLD = 0.05
+STOP_SHINGLE_DF = 100  # drop shingles shared by more docs (join fan-out cap)
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,7 +153,9 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q42_ngram_jaccard_pairs",
     f"""
-    WITH d AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DOCS_SQL}) s),
+    WITH d0 AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DOCS_SQL}) s),
+    df AS (SELECT sh FROM d0 GROUP BY sh HAVING COUNT(*) <= {{cap}}),
+    d AS (SELECT d0.doc_id, d0.sh FROM d0 JOIN df ON d0.sh = df.sh),
     c AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
           FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -160,15 +163,27 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) AS jaccard
     FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
     WHERE (CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) >= {JACCARD_THRESHOLD}
-    """,
+    """.format(cap=STOP_SHINGLE_DF),
     tags=("dedup", "join"),
 )
 def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for all doc pairs sharing a shingle.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) as an exact integer ratio (identical
-    double in any engine). The equi-join on shingle bounds the pair space."""
-    d = shingle_docs(spark, sf_dir).distinct()
+    double in any engine), computed over the retained shingle space.
+
+    Scale guard: shingles appearing in > STOP_SHINGLE_DF docs ("stop
+    shingles" — boilerplate) are dropped BEFORE the pair join; a shingle
+    shared by k docs contributes k^2/2 join rows, so capping k bounds the
+    join fan-out at any corpus size (the filter is part of the operator's
+    definition, mirrored in the oracle)."""
+    d0 = shingle_docs(spark, sf_dir).distinct()
+    rare = (
+        d0.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= STOP_SHINGLE_DF)
+        .select("sh")
+    )
+    d = d0.join(rare, "sh")
     c = d.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = d.alias("a"), d.alias("b")
     p = (

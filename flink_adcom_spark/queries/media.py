@@ -1,0 +1,71 @@
+"""Registry entries for the multimodal pipeline and the generic-combine tier,
+so they run under the external correctness gate too (not only pytest).
+
+q80/q81 are rows-only (their outputs hang off the stubbed codec and
+mapInPandas — not ANSI-SQL-expressible); q82 runs an arbitrary Python fold
+through combine_generic yet still has a full SQL oracle, proving the generic
+tier computes exactly what the declarative plan would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.combine import TopNDistancePreAggregate, combine_generic
+from ..operators.multimodal import extract_features, media_from_documents, sample_frames
+from ..registry import query
+from ..tables import load_table
+from .rides import rides, rides_oracle_cte
+
+
+@query(
+    "q80_media_features",
+    None,  # mapInPandas + stubbed codec: rows-only check
+    tags=("multimodal",),
+)
+def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction end-to-end: documents -> binary media table ->
+    Arrow-batched decode/checksum/features (payload column dropped before any
+    downstream shuffle)."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake_decode=True)
+
+
+@query(
+    "q81_frame_samples",
+    None,
+    tags=("multimodal",),
+)
+def q81_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame offset."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n_bytes=64, max_frames=8)
+
+
+@query(
+    "q82_generic_topn_fold",
+    rides_oracle_cte(
+        "SELECT driver_id AS key, CAST(rn AS INT) AS rnk, "
+        "ROUND(distance_km, 6) AS distance_km FROM ("
+        "  SELECT driver_id, distance_km, "
+        "         ROW_NUMBER() OVER (PARTITION BY driver_id "
+        "                            ORDER BY distance_km DESC) AS rn "
+        "  FROM rides) t WHERE rn <= 3"
+    ),
+    tags=("taxi", "topn", "generic-combine"),
+)
+def q82_generic_topn_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's A8 bounded-array top-N fold executed through the
+    GENERIC combine tier (applyInPandas PreAggregateFunction), hash-matched
+    against the window-rank SQL oracle — API parity with provable
+    equivalence. Distances are unique per driver (trig lattice), so the
+    rank order is well-defined without a tie-break."""
+    r = rides(spark, sf_dir).select("driver_id", "distance_km")
+    out = combine_generic(
+        r,
+        ["driver_id"],
+        TopNDistancePreAggregate(n=3),
+        "key long, rnk int, distance_km double",
+    )
+    return out.select("key", "rnk", F.round("distance_km", 6).alias("distance_km"))

@@ -88,6 +88,7 @@ def _load_all() -> None:
         sql_surface,
         sketches,
         fares,
+        media,
     )
 
     _LOADED = True

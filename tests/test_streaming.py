@@ -242,3 +242,53 @@ def test_combine_generic_max_and_avg_folds(spark, sf_dir):
         for row in r.groupBy("driver_id").avg("passenger_cnt").collect()
     }
     assert got_avg == want_avg
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a streaming aggregation mid-stream, restart from the checkpoint:
+    the final result equals the batch answer with no loss or double-count
+    (the exactly-once contract the adaptive runner's restarts rely on)."""
+    # split events into several files so the file source yields multiple batches
+    src_dir = str(tmp_path / "src")
+    from flink_adcom_spark.tables import load_table
+
+    load_table(spark, sf_dir, "events").repartition(6).write.parquet(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    name = f"s_{uuid.uuid4().hex[:8]}"
+
+    def start():
+        # the rewritten files carry a proper timestamp ts (tables.py already
+        # converted nanos), so read with the on-disk schema directly
+        ev = (
+            spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        agg = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    import time
+
+    q = start()
+    # stop after the first committed batch (mid-stream kill)
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop()
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r["user_id"]: r["n"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {
+        r["user_id"]: r["count"]
+        for r in load_table(spark, sf_dir, "events").groupBy("user_id").count().collect()
+    }
+    assert got == want
