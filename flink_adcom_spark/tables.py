@@ -124,9 +124,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs the engine's semantics depend on, so queries are
+    correct on ANY caller-provided session (the external driver builds its
+    own): nanos-timestamp reading and UTC timestamp semantics (dayofyear /
+    date_trunc / window must agree with the UTC-naive oracle engine)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    _pin_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS); with spark.sql.legacy.parquet.
