@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import (
+    MONEY,
     dec_sum,
     money,
     rate,
@@ -243,6 +244,128 @@ def q16_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             (dec_sum("c_acctbal") / F.count(F.lit(1))).alias("avg_acctbal"),
+        )
+    )
+
+
+# --- Q18: TPC-H Q5 adaptation (local supplier volume) ------------------------
+# Real Q5 joins 6 tables and requires c_nationkey = s_nationkey ("local"
+# suppliers). The synthetic schema carries every needed column; region/nation
+# are fixed-size at any SF and broadcast, supplier is SF-bounded and left to
+# AQE. Date window adapted to the synthetic o_orderdate range (1995-2001).
+Q5_START, Q5_END = "1996-01-01", "1997-01-01"
+
+
+@query(
+    "q18_tpch_q5_local_suppliers",
+    "SELECT n_name AS nation, "
+    f"CAST(SUM({_P} * (1 - {_D})) AS DOUBLE) AS revenue "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    f"WHERE o_orderdate >= TIMESTAMP '{Q5_START} 00:00:00' "
+    f"AND o_orderdate < TIMESTAMP '{Q5_END} 00:00:00' "
+    "AND r_name = 'AMERICA' "
+    "GROUP BY n_name",
+    tags=("tpch", "join", "agg"),
+)
+def q18_tpch_q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 semantics: revenue from orders served by a supplier in the
+    customer's own nation, per nation within one region.
+
+    Scale shape: lineitem (fact) never shuffles before the aggregate when
+    orders/customer/supplier broadcast; at 100 TB AQE degrades the big sides
+    to sort-merge while nation/region (25/5 rows) stay broadcast. The
+    o_orderdate window prunes orders at the scan."""
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(money("l_extendedprice") * (1 - rate("l_discount"))).cast("double").alias("revenue"))
+    )
+
+
+# --- Q19: TPC-H Q4 adaptation (order priority checking) ----------------------
+# Real Q4 uses l_commitdate < l_receiptdate (columns the synthetic schema
+# lacks); the adapted "late line" predicate is l_shipdate > o_orderdate + 60
+# days, preserving Q4's real shape: EXISTS-correlated semi-join + priority
+# rollup.
+@query(
+    "q19_tpch_q4_order_priority",
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+    f"WHERE o_orderdate >= TIMESTAMP '{Q5_START} 00:00:00' "
+    f"AND o_orderdate < TIMESTAMP '{Q5_END} 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY o_orderpriority",
+    tags=("tpch", "join", "semi", "agg"),
+)
+def q19_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 semantics: orders (within a date window) having at least one
+    late lineitem, counted per priority.
+
+    Planned as a left-semi join — the lineitem side is projected to two
+    columns at the scan and each order dedups at the join, so the aggregate
+    sees |orders| rows, not |lineitem|."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_END).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --- Q19b: TPC-H Q14 adaptation (promo revenue share) ------------------------
+@query(
+    "q19b_tpch_q14_promo_share",
+    "SELECT CAST(100.0 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'PROMO' "
+    f"THEN {_P} * (1 - {_D}) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) "
+    f"/ CAST(SUM({_P} * (1 - {_D})) AS DOUBLE) AS promo_revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    f"WHERE l_shipdate >= TIMESTAMP '{Q6_START} 00:00:00' "
+    f"AND l_shipdate < TIMESTAMP '{Q6_END} 00:00:00'",
+    tags=("tpch", "join", "agg", "global"),
+)
+def q19b_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 semantics: percentage of revenue from PROMO parts within a
+    month window (synthetic p_type is a plain category, so equality instead
+    of LIKE 'PROMO%').
+
+    Decimal sums keep the division bit-identical across engines; part joins
+    broadcast-side (SF-bounded dimension), lineitem prunes on l_shipdate at
+    the scan."""
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = money("l_extendedprice") * (1 - rate("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast(MONEY))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price).cast("double")).alias("promo_revenue")
         )
     )
 

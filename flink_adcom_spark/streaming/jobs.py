@@ -168,6 +168,65 @@ def streaming_user_sessions(
     )
 
 
+def streaming_dedup_events(
+    spark: SparkSession, events_dir: str, watermark: str = "2 hours", **kw
+) -> DataFrame:
+    """Streaming exact deduplication on event_id with watermark-bounded state
+    (`dropDuplicatesWithinWatermark`): the streaming twin of q40's exact
+    dedup for a continuously-ingested table.
+
+    Scale contract: per-key state is evicted once the watermark passes, so
+    state size is O(keys within the watermark horizon), not O(all keys ever)
+    — the property that makes exactly-once ingest dedup viable on an
+    unbounded 100 TB/day feed. (The reference has no dedup operator at all;
+    this is part of the training-pipeline extension surface.)"""
+    reader = spark.readStream.schema(STREAM_EVENTS_SCHEMA)
+    for k, v in kw.items():
+        reader = reader.option(k, v)
+    ev = reader.parquet(events_dir).withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def streaming_view_purchase_join(
+    spark: SparkSession, sf_dir: str, horizon_hours: int = 1, watermark: str = "2 hours", **kw
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    same user's views in the preceding `horizon_hours` (attribution join).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict buffered rows once they fall outside the
+    horizon — without the time bound the join state would grow without
+    limit. (No joins exist in the reference, SURVEY.md §2.2; this is the
+    streaming face of the engine's join extension.)"""
+    views = (
+        stream_events(spark, sf_dir, **kw)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        stream_events(spark, sf_dir, **kw)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon_hours} HOUR")),
+    ).select("p_user", "view_id", "purchase_id", "purchase_value", "v_ts", "p_ts")
+
+
 def streaming_ride_count_updates(
     spark: SparkSession, sf_dir: str, name: str, trigger_ms: int = 100, **kw
 ) -> DataFrame:

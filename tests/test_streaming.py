@@ -292,3 +292,73 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
         for r in load_table(spark, sf_dir, "events").groupBy("user_id").count().collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: a doubled events feed comes out exactly once.
+
+    Built by writing the events table twice into one directory — the stream
+    must emit each event_id once (state evicted by the watermark, so this
+    scales to unbounded feeds)."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_dir}/events.parquet").slice(0, 2000)
+    n_src = src.num_rows
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    pq.write_table(src, dup_dir / "a.parquet")
+    pq.write_table(src, dup_dir / "b.parquet")
+
+    deduped = jobs.streaming_dedup_events(spark, str(dup_dir))
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_ids = [r["event_id"] for r in spark.sql(f"SELECT event_id FROM {name}").collect()]
+    assert len(got_ids) == len(set(got_ids)) == n_src
+    assert sorted(got_ids) == sorted(src.column("event_id").to_pylist())
+
+
+def test_streaming_view_purchase_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream attribution join equals the batch join with
+    the same time-bounded condition (inner-join matches emit as they occur;
+    watermarks only bound state)."""
+    from flink_adcom_spark.tables import load_table
+
+    joined = jobs.streaming_view_purchase_join(spark, sf_dir)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(f"SELECT view_id, purchase_id FROM {name}")
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    want = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("view_id", "purchase_id")
+    cols = ["view_id", "purchase_id"]
+    got_rows, want_rows = _rowset(got, cols), _rowset(want, cols)
+    assert got_rows == want_rows, (len(got_rows), len(want_rows))
