@@ -143,3 +143,51 @@ def q23_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+# --- window frames (rolling aggregates) ---------------------------------------
+# The reference has no window-function surface at all (only streaming window
+# assigners); rolling frames are the batch face of its "running state" idea
+# and a staple of feature engineering over event logs.
+@query(
+    "q24_user_rolling_value",
+    "SELECT event_id, user_id, "
+    "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value "
+    "FROM events",
+    tags=("events", "window"),
+)
+def q24_user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 4-event value sum per user (bounded ROWS frame).
+
+    Decimal-cast inside the frame: engines walk sliding frames in different
+    orders (Spark re-adds in row order; DuckDB uses a segment tree), so
+    double sums would differ in last ulps — decimal is order-independent.
+    Scale: one shuffle on user_id; frame state is O(4) per row."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("rolling_value"),
+    )
+
+
+@query(
+    "q25_user_value_delta",
+    "SELECT event_id, user_id, "
+    "value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta "
+    "FROM events",
+    tags=("events", "window"),
+)
+def q25_user_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value change since the previous event (LAG frame; NULL first
+    row per user). Exact: one double subtraction of identical operands."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return _events(spark, sf_dir).select(
+        "event_id", "user_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )

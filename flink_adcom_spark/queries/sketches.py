@@ -57,3 +57,30 @@ def q71_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pcts")[2].alias("p99"),
         )
     )
+
+
+@query(
+    "q72_exact_percentiles",
+    "SELECT event_type, "
+    "quantile_cont(value, 0.25) AS p25, "
+    "quantile_cont(value, 0.5) AS p50, "
+    "quantile_cont(value, 0.95) AS p95 "
+    "FROM events GROUP BY event_type",
+    tags=("events", "quantile"),
+)
+def q72_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per event_type (the oracle-checkable
+    twin of q71's sketch): Spark `percentile` and DuckDB `quantile_cont`
+    share the rank = p*(n-1) linear-interpolation definition.
+
+    Scale note: exact percentiles buffer each group's values — fine for
+    bounded group cardinality; q71's GK sketch is the unbounded-scale path."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.25).alias("p25"),
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+        )
+    )

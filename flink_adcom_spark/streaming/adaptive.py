@@ -93,3 +93,58 @@ class AdaptiveQueryRunner:
         finally:
             query.stop()
         return rep
+
+
+class SelfPacedAdaptiveRunner:
+    """No-restart adaptation: the flush interval is enforced by pacing inside
+    `foreachBatch` — after processing each micro-batch the sink sleeps out
+    the remainder of the controller's current interval, so a new interval
+    takes effect at the very next batch with the query left running.
+
+    This is the in-flight parity path to the reference's per-subtask MQTT
+    listener swapping the live timer (PreAggregateProcTimeListener.java:
+    67-109); `AdaptiveQueryRunner` above is the restart path. Trade-offs:
+    pacing occupies the stream's micro-batch thread (fine: between flushes
+    the engine would idle anyway) and the effective interval can never be
+    shorter than the batch's own duration — exactly the reference's
+    semantics, where a slow flush delays the next timer.
+    """
+
+    def __init__(
+        self,
+        controller: BandController | None = None,
+        decision_period_s: float = 2.0,
+        clock=time.monotonic,
+        sleep=time.sleep,
+    ):
+        self.controller = controller or BandController()
+        self.listener = TriggerControllerListener(
+            self.controller,
+            trigger_ms_getter=lambda: self.controller.interval_ms,
+            period_s=decision_period_s,
+        )
+        self._clock = clock
+        self._sleep = sleep
+        self.report = RunnerReport()
+        self.report.intervals.append(self.controller.interval_ms)
+
+    def paced(self, process: Callable[[DataFrame, int], None]) -> Callable[[DataFrame, int], None]:
+        """Wrap a foreachBatch function with pacing + signal feedback."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            t0 = self._clock()
+            process(batch_df, batch_id)
+            dur_ms = (self._clock() - t0) * 1000.0
+            interval_before = self.controller.interval_ms
+            self.report.batches_observed += 1
+            decision = self.listener.observe_progress(dur_ms)
+            if decision is not None:
+                self.report.decisions.append(decision)
+                if decision.changed:
+                    self.report.intervals.append(decision.interval_ms)
+            # pad the batch out to the interval that was in force when it ran
+            remainder_s = (interval_before - dur_ms) / 1000.0
+            if remainder_s > 0:
+                self._sleep(remainder_s)
+
+        return fn

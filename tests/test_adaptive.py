@@ -46,3 +46,87 @@ def test_runner_adapts_under_overload(spark, tmp_path):
     # query kept producing across restarts (checkpointed state carried over)
     n = spark.sql(f"SELECT COUNT(*) c FROM {name}").collect()[0]["c"]
     assert n > 0
+
+
+def test_self_paced_pacing_law():
+    """Pure pacing mechanics with a fake clock: the wrapper pads each batch
+    to the current interval, feeds durations to the controller, and applies
+    a changed interval at the NEXT batch without any restart."""
+    from flink_adcom_spark.streaming.adaptive import SelfPacedAdaptiveRunner
+
+    now = [0.0]
+    sleeps: list[float] = []
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        sleeps.append(s)
+        now[0] += s
+
+    runner = SelfPacedAdaptiveRunner(
+        controller=BandController(interval_ms=500),
+        decision_period_s=0.0,  # decide on every batch
+        clock=clock,
+        sleep=sleep,
+    )
+
+    def process(_df, _bid):
+        now[0] += 0.1  # batch takes 100 ms -> utilization 20% -> below band
+
+    fn = runner.paced(process)
+    for bid in range(6):
+        fn(None, bid)
+
+    # 100/500 = 20% utilization < 40 -> controller steps DOWN each decision
+    assert runner.controller.interval_ms < 500
+    assert runner.report.batches_observed == 6
+    assert any(d.changed for d in runner.report.decisions)
+    # first batch padded to the original 500 ms interval: 0.4 s sleep
+    assert abs(sleeps[0] - 0.4) < 1e-9
+    # later batches padded to the reduced interval (shorter sleeps)
+    assert sleeps[-1] < 0.4
+    assert runner.report.intervals[0] == 500 and runner.report.intervals[-1] < 500
+
+
+def test_self_paced_live_no_restart(spark, tmp_path):
+    """Live no-restart adaptation: a lightly-loaded paced query steps its
+    interval down while the SAME StreamingQuery keeps running."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.streaming.adaptive import SelfPacedAdaptiveRunner
+
+    runner = SelfPacedAdaptiveRunner(
+        controller=BandController(interval_ms=800),
+        decision_period_s=1.0,
+    )
+    totals: list[int] = []
+
+    def process(batch_df, _bid):
+        totals.append(batch_df.count())
+
+    agg = (
+        words_stream(spark, rows_per_second=500)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(runner.paced(process))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 20
+        while _time.time() < deadline and not any(d.changed for d in runner.report.decisions):
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert runner.report.batches_observed >= 2
+    assert any(d.changed for d in runner.report.decisions), runner.report.decisions
+    # light load -> utilization below band -> interval stepped down, live
+    assert runner.controller.interval_ms < 800
+    assert sum(totals) > 0
