@@ -1,0 +1,109 @@
+"""Distributed as-of join (point-in-time lookup).
+
+Spark has no built-in ASOF JOIN (DuckDB/Pandas do). The naive formulation —
+range join + per-left-row max — explodes to O(|L|·|R|) pairs per key before
+pruning. This implementation is the scale-correct composition of built-ins:
+
+    union both sides -> one shuffle on the key -> per-key event-time sort ->
+    last non-null carry-forward (window) -> keep left rows
+
+Cost: ONE exchange + one in-partition sort, state O(1) per row — the same
+shape as a sort-merge join, with no pair blow-up and no Python in the hot
+path. At 100 TB the union shuffles both inputs once on the join key, which
+is the lower bound for any co-keyed merge.
+
+The reference has no joins at all (SURVEY.md §2.2 "Joins"); this operator is
+part of the engine's extension surface (training pipelines use it for
+point-in-time feature joins). Oracle: DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    right_ts <= left_ts (backward-inclusive) sharing the `on` keys.
+
+    Returns all left columns plus the right side's non-key, non-timestamp
+    columns (caller renames beforehand to avoid collisions — asserted; to
+    surface the matched right timestamp, duplicate it under another name).
+    Unmatched left rows keep nulls (left-join semantics). `tolerance_s`
+    nulls matches older than the given lookback window. Genuinely-null right
+    payload values are carried over by older rows (ignorenulls carry) —
+    pre-coalesce sentinel values if that distinction matters.
+
+    Tie rule: a right row AT the left row's timestamp matches; among equal
+    right timestamps the last in (ts, original column order) wins — pre-dedup
+    the right side for full determinism.
+    """
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+    right_payload = [c for c in right.columns if c not in on and c != right_ts]
+    clash = set(left_payload) & set(right_payload)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}; rename first")
+    if left_ts in on or right_ts in on:
+        raise ValueError("timestamp column cannot be a join key")
+
+    def side(df: DataFrame, ts: str, tag: int, payload: list[str]) -> DataFrame:
+        cols: list[Column] = [F.col(k) for k in on]
+        cols.append(F.col(ts).alias(_TS))
+        cols.append(F.lit(tag).alias(_SIDE))
+        cols += [F.col(c) for c in payload]
+        return df.select(*cols)
+
+    r = side(right, right_ts, 0, right_payload)
+    l = side(left, left_ts, 1, left_payload)
+    # align column sets: right rows carry null left payload and vice versa
+    for c in left_payload:
+        r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in right_payload:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    unioned = r.unionByName(l)
+
+    # right rows (side=0) sort before left rows at the same timestamp ->
+    # backward-INCLUSIVE match
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload]
+    carried_ts = F.last(F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True).over(w)
+
+    out = (
+        unioned.withColumn("__asof_match_ts", carried_ts)
+        .select(
+            *on,
+            F.col(_TS),
+            F.col(_SIDE),
+            "__asof_match_ts",
+            *[c for c in left_payload],
+            *carried,
+        )
+        .filter(F.col(_SIDE) == 1)
+    )
+    if tolerance_s is not None:
+        stale = (
+            F.col(_TS).cast("double") - F.col("__asof_match_ts").cast("double")
+        ) > F.lit(float(tolerance_s))
+        for c in right_payload:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        out = out.withColumn(
+            "__asof_match_ts", F.when(stale, F.lit(None)).otherwise(F.col("__asof_match_ts"))
+        )
+    return out.select(
+        *on, F.col(_TS).alias(left_ts), *left_payload, *right_payload
+    )

@@ -191,3 +191,47 @@ def q25_user_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).select(
         "event_id", "user_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
     )
+
+
+# --- as-of join (point-in-time lookup) ----------------------------------------
+@query(
+    "q26_asof_purchase_prior_view",
+    "WITH views AS ("
+    "  SELECT user_id, ts, event_id AS view_id, ts AS view_ts FROM events "
+    "  WHERE event_type = 'view' "
+    "  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1"
+    "), purchases AS ("
+    "  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value "
+    "  FROM events WHERE event_type = 'purchase'"
+    ") "
+    "SELECT p.user_id, p.ts, p.purchase_id, p.purchase_value, v.view_id, v.view_ts "
+    "FROM purchases p ASOF LEFT JOIN views v "
+    "ON p.user_id = v.user_id AND v.ts <= p.ts",
+    tags=("events", "join", "asof"),
+)
+def q26_asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the same user's latest view at-or-before it
+    (point-in-time attribution) via operators/asof.py — one shuffle, no
+    pair blow-up, oracle = DuckDB's native ASOF JOIN.
+
+    The right side is deduped to one view per (user, ts) (max event_id) so
+    the as-of tie rule is deterministic in both engines."""
+    from ..operators.asof import as_of_join
+
+    ev = _events(spark, sf_dir)
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.col("view_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+        .withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("view_ts", F.col("ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return as_of_join(purchases, views, on=["user_id"], left_ts="ts", right_ts="ts")

@@ -1,0 +1,75 @@
+"""as_of_join operator contracts: backward-inclusive match, left-join nulls,
+tolerance cutoff, and the one-exchange plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from flink_adcom_spark.operators.asof import as_of_join
+from flink_adcom_spark.plans import explain
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T12:00:00"), "b"),
+            (2, _ts("2024-01-01T09:00:00"), "c"),  # before any right row
+            (3, _ts("2024-01-01T10:00:00"), "d"),  # key with no right rows
+        ],
+        "k int, ts timestamp, l string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),  # ties left 'a' -> inclusive
+            (1, _ts("2024-01-01T11:30:00"), 200),
+            (2, _ts("2024-01-01T09:30:00"), 300),  # after left 'c'
+        ],
+        "k int, ts timestamp, r int",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    left, right = _frames(spark)
+    got = {
+        (r["k"], r["l"]): r["r"]
+        for r in as_of_join(left, right, on=["k"]).collect()
+    }
+    assert got == {
+        (1, "a"): 100,  # equal-timestamp right row matches (inclusive)
+        (1, "b"): 200,  # latest at-or-before 12:00
+        (2, "c"): None,  # right row is later -> no match
+        (3, "d"): None,  # no right rows for key
+    }
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    got = {
+        (r["k"], r["l"]): r["r"]
+        for r in as_of_join(left, right, on=["k"], tolerance_s=600).collect()
+    }
+    # 'b' matched a row 30 min old -> outside the 10 min tolerance
+    assert got[(1, "b")] is None
+    assert got[(1, "a")] == 100  # 0 s old: inside
+
+
+def test_asof_plan_has_single_exchange(spark):
+    left, right = _frames(spark)
+    joined = as_of_join(left, right, on=["k"])
+    assert explain.num_exchanges(joined) == 1, explain.formatted_plan(joined)
+
+
+def test_asof_column_collision_rejected(spark):
+    left, right = _frames(spark)
+    bad = right.withColumnRenamed("r", "l")
+    try:
+        as_of_join(left, bad, on=["k"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "collision" in str(e)
