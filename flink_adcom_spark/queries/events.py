@@ -208,6 +208,7 @@ def q25_user_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM purchases p ASOF LEFT JOIN views v "
     "ON p.user_id = v.user_id AND v.ts <= p.ts",
     tags=("events", "join", "asof"),
+    bench=True,
 )
 def q26_asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase matched to the same user's latest view at-or-before it
@@ -235,3 +236,73 @@ def q26_asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("purchase_value"),
     )
     return as_of_join(purchases, views, on=["user_id"], left_ts="ts", right_ts="ts")
+
+
+# --- sliding windows ----------------------------------------------------------
+@query(
+    "q27_sliding_2h_counts",
+    "WITH wins AS (SELECT ws AS window_start FROM generate_series("
+    "TIMESTAMP '2023-12-31 22:00:00', TIMESTAMP '2024-01-31 23:00:00', "
+    "INTERVAL 1 HOUR) t(ws)) "
+    "SELECT w.window_start, COUNT(*) AS n_events "
+    "FROM events e JOIN wins w "
+    "ON e.ts >= w.window_start AND e.ts < w.window_start + INTERVAL 2 HOUR "
+    "GROUP BY 1",
+    tags=("events", "window", "sliding"),
+)
+def q27_sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding hourly (each event lands in exactly 2 windows)
+    — the sliding form of W1 via Spark's native F.window, which expands the
+    overlap map-side (no join, one shuffle on the window key). The oracle
+    reconstructs the same windows with generate_series + a range join."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+# --- generic interval overlap via the bucketed range join ---------------------
+PROMO_START, PROMO_END = "2024-01-01 00:00:00", "2024-01-31 00:00:00"
+
+
+@query(
+    "q28_promo_window_stats",
+    f"WITH iv AS (SELECT ws AS w_start, ws + INTERVAL 6 HOUR AS w_end "
+    f"FROM generate_series(TIMESTAMP '{PROMO_START}', TIMESTAMP '{PROMO_END}', "
+    "INTERVAL 5 HOUR) t(ws)) "
+    "SELECT w_start AS window_start, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value "
+    "FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts < iv.w_end "
+    "GROUP BY 1",
+    tags=("events", "window", "rangejoin"),
+)
+def q28_promo_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats per overlapping irregular interval (6-hour windows opening every
+    5 hours) — windows Spark's F.window cannot express directly [F.window
+    requires duration % slide alignment to expand map-side; 6h/5h windows
+    with arbitrary bounds need a real interval join], computed with
+    operators/rangejoin.py (hash join on time buckets, never a nested
+    loop)."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    iv = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(PROMO_START).cast("timestamp"),
+                    F.lit(PROMO_END).cast("timestamp"),
+                    F.expr("INTERVAL 5 HOURS"),
+                )
+            ).alias("w_start")
+        )
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 6 HOURS"))
+    )
+    ev = _events(spark, sf_dir).select("ts", "value")
+    joined = bucketed_range_join(ev, iv, point_ts="ts", start="w_start", end="w_end", bucket_width_s=6 * 3600)
+    return joined.groupBy(F.col("w_start").alias("window_start")).agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )

@@ -271,6 +271,7 @@ Q5_START, Q5_END = "1996-01-01", "1997-01-01"
     "AND r_name = 'AMERICA' "
     "GROUP BY n_name",
     tags=("tpch", "join", "agg"),
+    bench=True,
 )
 def q18_tpch_q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 semantics: revenue from orders served by a supplier in the
