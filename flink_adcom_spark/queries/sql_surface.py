@@ -220,3 +220,21 @@ def q68_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = salted_count_distinct(ev, ["event_type"], "user_id", buckets=16)
     return out.select("event_type", F.col("n_distinct").cast("bigint").alias("n_distinct"))
+
+
+@query(
+    "q69_grouping_sets",
+    "SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n "
+    "FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())",
+    tags=("events", "agg", "grouping-sets"),
+)
+def q69_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: per-type totals, per-day totals, and the grand total in
+    one pass (Catalyst plans a single Expand + aggregate — one scan instead
+    of three; the same Expand machinery the distinct-split uses)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        "SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n "
+        "FROM events_gs GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())"
+    )

@@ -198,3 +198,47 @@ def q34_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens"
         ),
     )
+
+
+# --- keyword extraction (tf-idf) ----------------------------------------------
+@query(
+    "q35_tfidf_top_terms",
+    "WITH tokens AS (SELECT doc_id, unnest("
+    + _WORDS_SQL
+    + ") AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2), "
+    "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+    "scored AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rnk "
+    "FROM tf JOIN dfreq USING (term)) "
+    "SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk "
+    "FROM scored WHERE rnk <= 3",
+    tags=("text", "agg", "join", "window"),
+)
+def q35_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf × inverse document
+    frequency (undamped tf/df — rationally exact, so the ranking is
+    bit-identical across engines; log-damped idf would differ in last ulps
+    between libm and java.lang.Math).
+
+    Scale shape: tokenize scan-side, two partial-agg shuffles (doc-term,
+    then term), one shuffle join on term (term cardinality ~vocabulary —
+    small relative to the corpus; AQE broadcasts the df side when it fits),
+    one window shuffle on doc_id for the per-doc top-k."""
+    from pyspark.sql import Window
+
+    tokens = _documents(spark, sf_dir).select(
+        "doc_id", F.explode(words_col()).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
