@@ -41,3 +41,56 @@ def write_bucketed(
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner") -> DataFrame:
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    out_path: str | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~target-sized files and return the new
+    file count.
+
+    The small-files problem is the dual of the shuffle problem at 100 TB: a
+    streaming sink committing per-trigger leaves thousands of KB-sized files
+    whose open/footer cost dominates later scans. Compaction = read + write
+    with the output partition count derived from the dataset's actual bytes.
+    Uses repartition (round-robin) for even sizes; runs per-partition-dir in
+    production so only closed partitions rewrite."""
+    import math
+    import os
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if out_path is None:
+        # cannot lazily read and overwrite the same path: write aside, swap
+        import shutil
+
+        tmp = path.rstrip("/") + "__compacting"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def upsert_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Overwrite ONLY the hive partitions present in `df`, leaving all other
+    partitions untouched (dynamic partition overwrite) — the idempotent
+    re-ingest primitive: replaying one day/hour replaces exactly that
+    day/hour. With static overwrite (the default) the same write would drop
+    the whole dataset."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -57,3 +57,52 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS stor_test.rides_b")
         spark.sql("DROP TABLE IF EXISTS stor_test.fares_b")
         spark.sql("DROP DATABASE IF EXISTS stor_test")
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    """A fragmented dataset (64 tiny files) compacts to the byte-derived
+    target count with identical contents."""
+    import glob
+
+    from flink_adcom_spark.operators.storage import compact
+    from flink_adcom_spark.tables import load_table
+
+    frag = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+
+    n = compact(spark, frag, target_file_mb=128)
+    files = glob.glob(f"{frag}/*.parquet")
+    assert len(files) == n  # tiny dataset -> 1 file at 128 MB target
+    assert n == 1
+    back = spark.read.parquet(frag)
+    assert back.count() == ev.count()
+    assert {r["event_id"] for r in back.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }
+
+
+def test_upsert_partitions_touches_only_present_partitions(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: re-writing one event_type's rows leaves
+    every other partition byte-for-byte in place."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.operators.storage import upsert_partitions, write_partitioned
+    from flink_adcom_spark.tables import load_table
+
+    out = str(tmp_path / "by_type")
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(ev, out, ["event_type"])
+    before_purchase = spark.read.parquet(out).filter(F.col("event_type") == "purchase").count()
+    before_click = spark.read.parquet(out).filter(F.col("event_type") == "click").count()
+
+    # re-ingest only 'click', halved (simulating a corrected replay)
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0))
+    upsert_partitions(clicks, out, ["event_type"])
+
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("event_type") == "click").count() == clicks.count()
+    assert after.filter(F.col("event_type") == "click").count() < before_click
+    # untouched partition intact
+    assert after.filter(F.col("event_type") == "purchase").count() == before_purchase
