@@ -242,9 +242,8 @@ def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- IVF (inverted-file) ANN search -------------------------------------------
-@query(
-    "q54_ivf_knn",
-    f"""
+def _ivf_sql(nprobe: int) -> str:
+    return f"""
     WITH x AS ({_X_SQL}),
     cent AS (SELECT label, i, AVG(val) AS cval FROM x GROUP BY label, i),
     cnorm AS (SELECT label, sqrt(SUM(cval * cval)) AS cnrm FROM cent GROUP BY label),
@@ -260,7 +259,7 @@ def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ) AS crnk
                 FROM qc JOIN n nq ON qc.q_id = nq.vec_id
                         JOIN cnorm cn ON qc.label = cn.label) t
-              WHERE crnk = 1),
+              WHERE crnk <= {nprobe}),
     cand AS (SELECT p.q_id, e.vec_id AS n_id
              FROM probe p JOIN embeddings e ON e.label = p.label
              WHERE e.vec_id <> p.q_id),
@@ -275,11 +274,32 @@ def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
       FROM scored) t
     WHERE rnk <= {TOP_K}
-    """,
+    """
+
+
+@query(
+    "q54_ivf_knn",
+    _ivf_sql(1),
     tags=("similarity", "knn", "ivf"),
 )
 def q54_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN search, nprobe=1: route each query to its nearest centroid
+    return _ivf_knn(spark, sf_dir, nprobe=1)
+
+
+@query(
+    "q55_ivf_knn_nprobe2",
+    _ivf_sql(2),
+    tags=("similarity", "knn", "ivf"),
+)
+def q55_ivf_knn_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: searching the two nearest cells recovers most of
+    the recall lost to hard cell boundaries for ~2x the probe cost — the
+    standard recall/cost dial (candidates stay |corpus|*nprobe/n_cells)."""
+    return _ivf_knn(spark, sf_dir, nprobe=2)
+
+
+def _ivf_knn(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF ANN search: route each query to its nprobe nearest centroids
     (label groups stand in for trained k-means cells — the centroid-update
     step is q52), then search only that cell.
 
@@ -314,7 +334,7 @@ def q54_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = (
         qc.withColumn("ccos", ccos)
         .withColumn("crnk", F.row_number().over(wq))
-        .filter(F.col("crnk") == 1)
+        .filter(F.col("crnk") <= nprobe)
         .select("q_id", "qv", "qn", "label")
     )
     cand = F.broadcast(probe).join(e, "label").filter(F.col("vec_id") != F.col("q_id"))
