@@ -283,6 +283,7 @@ def _ivf_sql(nprobe: int) -> str:
     tags=("similarity", "knn", "ivf"),
 )
 def q54_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search with nprobe=1 (see _ivf_knn)."""
     return _ivf_knn(spark, sf_dir, nprobe=1)
 
 

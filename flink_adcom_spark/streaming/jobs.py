@@ -256,3 +256,54 @@ def streaming_ride_count_updates(
                            monotonically_increasing_id() AS mono FROM {name}))
             WHERE rn = 1"""
     )
+
+
+def streaming_daily_stats_materialize(
+    spark: SparkSession, events_dir: str, out_path: str, **kw
+) -> None:
+    """Incremental materialized view: maintain a hive-partitioned daily-stats
+    table from the event stream, rewriting ONLY the day partitions each
+    micro-batch touches (foreachBatch + dynamic partition overwrite).
+
+    Update-mode aggregation emits just the changed (day, event_type) rows;
+    the merge step folds them into the affected partitions' existing rows,
+    so steady-state cost per batch is O(changed days), not O(table) — the
+    100 TB property. This is the durable-serving-table face of the
+    reference's retract stream (SURVEY.md T4): same deltas, upserted into
+    storage instead of printed."""
+    from ..operators.storage import upsert_partitions
+
+    reader = spark.readStream.schema(STREAM_EVENTS_SCHEMA)
+    for k, v in kw.items():
+        reader = reader.option(k, v)
+    ev = reader.parquet(events_dir).withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        delta = batch_df.localCheckpoint(eager=True)
+        days = [r["day"] for r in delta.select("day").distinct().collect()]
+        try:
+            existing = sess.read.parquet(out_path).filter(F.col("day").isin(days))
+            # keep groups the delta does not supersede; materialize before
+            # overwriting the partitions being read
+            keep = existing.join(delta.select("day", "event_type"), ["day", "event_type"], "left_anti")
+            merged = keep.unionByName(delta).localCheckpoint(eager=True)
+        except Exception:  # first batch: table does not exist yet
+            merged = delta
+        upsert_partitions(merged, out_path, ["day"])
+
+    q = agg.writeStream.outputMode("update").foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

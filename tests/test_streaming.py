@@ -362,3 +362,38 @@ def test_streaming_view_purchase_join_matches_batch(spark, sf_dir):
     cols = ["view_id", "purchase_id"]
     got_rows, want_rows = _rowset(got, cols), _rowset(want, cols)
     assert got_rows == want_rows, (len(got_rows), len(want_rows))
+
+
+def test_streaming_materialized_daily_stats(spark, sf_dir, tmp_path):
+    """The incrementally-maintained partitioned daily-stats table equals the
+    batch aggregate over the same events, across multiple micro-batches."""
+    import pyarrow.parquet as pq
+
+    from flink_adcom_spark.tables import load_table
+
+    # two files -> two micro-batches with maxFilesPerTrigger=1 (the second
+    # batch updates days already materialized by the first)
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    half = src.num_rows // 2
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    pq.write_table(src.slice(0, half), feed / "a.parquet")
+    pq.write_table(src.slice(half), feed / "b.parquet")
+
+    out = str(tmp_path / "daily_stats")
+    jobs.streaming_daily_stats_materialize(
+        spark, str(feed), out, maxFilesPerTrigger=1
+    )
+
+    got = spark.read.parquet(out)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    cols = ["day", "event_type", "n", "sum_value", "max_value"]
+    assert _rowset(got, cols) == _rowset(want, cols)
