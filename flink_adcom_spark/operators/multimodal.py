@@ -131,3 +131,56 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_offset"])
 
     return media.mapInPandas(run, schema="media_id long, frame_idx int, frame_offset long")
+
+
+RESIZE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "target_w int, target_h int, content binary"
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize plumbing for image payloads: decode -> scale -> re-encode, as an
+    Arrow-batched mapInPandas stage emitting the resized payload plus
+    before/after dimensions.
+
+    REAL CODEC STUBBED (no PIL in this container): the deterministic fake
+    "resize" derives the output payload by proportionally resampling the
+    input BYTES to target_w*target_h/64 length — preserving the real
+    contract that output payload size tracks target area, is deterministic,
+    and flows through the executor only. Non-image rows pass through
+    untouched with null target dims."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "width": [],
+                "height": [],
+                "target_w": [],
+                "target_h": [],
+                "content": [],
+            }
+            for t, p in zip(pdf["media_type"], pdf["content"]):
+                if t != "image" or p is None:
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["target_w"].append(None)
+                    out["target_h"].append(None)
+                    out["content"].append(p)
+                    continue
+                w, h = decode_image(p, fake=True)
+                n_out = max(1, target_w * target_h // 64)
+                # proportional byte resample (stub for pixel resample)
+                step = max(1, len(p) // n_out) if len(p) else 1
+                resized = bytes(p[::step][:n_out]) if len(p) else b""
+                out["width"].append(w)
+                out["height"].append(h)
+                out["target_w"].append(target_w)
+                out["target_h"].append(target_h)
+                out["content"].append(resized)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)

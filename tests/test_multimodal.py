@@ -75,3 +75,27 @@ def test_sample_frames_only_video(spark, media):
         assert len(fs) <= 4
         offs = [o for _, o in sorted(fs)]
         assert offs == sorted(offs) and all(o % 100 == 0 for o in offs)
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    """Resize stage: images get deterministic resized payloads sized by the
+    target area; non-images pass through unchanged."""
+    from flink_adcom_spark.operators.multimodal import media_from_documents, resize_images
+    from flink_adcom_spark.tables import load_table
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents").limit(60))
+    out = resize_images(media, target_w=32, target_h=32).collect()
+    src = {r["media_id"]: r for r in media.collect()}
+    assert len(out) == len(src)
+    n_target = max(1, 32 * 32 // 64)
+    for r in out:
+        if r["media_type"] == "image":
+            assert r["target_w"] == 32 and r["target_h"] == 32
+            assert r["width"] > 0 and r["height"] > 0
+            assert len(r["content"]) <= n_target
+        else:
+            assert r["target_w"] is None
+            assert bytes(r["content"] or b"") == bytes(src[r["media_id"]]["content"] or b"")
+    # determinism: same input -> identical payloads
+    out2 = {r["media_id"]: bytes(r["content"] or b"") for r in resize_images(media, 32, 32).collect()}
+    assert {r["media_id"]: bytes(r["content"] or b"") for r in out} == out2
