@@ -148,3 +148,17 @@ class SelfPacedAdaptiveRunner:
                 self._sleep(remainder_s)
 
         return fn
+
+
+def report_to_df(spark, report: RunnerReport):
+    """Controller decision log as a DataFrame — the queryable stand-in for
+    the reference's MQTT state topic (PreAggregateSignalsState is printed to
+    the JobManager log; here it is a table you can join/aggregate)."""
+    rows = [
+        (i, d.interval_ms, d.changed, d.reason)
+        for i, d in enumerate(report.decisions)
+    ]
+    return spark.createDataFrame(
+        rows or [(0, 0, False, "no-decisions")],
+        "decision_idx int, interval_ms int, changed boolean, reason string",
+    )

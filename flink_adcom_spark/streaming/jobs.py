@@ -259,7 +259,7 @@ def streaming_ride_count_updates(
 
 
 def streaming_daily_stats_materialize(
-    spark: SparkSession, events_dir: str, out_path: str, **kw
+    spark: SparkSession, events_dir: str, out_path: str, checkpoint: str | None = None, **kw
 ) -> None:
     """Incremental materialized view: maintain a hive-partitioned daily-stats
     table from the event stream, rewriting ONLY the day partitions each
@@ -302,7 +302,12 @@ def streaming_daily_stats_materialize(
             merged = delta
         upsert_partitions(merged, out_path, ["day"])
 
-    q = agg.writeStream.outputMode("update").foreachBatch(merge).start()
+    writer = agg.writeStream.outputMode("update").foreachBatch(merge)
+    if checkpoint is not None:
+        # checkpoint + idempotent partition overwrite -> effectively-once on
+        # restart (a replayed batch rewrites the same partitions identically)
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:

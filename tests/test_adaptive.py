@@ -132,3 +132,26 @@ def test_self_paced_live_no_restart(spark, tmp_path):
     # light load -> utilization below band -> interval stepped down, live
     assert runner.controller.interval_ms < 800
     assert sum(totals) > 0
+
+
+def test_report_to_df(spark):
+    """Decision log surfaces as a queryable DataFrame."""
+    from flink_adcom_spark.streaming.adaptive import SelfPacedAdaptiveRunner, report_to_df
+
+    now = [0.0]
+    runner = SelfPacedAdaptiveRunner(
+        controller=BandController(interval_ms=500),
+        decision_period_s=0.0,
+        clock=lambda: now[0],
+        sleep=lambda s: now.__setitem__(0, now[0] + s),
+    )
+
+    def process(_df, _bid):
+        now[0] += 0.1
+
+    fn = runner.paced(process)
+    for bid in range(4):
+        fn(None, bid)
+    df = report_to_df(spark, runner.report)
+    assert df.count() == len(runner.report.decisions) > 0
+    assert {r["reason"] for r in df.collect()} and "interval_ms" in df.columns
