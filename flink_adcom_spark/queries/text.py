@@ -242,3 +242,92 @@ def q35_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+# --- n-gram (bigram) counts ---------------------------------------------------
+@query(
+    "q36_bigram_counts",
+    "SELECT bigram, COUNT(*) AS cnt FROM ("
+    "  SELECT unnest(list_transform("
+    "    list_zip(w[1:len(w)-1], w[2:len(w)]),"
+    "    s -> s[1] || ' ' || s[2])) AS bigram "
+    f"  FROM (SELECT {_WORDS_SQL} AS w FROM documents) t"
+    ") b GROUP BY bigram",
+    tags=("text", "agg", "ngram"),
+)
+def q36_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies — built scan-side with zip_with over two
+    shifted slices of the token array (no self-join, no UDF); the only
+    shuffle carries (bigram, partial_count)."""
+    w = words_col()
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        _documents(spark, sf_dir)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- deterministic sampling ---------------------------------------------------
+SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+SAMPLE_MOD = 10
+
+
+@query(
+    "q38_deterministic_sample",
+    f"SELECT doc_id, lang, n_chars FROM documents "
+    f"WHERE (doc_id * {SAMPLE_MULT}) % 4294967296 % {SAMPLE_MOD} = 0",
+    tags=("text", "sample"),
+)
+def q38_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample by multiplicative key hash — reproducible
+    across runs/engines/partitionings, unlike rand()-based TABLESAMPLE; the
+    sampling predicate pushes down to the scan. (The production knob for
+    'train on a deterministic slice of 100 TB'.)"""
+    return (
+        _documents(spark, sf_dir)
+        .filter((F.col("doc_id") * SAMPLE_MULT) % 4294967296 % SAMPLE_MOD == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# --- training-corpus selection (composite) ------------------------------------
+@query(
+    "q39_corpus_select",
+    "SELECT doc_id, lang, n_tokens FROM ("
+    "  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,"
+    "         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rnk"
+    f"  FROM (SELECT doc_id, lang, text, n_chars, {_WORDS_SQL} AS w FROM documents)"
+    "  WHERE lang = 'en' AND n_chars BETWEEN 50 AND 20000 AND len(w) >= 10"
+    ") t WHERE dup_rnk = 1",
+    tags=("text", "dedup", "pipeline"),
+)
+def q39_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus selection: language filter + length/quality
+    gates + exact dedup (first doc_id per content hash) in one plan — the
+    composite the individual q3x/q4x operators exist for. Filters evaluate
+    scan-side; the only shuffle is the dedup window on md5(text)."""
+    from pyspark.sql import Window
+
+    w = words_col()
+    docs = (
+        _documents(spark, sf_dir)
+        .withColumn("n_tokens", F.size(w).cast("bigint"))
+        .filter(
+            (F.col("lang") == "en")
+            & F.col("n_chars").between(50, 20000)
+            & (F.col("n_tokens") >= 10)
+        )
+    )
+    dw = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("dup_rnk", F.row_number().over(dw))
+        .filter(F.col("dup_rnk") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
