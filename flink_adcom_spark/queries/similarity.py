@@ -351,3 +351,61 @@ def _ivf_knn(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# --- hybrid search: metadata filter + exact ANN -------------------------------
+@query(
+    "q56_hybrid_search",
+    f"""
+    WITH x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    corpus AS (SELECT e.vec_id FROM embeddings e
+               JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'),
+    p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, SUM(a.val * b.val) AS dot
+          FROM x a JOIN x b ON a.i = b.i AND a.vec_id < {N_QUERY_VECS}
+                            AND a.vec_id <> b.vec_id
+          JOIN corpus c ON b.vec_id = c.vec_id
+          GROUP BY 1, 2),
+    c AS (SELECT q_id, n_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+          FROM p JOIN n na ON p.q_id = na.vec_id JOIN n nb ON p.n_id = nb.vec_id),
+    r AS (SELECT q_id, n_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+          FROM c)
+    SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "hybrid", "join"),
+)
+def q56_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: restrict the ANN corpus by a metadata predicate
+    (documents.lang = 'en', joined on vec_id = doc_id) BEFORE the similarity
+    scan — filter-then-search, the retrieval-pipeline staple.
+
+    Scale shape: the metadata filter is an equi-join pruned at the document
+    scan (only doc_id reaches the join), shrinking the vector scan by the
+    filter's selectivity; queries stay broadcast. Search-then-filter would
+    scan every vector and risk returning < k survivors."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    en_ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("n_id"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    d = e.select(F.col("vec_id").alias("n_id"), F.col("v").alias("dv"), F.col("nrm").alias("dn"))
+    corpus = d.join(en_ids, "n_id")
+    cos = F.round(_dot("qv", "dv") / (F.col("qn") * F.col("dn")), 6)
+    pairs = (
+        F.broadcast(q)
+        .join(corpus, F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cos)
+        .select("q_id", "n_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
