@@ -86,3 +86,25 @@ def count_fold(value, pdf):
 
 def count_emit(key, value):
     return [{"driver_id": int(key[0]), "cnt_delta": int(value)}]
+
+
+def make_topn_fold(value_col: str, n: int = 10):
+    """Reference TaxiRideDistanceTopNPreAggregate.java:167-206: the bundle is
+    a fixed-size descending array of the N largest values; addInput insert-
+    sorts, the merge keeps the N largest of both sides. Vectorized: fold a
+    whole micro-batch's column, then truncate."""
+
+    def fold(value, pdf):
+        merged = sorted((value or []) + [float(x) for x in pdf[value_col]], reverse=True)
+        return merged[:n]
+
+    return fold
+
+
+def topn_emit(key, value):
+    """Flush the bundle as one row per rank (reference emits the array;
+    rows are the relational rendering)."""
+    return [
+        {"driver_id": int(key[0]), "rnk": i + 1, "value": v}
+        for i, v in enumerate(value or [])
+    ]

@@ -397,3 +397,61 @@ def test_streaming_materialized_daily_stats(spark, sf_dir, tmp_path):
     )
     cols = ["day", "event_type", "n", "sum_value", "max_value"]
     assert _rowset(got, cols) == _rowset(want, cols)
+
+
+def test_ad_combine_topn_fold_matches_batch(spark, sf_dir, tmp_path):
+    """Generic array-state fold (reference A8's Double[] top-N bundle): the
+    flushed bundles MERGED downstream (keep the N largest across flushes —
+    the reference's merge reduce, TaxiRideDistanceTopNPreAggregate.java:
+    256-305) equal the batch per-driver top-3 distances, regardless of how
+    many flushes the interval produced."""
+    import time
+
+    from flink_adcom_spark.streaming.adcombine import ad_combine_stream, make_topn_fold, topn_emit
+
+    rides_stream = jobs.stream_rides(spark, sf_dir).select("driver_id", "distance_km")
+    flushes = ad_combine_stream(
+        rides_stream,
+        keys=["driver_id"],
+        fold=make_topn_fold("distance_km", n=3),
+        emit=topn_emit,
+        output_schema="driver_id long, rnk int, value double",
+        interval_ms=300,
+    )
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    q = (
+        flushes.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    want = (
+        rides(spark, sf_dir)
+        .groupBy("driver_id")
+        .agg(F.slice(F.sort_array(F.collect_list("distance_km"), asc=False), 1, 3).alias("top"))
+        .select("driver_id", F.posexplode("top").alias("rnk0", "value"))
+        .select("driver_id", (F.col("rnk0") + 1).alias("rnk"), "value")
+    )
+    want_rows = _rowset(want, ["driver_id", "rnk", "value"])
+    try:
+        deadline = time.time() + 60
+        got_rows = None
+        while time.time() < deadline:
+            # downstream merge: N largest across ALL flushed bundles per key
+            got = spark.sql(
+                f"""SELECT driver_id, CAST(rnk AS INT) AS rnk, value FROM (
+                      SELECT driver_id, value,
+                             ROW_NUMBER() OVER (PARTITION BY driver_id
+                                                ORDER BY value DESC) AS rnk
+                      FROM {name})
+                    WHERE rnk <= 3"""
+            )
+            got_rows = _rowset(got, ["driver_id", "rnk", "value"])
+            if got_rows == want_rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got_rows == want_rows
