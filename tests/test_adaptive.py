@@ -155,3 +155,43 @@ def test_report_to_df(spark):
     df = report_to_df(spark, runner.report)
     assert df.count() == len(runner.report.decisions) > 0
     assert {r["reason"] for r in df.collect()} and "interval_ms" in df.columns
+
+
+def test_adaptive_pacing_never_changes_results(spark, sf_dir, tmp_path):
+    """SURVEY §5 differential invariant, adaptive edition: a finite keyed
+    aggregation produces IDENTICAL final results under controller-paced
+    execution as under plain batch — adaptation is a performance knob only."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.streaming.adaptive import SelfPacedAdaptiveRunner
+    from flink_adcom_spark.streaming.jobs import streaming_ride_count
+    from flink_adcom_spark.registry import get
+
+    runner = SelfPacedAdaptiveRunner(
+        controller=BandController(interval_ms=400),
+        decision_period_s=0.5,  # decide aggressively mid-run
+    )
+    latest: dict = {}
+
+    def process(batch_df, _bid):
+        for r in batch_df.collect():  # complete mode: snapshot per batch
+            latest[r["driver_id"]] = r["ride_cnt"]
+
+    agg = streaming_ride_count(spark, sf_dir, max_files_per_trigger=1)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(runner.paced(process))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {
+        r["driver_id"]: r["ride_cnt"]
+        for r in get("q01_ride_count").build(spark, sf_dir).collect()
+    }
+    assert latest == want
+    assert runner.report.batches_observed >= 1
