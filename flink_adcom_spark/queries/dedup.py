@@ -183,6 +183,10 @@ def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df_") <= STOP_SHINGLE_DF)
         .select("sh")
     )
+    # the filtered shingle relation feeds three consumers (per-doc counts +
+    # both sides of the self-join); no explicit materialization needed —
+    # the repeated subplans share shuffle outputs (exchange reuse), measured
+    # no faster with localCheckpoint at sf0.01.
     d = d0.join(rare, "sh")
     c = d.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = d.alias("a"), d.alias("b")
