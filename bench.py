@@ -58,14 +58,15 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).count()
     warmup_s = time.time() - t0
 
-    # two timed runs per query, report the min: the steady-state execution
+    # three timed runs per query, report the min: the steady-state execution
     # time (run 1 still pays one-off per-SF costs — file listing, broadcast
-    # relation build, AQE stats — that amortize away in any real deployment)
+    # relation build, AQE stats — that amortize away in any real deployment;
+    # min-of-3 keeps one GC-pause outlier from distorting a recorded number)
     timings: dict[str, float] = {}
     for name in sorted(specs):
         spec = specs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = spec.build(spark, sf_dir)
             if name in COUNT_ONLY:
