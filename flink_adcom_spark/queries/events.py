@@ -75,6 +75,7 @@ def q20_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess GROUP BY user_id
     """,
     tags=("events", "session", "window"),
+    bench=True,
 )
 def q21_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap) per user.
@@ -277,6 +278,7 @@ PROMO_START, PROMO_END = "2024-01-01 00:00:00", "2024-01-31 00:00:00"
     "FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts < iv.w_end "
     "GROUP BY 1",
     tags=("events", "window", "rangejoin"),
+    bench=True,
 )
 def q28_promo_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats per overlapping irregular interval (6-hour windows opening every

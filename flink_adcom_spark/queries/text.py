@@ -215,6 +215,7 @@ def q34_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk "
     "FROM scored WHERE rnk <= 3",
     tags=("text", "agg", "join", "window"),
+    bench=True,
 )
 def q35_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf × inverse document
@@ -307,6 +308,7 @@ def q38_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "  WHERE lang = 'en' AND n_chars BETWEEN 50 AND 20000 AND len(w) >= 10"
     ") t WHERE dup_rnk = 1",
     tags=("text", "dedup", "pipeline"),
+    bench=True,
 )
 def q39_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus selection: language filter + length/quality

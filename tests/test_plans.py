@@ -66,3 +66,41 @@ def test_wordcount_partial_agg_before_shuffle(spark, sf_dir):
     df = get("q10_wordcount").build(spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "partial_count" in plan
+
+
+def test_tpch_q5_fact_never_shuffles_before_agg(spark, sf_dir):
+    """q18: every join is broadcast locally, so lineitem reaches the partial
+    aggregate without an exchange; the only shuffle carries 25 nation keys.
+    The orders scan gets the o_orderdate window pushed down."""
+    df = get("q18_tpch_q5_local_suppliers").build(spark, sf_dir)
+    assert explain.has_broadcast_join(df)
+    assert explain.num_exchanges(df) == 1, explain.formatted_plan(df)
+    pushed = " ".join(explain.pushed_filters(df))
+    assert "o_orderdate" in pushed and "r_name" in pushed
+
+
+def test_tpch_q4_semi_join_and_window_pushdown(spark, sf_dir):
+    """q19: the EXISTS plans as a semi join (each order emitted at most
+    once, never multiplied by its lineitems) with the date window at the
+    orders scan."""
+    df = get("q19_tpch_q4_order_priority").build(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert any("o_orderdate" in f for f in explain.pushed_filters(df))
+
+
+def test_promo_share_prunes_and_pushes(spark, sf_dir):
+    """q19b: lineitem scan reads 4 columns with the shipdate window pushed;
+    part joins broadcast-side."""
+    df = get("q19b_tpch_q14_promo_share").build(spark, sf_dir)
+    assert explain.has_broadcast_join(df)
+    assert set(explain.scan_columns(df)) >= {"l_partkey", "l_extendedprice", "l_discount"}
+    assert any("l_shipdate" in f for f in explain.pushed_filters(df))
+
+
+def test_deterministic_sample_filter_pushed(spark, sf_dir):
+    """q38: the hash-sampling predicate evaluates at the scan (no full
+    materialization of the unsampled table past the source)."""
+    df = get("q38_deterministic_sample").build(spark, sf_dir)
+    assert explain.num_exchanges(df) == 0, explain.formatted_plan(df)
+    assert set(explain.scan_columns(df)) == {"doc_id", "lang", "n_chars"}
