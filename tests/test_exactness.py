@@ -1,0 +1,48 @@
+"""Exactness properties underpinning the oracle gate: decimal sums equal
+true decimal arithmetic under ANY partitioning/merge order, and deterministic
+operators are partitioning-invariant."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_adcom_spark.functions.exact import dec_sum
+from flink_adcom_spark.session import get_spark
+
+# 2-decimal money values, positive and negative, including exact halves
+_money = st.integers(min_value=-10_000_00, max_value=10_000_00).map(
+    lambda c: c / 100.0
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(_money, min_size=1, max_size=200), parts=st.integers(1, 7))
+def test_dec_sum_exact_under_any_partitioning(vals, parts):
+    spark = get_spark(cpus=8)
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(parts)
+    got = df.agg(dec_sum("x").alias("s")).collect()[0]["s"]
+    want = float(sum(Decimal(str(v)) for v in vals))
+    assert got == want, (got, want)  # bit-exact, not approx
+
+
+def test_deterministic_sample_partitioning_invariant(spark, sf_dir):
+    """q38's sampler returns the identical id set no matter how the input is
+    partitioned (the property rand()-based sampling lacks)."""
+    from flink_adcom_spark.registry import get
+    from flink_adcom_spark.tables import load_table
+
+    base = {r["doc_id"] for r in get("q38_deterministic_sample").build(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").repartition(13)
+    from flink_adcom_spark.queries.text import SAMPLE_MOD, SAMPLE_MULT
+
+    re_ids = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") * SAMPLE_MULT) % 4294967296 % SAMPLE_MOD == 0
+        ).collect()
+    }
+    assert base == re_ids and base
