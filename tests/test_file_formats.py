@@ -68,3 +68,32 @@ def test_lineitem_tbl_q1_semantics(spark, tmp_path):
         F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
     ).collect()
     assert len(out) == 1 and out[0]["sum_qty"] == 53.0 and out[0]["n"] == 2
+
+
+def test_format_matrix_roundtrip(spark, sf_dir, tmp_path):
+    """Lake-format breadth: the same table round-trips losslessly through
+    parquet, ORC, JSON and headered CSV (schema re-imposed on read for the
+    text formats, as any production ingest would)."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.tables import load_table
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(500)
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    schema = src.schema
+
+    for fmt, opts in (
+        ("parquet", {}),
+        ("orc", {}),
+        ("json", {}),
+        ("csv", {"header": "true"}),
+    ):
+        out = str(tmp_path / fmt)
+        src.write.mode("overwrite").options(**opts).format(fmt).save(out)
+        back = spark.read.options(**opts).schema(schema).format(fmt).load(out)
+        got = sorted(tuple(r) for r in back.select(*src.columns).collect())
+        assert got == want, fmt
