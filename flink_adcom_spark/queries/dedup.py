@@ -303,3 +303,41 @@ def q44_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- dedup clusters (connected components over near-dup pairs) ----------------
+@query(
+    "q45_dedup_clusters",
+    f"""
+    WITH RECURSIVE wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits),
+    pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sym AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    """,
+    tags=("dedup", "components", "iterative"),
+)
+def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS from simhash near-dup pairs (q44): connected components
+    by iterative min-label propagation (operators/components.py), cluster_id
+    = smallest doc_id in the component — the canonical keeper each cluster
+    retains.
+
+    The oracle computes the same components with a recursive-CTE transitive
+    closure — viable at oracle scale, O(component^2); the Spark loop is the
+    scale path (O(diameter) shuffle rounds, lineage-checkpointed)."""
+    from ..operators.components import connected_components
+
+    pairs = q44_simhash_neardup(spark, sf_dir)
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("v").alias("doc_id"), "cluster_id"
+    )
