@@ -341,3 +341,35 @@ def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("v").alias("doc_id"), "cluster_id"
     )
+
+
+@query(
+    "q46_dedup_keep_list",
+    f"""
+    WITH RECURSIVE wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits),
+    pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sym AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+    """,
+    tags=("dedup", "components", "pipeline"),
+)
+def q46_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: every doc except non-canonical near-dup
+    cluster members (each cluster keeps its min doc_id). q45's components
+    anti-joined against the full table — the last step of the dedup
+    pipeline, producing the ids a training run would actually read."""
+    clusters = q45_dedup_clusters(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return _documents(spark, sf_dir).select("doc_id").join(drop, "doc_id", "left_anti")
