@@ -382,3 +382,81 @@ def q17_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     li = _lineitem(spark, sf_dir).select(F.col("l_orderkey").alias("o_orderkey"))
     return orders.join(li, "o_orderkey", "left_anti")
+
+
+# --- Q73: TPC-H Q13 adaptation (customer order-count distribution) -----------
+@query(
+    "q73_tpch_q13_order_distribution",
+    "SELECT c_count, COUNT(*) AS custdist FROM ("
+    "  SELECT c_custkey, COUNT(o_orderkey) AS c_count"
+    "  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey"
+    "  GROUP BY c_custkey"
+    ") c_orders GROUP BY c_count",
+    tags=("tpch", "join", "agg", "outer"),
+)
+def q73_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 semantics: how many customers placed 0, 1, 2, ... orders
+    (synthetic orders has no o_comment, so the spec's NOT LIKE filter is
+    dropped). The LEFT OUTER join is the point: zero-order customers must
+    survive into the c_count=0 bucket — a semi/inner join can't express it.
+
+    Scale: one shuffle on custkey serves both the join and the first
+    aggregation (same key — Catalyst reuses the partitioning, no second
+    exchange); the distribution agg shuffles only ~max-order-count rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# --- Q74: TPC-H Q22 adaptation (rich customers who never ordered) ------------
+@query(
+    "q74_tpch_q22_idle_rich",
+    "SELECT c_nationkey, COUNT(*) AS numcust, "
+    f"CAST(SUM({sql_money('c_acctbal')}) AS DOUBLE) AS totacctbal "
+    "FROM customer "
+    f"WHERE {sql_money('c_acctbal')} * "
+    "  (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0) "
+    f"  > (SELECT SUM({sql_money('c_acctbal')}) FROM customer WHERE c_acctbal > 0.0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+    "GROUP BY c_nationkey",
+    tags=("tpch", "subquery", "anti", "agg"),
+)
+def q74_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 semantics: customers with above-average (positive) balance
+    and no orders, counted per nation (synthetic customer has no phone, so
+    nationkey stands in for the spec's country code).
+
+    The global-average threshold is a scalar aggregate broadcast to every
+    row; the comparison is written multiplication-form (bal * n > sum) in
+    exact decimals so no engine-specific decimal-division rounding can flip
+    a boundary row. NOT EXISTS is a left-anti join on o_custkey.
+
+    Scale: the scalar agg is one tiny all-to-one pass; the anti join
+    shuffles on custkey (AQE may broadcast the distinct-orders side);
+    the final agg has ~25 groups."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(dec_sum("c_acctbal").alias("pos_sum"), F.count(F.lit(1)).alias("pos_n"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(money("c_acctbal") * F.col("pos_n") > F.col("pos_sum"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum("c_acctbal").cast("double").alias("totacctbal"),
+        )
+    )
