@@ -373,3 +373,100 @@ def q46_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = q45_dedup_clusters(spark, sf_dir)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return _documents(spark, sf_dir).select("doc_id").join(drop, "doc_id", "left_anti")
+
+
+# --- benchmark-contamination check -------------------------------------------
+BENCH_MOD = 50  # doc_id % 50 == 0 -> "held-out benchmark" docs (~2%)
+
+
+@query(
+    "q48_contamination",
+    f"""
+    WITH sh AS ({_SHINGLE_DOCS_SQL}),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    ev AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    agg AS (SELECT e.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_hit
+            FROM ev e LEFT JOIN bench b USING (sh) GROUP BY e.doc_id)
+    SELECT doc_id, n_shingles, n_hit,
+           CAST(n_hit AS DOUBLE) / n_shingles AS contamination
+    FROM agg WHERE n_hit > 0
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def q48_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: treat docs with doc_id % 50 == 0 as a
+    held-out eval set; for every other doc report how many of its distinct
+    word {SHINGLE_K}-gram shingles also occur anywhere in the eval set
+    (n-gram-overlap decontamination, the standard pre-training hygiene pass).
+
+    Plan: shingles extract scan-side (regex, no UDF); the eval shingle
+    vocabulary is DISTINCT-reduced before the join, so the join key side is
+    bounded by benchmark vocabulary size, not corpus size. At 100 TB the
+    benchmark set is fixed (real eval suites), so that side broadcast-joins
+    and the whole check is one pass over the corpus + one agg by doc."""
+    sh = shingle_docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_sh = sh.filter(is_bench).select("sh").distinct()
+    ev = sh.filter(~is_bench).distinct()
+    return (
+        ev.join(bench_sh.withColumn("hit", F.lit(1)), "sh", "left_outer")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), F.count("hit").alias("n_hit"))
+        .filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id", "n_shingles", "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_shingles")).alias("contamination"),
+        )
+    )
+
+
+@query(
+    "q47_dedup_canonical_quality",
+    f"""
+    WITH RECURSIVE wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits),
+    pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sym AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+    ranked AS (
+      SELECT cluster_id, cc.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS canonical_doc, cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "components", "pipeline"),
+)
+def q47_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster keep
+    the LONGEST document (ties -> lowest doc_id) instead of q45/q46's
+    min-id rule — the policy real pipelines use so dedup never discards the
+    most complete copy.
+
+    One agg with max_by over a composite (n_chars, -doc_id) ordering key:
+    single shuffle on cluster_id, no window sort. The documents join brings
+    only (doc_id, n_chars) — column-pruned at the scan."""
+    clusters = q45_dedup_clusters(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    return (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+            ).alias("canonical_doc"),
+            F.count("*").alias("cluster_size"),
+        )
+    )

@@ -333,3 +333,100 @@ def q39_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_rnk") == 1)
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+# --- repetition-ratio quality filter -----------------------------------------
+@query(
+    "q37_repetition_ratio",
+    f"""
+    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM wrds GROUP BY doc_id, word),
+    agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                   CAST(MAX(c) AS BIGINT) AS top_count
+            FROM wc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens AS dup_ratio,
+           CAST(top_count AS DOUBLE) / n_tokens AS top_word_share
+    FROM agg
+    """,
+    tags=("text", "quality"),
+)
+def q37_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of repeated
+    tokens (1 - distinct/total) and the share of the single most frequent
+    token — the standard gates for boilerplate / keyword-stuffed pages.
+
+    Computed entirely scan-side with ONE higher-order aggregate over the
+    sorted token array (run-length scan tracks distinct count and the longest
+    run = max token multiplicity) — zero shuffles, zero explode fan-out; the
+    oracle uses the equivalent explode + two-level GROUP BY formulation.
+    At 100 TB this is a narrow projection the optimizer pipelines with any
+    downstream corpus-selection filter."""
+    ws = F.array_sort(words_col())
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("nd"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run).alias("top"),
+            (acc["nd"] + F.when(x == acc["prev"], 0).otherwise(1)).alias("nd"),
+        )
+
+    stats = F.aggregate(
+        ws, init, step,
+        lambda a: F.struct(a["top"].alias("top"), a["nd"].alias("nd")),
+    )
+    n_tokens = F.size(ws).cast("long")
+    return (
+        _documents(spark, sf_dir)
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            stats["nd"].alias("n_distinct_tokens"),
+            ((n_tokens - stats["nd"]).cast("double") / n_tokens).alias("dup_ratio"),
+            (stats["top"].cast("double") / n_tokens).alias("top_word_share"),
+        )
+    )
+
+
+# --- deterministic stratified train/val/test split ---------------------------
+@query(
+    "q49_train_split",
+    f"""
+    WITH b AS (SELECT lang, n_chars,
+                      (doc_id * {SAMPLE_MULT}) % 4294967296 % 10 AS bucket
+               FROM documents)
+    SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("text", "sample", "pipeline"),
+)
+def q49_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by multiplicative key
+    hash, audited per language: every engine/run/partitioning assigns each
+    doc_id to the same split (unlike randomSplit), which is what makes a
+    100 TB corpus split reproducible and leak-free incrementally — new docs
+    never move old docs between splits. Returns the per-(split, lang) audit
+    counts a pipeline would log."""
+    bucket = (F.col("doc_id") * SAMPLE_MULT) % 4294967296 % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        _documents(spark, sf_dir)
+        .groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
