@@ -1,0 +1,82 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+The reference has no clustering, but an IVF vector index (queries/similarity
+q54/q55) needs a coarse quantizer, and a training-data pipeline uses k-means
+for corpus clustering / diversity sampling. This is the iterative-algorithm
+pattern: per-iteration work is fully distributed (one scan + one narrow agg);
+only the k*dim centroid matrix ever reaches the driver — same topology as
+Spark MLlib's own KMeans (driver holds centers, executors assign points).
+
+Scale notes (100 TB):
+- assignment is a broadcast of k*dim doubles folded into a scan-side
+  expression — no join, no shuffle;
+- the update step shuffles (cluster, dim, partial sum/count): k*dim keys
+  regardless of row count, with map-side combine doing virtually all the
+  reduction;
+- iterations are O(k*dim) driver memory; the point set never leaves
+  executors. Deterministic: init = k lowest-id vectors, so runs are
+  reproducible across partitionings (no seeding, unlike MLlib's kmeans||).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec_col: str, centroid: list[float]) -> Column:
+    """Squared L2 distance between an array<double> column and a constant."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add a `cluster` column: index of the nearest centroid (ties -> lowest
+    index, via array_position returning the first match)."""
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn("cluster", cluster)
+
+
+def _update_centroids(assigned: DataFrame, vec_col: str, k: int) -> list[list[float]]:
+    """New centroid matrix from the current assignment (empty clusters keep
+    position by falling back to their previous slot being absent — callers
+    re-insert the old centroid)."""
+    rows = (
+        assigned.select("cluster", F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("val").alias("c"))
+        .collect()
+    )
+    out: dict[int, dict[int, float]] = {}
+    for r in rows:
+        out.setdefault(r["cluster"], {})[r["dim"]] = r["c"]
+    return [
+        [out[j][d] for d in sorted(out[j])] if j in out else []
+        for j in range(k)
+    ]
+
+
+def lloyd_kmeans(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8, iters: int = 3
+) -> tuple[DataFrame, list[list[float]]]:
+    """Run `iters` Lloyd iterations; returns (assignments DF, final centroids).
+
+    Init: the k rows with the lowest ids (deterministic, engine-portable).
+    The returned DataFrame has (id_col, cluster) with the FINAL assignment
+    against the post-iteration centroids.
+    """
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    for _ in range(iters):
+        assigned = assign_clusters(df, vec_col, centroids)
+        new = _update_centroids(assigned, vec_col, k)
+        centroids = [new[j] if new[j] else centroids[j] for j in range(k)]
+    final = assign_clusters(df, vec_col, centroids).select(id_col, "cluster")
+    return final, centroids

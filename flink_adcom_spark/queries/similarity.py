@@ -409,3 +409,30 @@ def q56_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# --- k-means corpus clustering (iterative) ------------------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+@query(
+    "q57_kmeans",
+    None,  # iterative algorithm: rows-only gate; numpy differential in tests
+    tags=("similarity", "clustering", "iterative"),
+)
+def q57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means assignments over the embedding table (k=8, 3 iterations,
+    deterministic lowest-id init) — the coarse quantizer an IVF index build
+    (q54/q55) would train, and the corpus-clustering step of a diversity
+    sampler. See operators/kmeans.py for the scale design (broadcast
+    centroids, k*dim-key update shuffle, driver holds only the centers).
+    Exact-match differential test vs a numpy reference implementation in
+    tests/test_kmeans.py."""
+    from ..operators.kmeans import lloyd_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned, _ = lloyd_kmeans(e, "v", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
+    return assigned

@@ -1,0 +1,62 @@
+"""Differential test: distributed Lloyd k-means vs a numpy reference.
+
+Same deterministic init (k lowest vec_ids), same iteration count -> identical
+assignments. float64 drift between Spark's and numpy's summation order only
+matters if a point is near-equidistant to two centroids; asserted not to occur
+on the synthetic embeddings (and the assignment comparison would catch it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_adcom_spark.operators.kmeans import lloyd_kmeans
+from flink_adcom_spark.tables import load_table
+
+from pyspark.sql import functions as F
+
+K, ITERS = 4, 3
+
+
+def _numpy_kmeans(ids, X, k, iters):
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = X[a == j].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return dict(zip(ids.tolist(), d.argmin(axis=1).tolist())), d
+
+
+def test_kmeans_matches_numpy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned, centroids = lloyd_kmeans(e, "v", "vec_id", k=K, iters=ITERS)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+
+    pdf = e.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.array([np.array(v, dtype=np.float64) for v in pdf["v"]])
+    want, d = _numpy_kmeans(ids, X, K, ITERS)
+
+    # no near-ties: the argmin margin is far above fp drift
+    s = np.sort(d, axis=1)
+    assert (s[:, 1] - s[:, 0]).min() > 1e-9
+
+    assert got == want
+    assert len(centroids) == K and all(len(c) == X.shape[1] for c in centroids)
+
+
+def test_kmeans_assignment_is_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a1, _ = lloyd_kmeans(e, "v", "vec_id", k=K, iters=1)
+    a2, _ = lloyd_kmeans(e.repartition(7), "v", "vec_id", k=K, iters=1)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
