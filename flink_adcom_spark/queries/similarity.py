@@ -436,3 +436,28 @@ def q57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned, _ = lloyd_kmeans(e, "v", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
     return assigned
+
+
+DIVERSITY_PER_CLUSTER = 20
+
+
+@query(
+    "q58_diversity_sample",
+    None,  # composes the iterative q57 assignment: rows-only gate
+    tags=("similarity", "clustering", "sample", "pipeline"),
+)
+def q58_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified diversity sample: up to 20 vectors per k-means
+    cluster (lowest vec_ids -> deterministic), the standard 'cover the
+    embedding space' subset selection for eval-set construction. One rank
+    window per cluster over q57's assignment; cap asserted in
+    tests/test_kmeans.py."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    return (
+        q57_kmeans(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= DIVERSITY_PER_CLUSTER)
+        .select("vec_id", "cluster")
+    )

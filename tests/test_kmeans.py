@@ -60,3 +60,14 @@ def test_kmeans_assignment_is_deterministic(spark, sf_dir):
     a1, _ = lloyd_kmeans(e, "v", "vec_id", k=K, iters=1)
     a2, _ = lloyd_kmeans(e.repartition(7), "v", "vec_id", k=K, iters=1)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_diversity_sample_caps_per_cluster(spark, sf_dir):
+    from flink_adcom_spark.queries.similarity import (
+        DIVERSITY_PER_CLUSTER,
+        q58_diversity_sample,
+    )
+
+    s = q58_diversity_sample(spark, sf_dir)
+    per = s.groupBy("cluster").count().collect()
+    assert per and all(r["count"] <= DIVERSITY_PER_CLUSTER for r in per)
