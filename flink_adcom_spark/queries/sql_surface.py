@@ -238,3 +238,31 @@ def q69_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n "
         "FROM events_gs GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())"
     )
+
+
+# --- CUBE --------------------------------------------------------------------
+@query(
+    "q75_cube_flag_status",
+    "SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, "
+    "COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n, "
+    f"{sql_dec_sum('l_extendedprice')} AS sum_price "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+    tags=("tpch", "agg", "cube"),
+)
+def q75_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations (completes q63's ROLLUP with the
+    status-only marginals) — one Expand + single aggregate pass, the shuffle
+    carries 4x the group keys but still O(groups), not O(rows)."""
+    from ..functions.exact import dec_sum
+
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dec_sum("l_extendedprice").alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
