@@ -308,3 +308,48 @@ def q28_promo_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dec_sum("value").alias("sum_value"),
     )
+
+
+# --- FULL OUTER reconciliation -----------------------------------------------
+@query(
+    "q76_purchase_error_reconcile",
+    """
+    WITH p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id),
+    e AS (SELECT user_id, COUNT(*) AS n_errors FROM events
+          WHERE event_type = 'error' GROUP BY user_id)
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+    tags=("join", "outer", "agg"),
+)
+def q76_purchase_error_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase vs error counts, keeping users present on EITHER
+    side — the FULL OUTER reconciliation shape (audit two pipelines against
+    each other without dropping rows unique to one).
+
+    Both inputs aggregate before joining, so the outer join runs on
+    |users|-sized relations, not raw events; the two aggs and the join
+    share the user_id hash partitioning — AQE plans one shuffle per side
+    and no extra exchange for the join."""
+    ev = _events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+    )
+    return (
+        p.join(e, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+    )
