@@ -85,7 +85,9 @@ _SHINGLE_DOCS_SQL = (
 )
 
 
-def shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_docs(
+    spark: SparkSession, sf_dir: str, distinct_per_doc: bool = False
+) -> DataFrame:
     """(doc_id, shingle) exploded rows.
 
     Shingles are extracted scan-side with ONE codegen'd regex pass using a
@@ -94,13 +96,17 @@ def shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free vs the posexplode+lead(window) formulation; produces the
     identical shingle multiset (asserted against shingles_col in tests).
     Contract: text is single-space tokenized (the corpus is; a production
-    variant would normalize whitespace first with one regexp_replace)."""
+    variant would normalize whitespace first with one regexp_replace).
+
+    distinct_per_doc=True dedupes the shingle array BEFORE exploding
+    (array_distinct inside the same projection) — a zero-shuffle replacement
+    for `.distinct()` when downstream only needs each doc's shingle SET."""
     k_words = r"\\S+ " * (SHINGLE_K - 1) + r"\\S+"
     pat = f"'(?=({k_words}))(\\\\S+)'"
-    return _documents(spark, sf_dir).select(
-        "doc_id",
-        F.explode(F.expr(f"regexp_extract_all(lower(text), {pat}, 1)")).alias("sh"),
-    )
+    arr = F.expr(f"regexp_extract_all(lower(text), {pat}, 1)")
+    if distinct_per_doc:
+        arr = F.array_distinct(arr)
+    return _documents(spark, sf_dir).select("doc_id", F.explode(arr).alias("sh"))
 
 
 # --- MinHash + LSH candidate pairs -------------------------------------------
@@ -399,15 +405,16 @@ def q48_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     word {SHINGLE_K}-gram shingles also occur anywhere in the eval set
     (n-gram-overlap decontamination, the standard pre-training hygiene pass).
 
-    Plan: shingles extract scan-side (regex, no UDF); the eval shingle
-    vocabulary is DISTINCT-reduced before the join, so the join key side is
-    bounded by benchmark vocabulary size, not corpus size. At 100 TB the
-    benchmark set is fixed (real eval suites), so that side broadcast-joins
-    and the whole check is one pass over the corpus + one agg by doc."""
-    sh = shingle_docs(spark, sf_dir)
+    Plan: shingles extract AND per-doc dedupe scan-side (regex +
+    array_distinct, no UDF, no shuffle); only the benchmark vocabulary pays
+    a distinct shuffle (cross-doc dedupe), and it is bounded by benchmark
+    size, not corpus size. At 100 TB the benchmark set is fixed (real eval
+    suites), so that side broadcast-joins and the whole check is one pass
+    over the corpus + one agg by doc."""
+    sh = shingle_docs(spark, sf_dir, distinct_per_doc=True)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_sh = sh.filter(is_bench).select("sh").distinct()
-    ev = sh.filter(~is_bench).distinct()
+    ev = sh.filter(~is_bench)
     return (
         ev.join(bench_sh.withColumn("hit", F.lit(1)), "sh", "left_outer")
         .groupBy("doc_id")

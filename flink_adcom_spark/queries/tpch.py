@@ -393,6 +393,7 @@ def q17_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     "  GROUP BY c_custkey"
     ") c_orders GROUP BY c_count",
     tags=("tpch", "join", "agg", "outer"),
+    bench=True,
 )
 def q73_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 semantics: how many customers placed 0, 1, 2, ... orders
