@@ -183,6 +183,11 @@ def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by k docs contributes k^2/2 join rows, so capping k bounds the
     join fan-out at any corpus size (the filter is part of the operator's
     definition, mirrored in the oracle)."""
+    # measured (sf0.1, best-of-3): .distinct() 2.0s vs scan-side
+    # array_distinct 2.5-3.1s — HERE the distinct shuffle wins because d0
+    # feeds 3+ consumers and the exchange output is reused as a
+    # materialization, while scan-side dedupe re-runs the regex extraction
+    # per consumer. Contrast q48 (each branch consumed once): scan-side wins.
     d0 = shingle_docs(spark, sf_dir).distinct()
     rare = (
         d0.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
