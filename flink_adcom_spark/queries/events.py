@@ -353,3 +353,36 @@ def q76_purchase_error_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
         )
     )
+
+
+# --- decile assignment (NTILE) -----------------------------------------------
+@query(
+    "q78_value_deciles",
+    """
+    SELECT event_type, decile, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM (SELECT event_type, value,
+                 NTILE(10) OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS decile
+          FROM events) t
+    GROUP BY event_type, decile
+    """,
+    tags=("window", "agg"),
+)
+def q78_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type decile boundaries of `value` (NTILE window; event_id breaks
+    value ties so the assignment is total-ordered and engine-portable).
+    The window sorts within each event_type partition — at 100 TB this is
+    the rank-based twin of q71's sketch percentiles: exact, but pays a
+    per-key sort; use the sketch when boundaries may be approximate."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

@@ -430,3 +430,48 @@ def q49_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --- unigram log-probability (LM-score) quality filter -----------------------
+@query(
+    "q77_unigram_logprob",
+    f"""
+    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    cnt AS (SELECT word, COUNT(*) AS c FROM wrds GROUP BY word),
+    tot AS (SELECT SUM(c) AS t FROM cnt)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+    FROM wrds JOIN cnt USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def q77_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average unigram log-probability per document under the corpus's own
+    unigram distribution — the cheapest LM-style fluency score (very low
+    values = gibberish / rare-token spam; the standard first-pass before an
+    actual LM perplexity filter).
+
+    Two-pass shape a 100 TB pipeline keeps: pass 1 builds the vocabulary
+    count table (word-keyed agg, map-side combined); pass 2 re-explodes the
+    corpus and equi-joins the vocabulary (broadcast while it fits — a real
+    deployment caps the vocab to top-K words; the total-count scalar is a
+    1-row cross join). ln of an integer ratio rounds to 6dp on both engines
+    (transcendental-fn discipline, same as the distance/cosine queries)."""
+    wrds = (
+        _documents(spark, sf_dir)
+        .select("doc_id", F.explode(words_col()).alias("word"))
+    )
+    cnt = wrds.groupBy("word").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    return (
+        wrds.join(F.broadcast(cnt), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -104,3 +104,19 @@ def test_deterministic_sample_filter_pushed(spark, sf_dir):
     df = get("q38_deterministic_sample").build(spark, sf_dir)
     assert explain.num_exchanges(df) == 0, explain.formatted_plan(df)
     assert set(explain.scan_columns(df)) == {"doc_id", "lang", "n_chars"}
+
+
+def test_repetition_ratio_zero_shuffle(spark, sf_dir):
+    # per-doc quality signals must stay scan-side: one narrow projection,
+    # no explode fan-out, no exchange anywhere in the plan
+    df = get("q37_repetition_ratio").build(spark, sf_dir)
+    assert explain.num_exchanges(df) == 0
+    assert set(explain.scan_columns(df)) == {"doc_id", "text"}
+
+
+def test_contamination_prunes_scan(spark, sf_dir):
+    df = get("q48_contamination").build(spark, sf_dir)
+    assert set(explain.scan_columns(df)) == {"doc_id", "text"}
+    # scan-side per-doc dedupe: only the (small) benchmark vocabulary and
+    # the final per-doc agg shuffle; the full corpus never distinct-shuffles
+    assert explain.num_exchanges(df) <= 2
