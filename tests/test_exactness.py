@@ -46,3 +46,46 @@ def test_deterministic_sample_partitioning_invariant(spark, sf_dir):
         ).collect()
     }
     assert base == re_ids and base
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e", "fff"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_ratio_hof_matches_python(docs):
+    """q37's run-length higher-order aggregate (distinct count + max
+    multiplicity in one pass over the sorted token array) agrees with a
+    direct Python Counter on arbitrary token lists."""
+    from collections import Counter
+
+    from flink_adcom_spark.queries.text import q37_repetition_ratio
+    import flink_adcom_spark.queries.text as T
+
+    spark = get_spark(cpus=8)
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    orig = T._documents
+    T._documents = lambda s, d: df
+    try:
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_distinct_tokens"], r["top_word_share"])
+            for r in q37_repetition_ratio(spark, "unused").collect()
+        }
+    finally:
+        T._documents = orig
+
+    for i, words in enumerate(docs):
+        c = Counter(words)
+        n = len(words)
+        assert got[i][0] == n
+        assert got[i][1] == len(c)
+        assert got[i][2] == max(c.values()) / n
