@@ -110,6 +110,27 @@ def shingle_docs(
 
 
 # --- MinHash + LSH candidate pairs -------------------------------------------
+def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, j, mh): per-doc minhash signature unpivoted to band rows.
+
+    All N_HASHES minhashes come from ONE aggregation over the exploded
+    shingles (a per-hash explode would multiply the shuffle by N_HASHES);
+    the wide signature is then unpivoted with stack() for band equi-joins.
+    This is the relation a production pipeline PERSISTS as the near-dup
+    index (see q59: incremental batches join against it)."""
+    sh = shingle_docs(spark, sf_dir)
+    sig_wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    stack_args = ", ".join(f"{j}, mh{j}" for j in range(N_HASHES))
+    return sig_wide.selectExpr(
+        "doc_id", f"stack({N_HASHES}, {stack_args}) AS (j, mh)"
+    )
+
+
 @query(
     "q41_minhash_lsh_pairs",
     f"""
@@ -128,20 +149,7 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 4 salted-md5 minhashes per doc, band
     size 1 -> pairs sharing any minhash, with the band-match count as the
     similarity estimate (n_bands/4 estimates Jaccard)."""
-    sh = shingle_docs(spark, sf_dir)
-    # all N_HASHES minhashes in ONE aggregation over the exploded shingles
-    # (a per-hash explode would multiply the shuffle by N_HASHES); the wide
-    # signature is then unpivoted with stack() for the band self-join.
-    sig_wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
-            for j in range(N_HASHES)
-        ]
-    )
-    stack_args = ", ".join(f"{j}, mh{j}" for j in range(N_HASHES))
-    sig = sig_wide.selectExpr(
-        "doc_id", f"stack({N_HASHES}, {stack_args}) AS (j, mh)"
-    )
+    sig = minhash_band_rows(spark, sf_dir)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -481,4 +489,43 @@ def q47_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("canonical_doc"),
             F.count("*").alias("cluster_size"),
         )
+    )
+
+
+# --- incremental near-dup: new batch vs existing corpus index ----------------
+NEW_BATCH_MOD = 5  # doc_id % 5 == 4 -> the "incoming batch" (~20%)
+
+
+@query(
+    "q59_incremental_neardup",
+    f"""
+    WITH sh AS ({_SHINGLE_DOCS_SQL}),
+    js AS (SELECT unnest(range(0, {N_HASHES})) AS j),
+    hs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh CROSS JOIN js GROUP BY doc_id, j)
+    SELECT n.doc_id AS new_doc, o.doc_id AS corpus_doc, COUNT(*) AS n_bands
+    FROM hs n JOIN hs o ON n.j = o.j AND n.mh = o.mh
+    WHERE n.doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
+      AND o.doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "minhash", "join", "pipeline"),
+)
+def q59_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: treat docs with doc_id % 5 == 4 as the
+    incoming batch and everything else as the already-indexed corpus; emit
+    (new_doc, corpus_doc) minhash-band collisions. The asymmetric join is
+    the point: only the BATCH is shingled/hashed at ingest time, and it
+    equi-joins the persisted band index (minhash_band_rows) — per-batch cost
+    is O(batch) + index lookup, never a corpus re-scan. At 100 TB the index
+    side is bucketed by (j, mh) on disk so the join is shuffle-free on the
+    corpus side."""
+    sig = minhash_band_rows(spark, sf_dir)
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    new = sig.filter(is_new).select(F.col("doc_id").alias("new_doc"), "j", "mh")
+    old = sig.filter(~is_new).select(F.col("doc_id").alias("corpus_doc"), "j", "mh")
+    return (
+        new.join(old, ["j", "mh"])
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count("*").alias("n_bands"))
     )
