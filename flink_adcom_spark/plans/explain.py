@@ -54,12 +54,27 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_partial_aggregate(df: DataFrame) -> bool:
-    """True if the plan contains a map-side partial HashAggregate — the
-    built-in equivalent of the reference's combine operator (SURVEY.md §4)."""
+    """True if a map-side PARTIAL HashAggregate runs before an Exchange — the
+    built-in equivalent of the reference's combine operator (SURVEY.md §4).
+
+    Checked on the node detail blocks of the formatted plan: a HashAggregate
+    whose `Functions` line carries `partial_*` must have a LOWER node id than
+    some Exchange (lower id = deeper in the tree = executed earlier), so the
+    combine genuinely precedes the shuffle."""
     plan = formatted_plan(df)
-    return bool(re.search(r"HashAggregate.*\n(?:.*\n)*?.*Exchange", plan)) and (
-        "partial_" in plan or "HashAggregate" in plan
-    )
+    exchange_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Exchange\b", plan)]
+    partial_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) HashAggregate[^\n]*\n((?:(?!\(\d+\) )[^\n]*\n)*)", plan
+        )
+        if "partial_" in m.group(2)
+    ]
+    if not partial_ids:
+        return False
+    # no shuffle at all (e.g. single-partition input): the partial agg is
+    # still the combine surface — accept it
+    return not exchange_ids or min(partial_ids) < max(exchange_ids)
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:

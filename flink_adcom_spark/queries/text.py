@@ -283,17 +283,22 @@ SAMPLE_MOD = 10
 @query(
     "q38_deterministic_sample",
     f"SELECT doc_id, lang, n_chars FROM documents "
-    f"WHERE (doc_id * {SAMPLE_MULT}) % 4294967296 % {SAMPLE_MOD} = 0",
+    f"WHERE ((doc_id % 2147483648) * {SAMPLE_MULT}) % 4294967296 % {SAMPLE_MOD} = 0",
     tags=("text", "sample"),
 )
 def q38_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% deterministic sample by multiplicative key hash — reproducible
     across runs/engines/partitionings, unlike rand()-based TABLESAMPLE; the
     sampling predicate pushes down to the scan. (The production knob for
-    'train on a deterministic slice of 100 TB'.)"""
+    'train on a deterministic slice of 100 TB'.)
+
+    doc_id is reduced mod 2^31 BEFORE the multiply so the product stays
+    within int64 for any id: 2^31 * 2654435761 < 2^63, whereas a raw
+    doc_id ≳ 3.5e9 would overflow — Spark (non-ANSI) wraps silently while
+    DuckDB promotes/errors, breaking the cross-engine contract."""
     return (
         _documents(spark, sf_dir)
-        .filter((F.col("doc_id") * SAMPLE_MULT) % 4294967296 % SAMPLE_MOD == 0)
+        .filter(((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296 % SAMPLE_MOD == 0)
         .select("doc_id", "lang", "n_chars")
     )
 

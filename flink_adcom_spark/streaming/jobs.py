@@ -235,25 +235,42 @@ def streaming_ride_count_updates(
     changed rows per batch). The memory sink accumulates every emission;
     the LAST emission per key is the final state."""
     agg = streaming_ride_count(spark, sf_dir, **kw)
+    spark_ = agg.sparkSession
+    # foreachBatch stamps each emission with its batch_id — the documented
+    # ordering handle (memory-sink scan order is an implementation detail and
+    # monotonically_increasing_id over it is not a guaranteed emission order).
+    # Driver state is O(changed keys per batch), same as the memory sink holds.
+    emissions: list[tuple[int, list]] = []
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        emissions.append((batch_id, batch_df.collect()))
+
     q = (
         agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
+        .foreachBatch(capture)
         .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .queryName(name)
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    spark_ = agg.sparkSession
-    # last update per key = final aggregate state
+    rows = [
+        (batch_id, r["driver_id"], r["ride_cnt"])
+        for batch_id, batch_rows in emissions
+        for r in batch_rows
+    ]
+    log = spark_.createDataFrame(
+        rows, "batch_id bigint, driver_id bigint, ride_cnt bigint"
+    )
+    # last update per key (by batch_id) = final aggregate state
+    log.createOrReplaceTempView(name)
     return spark_.sql(
         f"""SELECT driver_id, ride_cnt FROM (
               SELECT driver_id, ride_cnt,
-                     ROW_NUMBER() OVER (PARTITION BY driver_id ORDER BY mono DESC) rn
-              FROM (SELECT driver_id, ride_cnt,
-                           monotonically_increasing_id() AS mono FROM {name}))
+                     ROW_NUMBER() OVER (PARTITION BY driver_id ORDER BY batch_id DESC) rn
+              FROM {name})
             WHERE rn = 1"""
     )
 
@@ -292,13 +309,21 @@ def streaming_daily_stats_materialize(
         sess = batch_df.sparkSession
         delta = batch_df.localCheckpoint(eager=True)
         days = [r["day"] for r in delta.select("day").distinct().collect()]
-        try:
+        # Existence is checked explicitly (not inferred from a read failure):
+        # a transient IO error or corrupt footer must propagate and fail the
+        # batch — treating it as "first batch" would overwrite the touched
+        # day partitions with delta-only rows and silently drop history.
+        jvm = sess._jvm
+        jsc = sess._jsc
+        path = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
             existing = sess.read.parquet(out_path).filter(F.col("day").isin(days))
             # keep groups the delta does not supersede; materialize before
             # overwriting the partitions being read
             keep = existing.join(delta.select("day", "event_type"), ["day", "event_type"], "left_anti")
             merged = keep.unionByName(delta).localCheckpoint(eager=True)
-        except Exception:  # first batch: table does not exist yet
+        else:  # first batch: table does not exist yet
             merged = delta
         upsert_partitions(merged, out_path, ["day"])
 
