@@ -293,6 +293,69 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- simhash near-dup pairs ---------------------------------------------------
+SIMHASH_CHUNKS = 4  # pigeonhole bands; supports max_hamming <= SIMHASH_CHUNKS-1
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_banded_pairs(
+    sig: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_chunks: int = SIMHASH_CHUNKS,
+    sig_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Hamming-ball pair join by pigeonhole banding (Manku et al., WWW'07
+    "Detecting Near-Duplicates for Web Crawling" — the chunk-table scheme).
+
+    Split each signature into `n_chunks` contiguous chunks; if
+    hamming(a, b) <= n_chunks - 1, at least one chunk is bit-identical, so an
+    EQUI-join on (chunk_idx, chunk_val) finds every qualifying pair — lossless
+    for max_hamming <= n_chunks - 1 — and only bucket-mates ever meet
+    (hash-partitioned shuffle join, never a nested loop). A pair agreeing on
+    several chunks appears once per agreeing chunk; dropDuplicates collapses
+    the multiplicity.
+
+    Scale dial: widen sig_bits / chunk width so bucket cardinality
+    (2^chunk_bits per chunk_idx) outgrows the corpus — 32-bit signatures give
+    8-bit chunks (256 buckets/band, demo scale); a production 64-bit simhash
+    gives 16-bit chunks (65k buckets/band), same plan shape.
+
+    Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    assert max_hamming <= n_chunks - 1, "pigeonhole needs n_chunks > max_hamming"
+    chunk_bits = sig_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), j * chunk_bits).bitwiseAND(F.lit(mask))
+            for j in range(n_chunks)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+        "chunk_idx", "chunk_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+        F.col("chunk_idx").alias("ci_b"), F.col("chunk_val").alias("cv_b"),
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("chunk_idx") == F.col("ci_b"))
+            & (F.col("chunk_val") == F.col("cv_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 @query(
     "q44_simhash_neardup",
     f"""
@@ -306,22 +369,16 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     tags=("dedup", "simhash", "join"),
+    bench=True,
 )
 def q44_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with simhash hamming distance <= 3.
-
-    Demonstration form is all-pairs; the scale path blocks on simhash bytes
-    (join on any of 4 4-bit chunks matching) exactly like q41's LSH bands."""
-    sig = q43_simhash(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    """Near-dup pairs with simhash hamming distance <= 3, generated by the
+    pigeonhole chunk-band EQUI-join (simhash_banded_pairs) — the same
+    band-bucket trick as q41's minhash LSH, and lossless here: 4 chunks
+    guarantee every hamming<=3 pair shares a chunk. The oracle states the
+    semantic contract as the naive all-pairs predicate; the Spark plan is a
+    hash equi-join (asserted nested-loop-free in tests/test_plans.py)."""
+    return simhash_banded_pairs(q43_simhash(spark, sf_dir))
 
 
 # --- dedup clusters (connected components over near-dup pairs) ----------------

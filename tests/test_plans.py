@@ -120,3 +120,23 @@ def test_contamination_prunes_scan(spark, sf_dir):
     # scan-side per-doc dedupe: only the (small) benchmark vocabulary and
     # the final per-doc agg shuffle; the full corpus never distinct-shuffles
     assert explain.num_exchanges(df) <= 2
+
+
+def test_simhash_neardup_is_equijoin_not_nested_loop(spark, sf_dir):
+    """q44's hamming-ball pair generation must plan as a hash EQUI-join on
+    (chunk_idx, chunk_val) — never the O(N^2) nested-loop/cartesian form the
+    naive doc_a < doc_b theta join produces."""
+    df = get("q44_simhash_neardup").build(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_clusters_inherit_banded_edges(spark, sf_dir):
+    """q45 consumes q44's banded edge generation: the full pipeline plan must
+    stay nested-loop-free too."""
+    df = get("q45_dedup_clusters").build(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
