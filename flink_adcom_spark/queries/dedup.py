@@ -28,9 +28,28 @@ from ..tables import load_table
 from .text import words_col, _WORDS_SQL
 
 SHINGLE_K = 3  # words per shingle
-N_HASHES = 4  # minhash permutations (md5 salted 0..3)
 JACCARD_THRESHOLD = 0.05
 STOP_SHINGLE_DF = 100  # drop shingles shared by more docs (join fan-out cap)
+
+# MinHash banding: b bands x r rows (Broder/LIR "Mining of Massive Datasets"
+# ch.3 parameterization). P(candidate | J) = 1 - (1 - J^r)^b; with 8x4 the
+# S-curve sits at ~J0.6: J=0.1 -> 0.08%, J=0.5 -> 40%, J=0.8 -> 97% — a real
+# near-dup threshold, vs the 4-hash/band-size-1 toy whose P(J=0.1) was 34%.
+N_BANDS = 8
+BAND_ROWS = 4
+N_MINHASH = N_BANDS * BAND_ROWS
+# Universal-ish integer hash family over the 32-bit shingle key u:
+# h_j(u) = (a_j*u + b_j) mod (2^61-1). a_j < 2^30 (odd) keeps a_j*u < 2^62 —
+# no int64 overflow on either engine; constants are fixed/public (Knuth
+# multiplicative constant for spread) so both engines evaluate identically.
+MINHASH_MOD = (1 << 61) - 1
+MH_A = [((j * 2654435761) % (1 << 30)) | 1 for j in range(N_MINHASH)]
+MH_B = [(j * 97531 + 12345) % (1 << 30) for j in range(N_MINHASH)]
+# Hot-band guard: a band bucket shared by k docs yields k^2/2 candidate pairs,
+# so buckets larger than this (boilerplate/templated docs) are dropped before
+# the pair join — the band-join twin of STOP_SHINGLE_DF. Part of the operator
+# definition, mirrored in the oracle.
+MAX_BAND_BUCKET = 200
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,53 +128,130 @@ def shingle_docs(
     return _documents(spark, sf_dir).select("doc_id", F.explode(arr).alias("sh"))
 
 
-# --- MinHash + LSH candidate pairs -------------------------------------------
-def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, j, mh): per-doc minhash signature unpivoted to band rows.
+# --- portable hex -> int hashing ---------------------------------------------
+# Hex->int is spelled as ascii() arithmetic so the IDENTICAL expression string
+# runs on both engines (Spark F.expr and DuckDB SQL).
 
-    All N_HASHES minhashes come from ONE aggregation over the exploded
-    shingles (a per-hash explode would multiply the shuffle by N_HASHES);
-    the wide signature is then unpivoted with stack() for band equi-joins.
+
+def _hexval_sql(k: int, col: str = "word") -> str:
+    c = f"ascii(substr(md5({col}), {k}, 1))"
+    return f"(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END)"
+
+
+def _hash_sql(n_hex: int, col: str = "word") -> str:
+    # BIGINT chain: 8 hex chars reach 2^32, past INT range (ANSI overflow)
+    expr = f"CAST({_hexval_sql(1, col)} AS BIGINT)"
+    for k in range(2, n_hex + 1):
+        expr = f"({expr} * 16 + {_hexval_sql(k, col)})"
+    return expr
+
+
+_U32_SH_SQL = _hash_sql(8, "sh")  # 32-bit int key of a shingle
+
+
+# --- MinHash + LSH band signatures -------------------------------------------
+def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bkey): per-doc b x r minhash signature as band rows.
+
+    All N_MINHASH minhashes come from ONE aggregation over the exploded
+    shingles: each shingle is md5'd ONCE into a 32-bit key, then the 32
+    permutations are cheap integer multiply-mod hashes folded by min() —
+    a per-hash md5 (let alone a per-hash explode) would multiply the scan
+    cost by N_MINHASH. Each band's key is the ':'-joined r-tuple of its
+    minhashes, so band equality == all r rows agree (LSH banding proper).
     This is the relation a production pipeline PERSISTS as the near-dup
     index (see q59: incremental batches join against it)."""
     sh = shingle_docs(spark, sf_dir)
-    sig_wide = sh.groupBy("doc_id").agg(
+    rows = sh.select("doc_id", F.expr(_U32_SH_SQL).alias("u"))
+    sig = rows.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
-            for j in range(N_HASHES)
+            F.min((F.lit(MH_A[j]) * F.col("u") + F.lit(MH_B[j])) % F.lit(MINHASH_MOD)).alias(f"mh{j}")
+            for j in range(N_MINHASH)
         ]
     )
-    stack_args = ", ".join(f"{j}, mh{j}" for j in range(N_HASHES))
-    return sig_wide.selectExpr(
-        "doc_id", f"stack({N_HASHES}, {stack_args}) AS (j, mh)"
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[F.col(f"mh{i * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)],
+            )
+            for i in range(N_BANDS)
+        ]
     )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
+
+
+def capped_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band rows restricted to joinable buckets: size >= 2 (singletons pair
+    with nothing) and <= MAX_BAND_BUCKET (hot boilerplate buckets would fan
+    out k^2/2 pairs). One extra count-agg over the band rows — O(bands),
+    shuffle on the same (band, bkey) key the join uses."""
+    bands = minhash_band_rows(spark, sf_dir)
+    ok = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter((F.col("bc") >= 2) & (F.col("bc") <= MAX_BAND_BUCKET))
+        .select("band", "bkey")
+    )
+    return bands.join(ok, ["band", "bkey"])
+
+
+def _mh_sql(j: int) -> str:
+    return f"MIN(({MH_A[j]} * u + {MH_B[j]}) % {MINHASH_MOD}) AS mh{j}"
+
+
+_SIG_SQL = (
+    f"SELECT doc_id, {', '.join(_mh_sql(j) for j in range(N_MINHASH))} "
+    f"FROM (SELECT doc_id, {_U32_SH_SQL} AS u FROM ({_SHINGLE_DOCS_SQL}) t0) t "
+    "GROUP BY doc_id"
+)
+
+
+def _band_key_sql(i: int) -> str:
+    return " || ':' || ".join(
+        f"CAST(mh{i * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band, {_band_key_sql(i)} AS bkey FROM sig"
+    for i in range(N_BANDS)
+)
+
+_CAPPED_BANDS_SQL = f"""
+    sig AS ({_SIG_SQL}),
+    bands AS ({_BANDS_SQL}),
+    ok AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+           HAVING COUNT(*) >= 2 AND COUNT(*) <= {MAX_BAND_BUCKET}),
+    b2 AS (SELECT bands.doc_id, bands.band, bands.bkey
+           FROM bands JOIN ok USING (band, bkey))
+"""
 
 
 @query(
     "q41_minhash_lsh_pairs",
     f"""
-    WITH sh AS ({_SHINGLE_DOCS_SQL}),
-    js AS (SELECT unnest(range(0, {N_HASHES})) AS j),
-    hs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
-           FROM sh CROSS JOIN js GROUP BY doc_id, j)
+    WITH {_CAPPED_BANDS_SQL}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-    FROM hs a JOIN hs b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+    FROM b2 a JOIN b2 b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     """,
     tags=("dedup", "minhash", "join"),
     bench=True,
 )
 def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 4 salted-md5 minhashes per doc, band
-    size 1 -> pairs sharing any minhash, with the band-match count as the
-    similarity estimate (n_bands/4 estimates Jaccard)."""
-    sig = minhash_band_rows(spark, sf_dir)
-    a, b = sig.alias("a"), sig.alias("b")
+    """MinHash+LSH near-dup candidates, 8 bands x 4 rows: pairs agreeing on
+    all 4 minhashes of >= 1 band, with the band-match count as the evidence
+    weight. Hot buckets (> MAX_BAND_BUCKET docs) are excluded before the
+    pair join (see capped_band_rows) — candidate volume stays bounded under
+    boilerplate-heavy corpora (asserted in tests/test_components.py)."""
+    b2 = capped_band_rows(spark, sf_dir)
+    a, b = b2.alias("a"), b2.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.mh") == F.col("b.mh"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -227,28 +323,14 @@ def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash ------------------------------------------------------------------
-# SimHash from the leading bits of each word's md5. Hex->int is spelled as
-# ascii() arithmetic so the identical expression runs on both engines.
+# SimHash from the leading bits of each word's md5 (hex->int via the shared
+# ascii-arithmetic helpers above).
 # 32 bits: at 16 bits random ~80-word docs collide heavily (hamming<=3 matched
 # ~12% of all pairs on the synthetic corpus); 32 bits makes hamming<=3 a
 # meaningful near-dup signal. Values stay < 2^32, exact in fp64 for POW math.
 SIMHASH_BITS = 32
 
-
-def _hexval_sql(k: int) -> str:
-    c = f"ascii(substr(md5(word), {k}, 1))"
-    return f"(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END)"
-
-
-def _hash_sql(n_hex: int) -> str:
-    # BIGINT chain: 8 hex chars reach 2^32, past INT range (ANSI overflow)
-    expr = f"CAST({_hexval_sql(1)} AS BIGINT)"
-    for k in range(2, n_hex + 1):
-        expr = f"({expr} * 16 + {_hexval_sql(k)})"
-    return expr
-
-
-_H16_SQL = _hash_sql(SIMHASH_BITS // 4)
+_H16_SQL = _hash_sql(SIMHASH_BITS // 4, "word")
 
 
 def _bit_sql(j: int) -> str:
@@ -556,12 +638,10 @@ NEW_BATCH_MOD = 5  # doc_id % 5 == 4 -> the "incoming batch" (~20%)
 @query(
     "q59_incremental_neardup",
     f"""
-    WITH sh AS ({_SHINGLE_DOCS_SQL}),
-    js AS (SELECT unnest(range(0, {N_HASHES})) AS j),
-    hs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
-           FROM sh CROSS JOIN js GROUP BY doc_id, j)
+    WITH sig AS ({_SIG_SQL}),
+    bands AS ({_BANDS_SQL})
     SELECT n.doc_id AS new_doc, o.doc_id AS corpus_doc, COUNT(*) AS n_bands
-    FROM hs n JOIN hs o ON n.j = o.j AND n.mh = o.mh
+    FROM bands n JOIN bands o ON n.band = o.band AND n.bkey = o.bkey
     WHERE n.doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
       AND o.doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
     GROUP BY 1, 2
@@ -571,18 +651,19 @@ NEW_BATCH_MOD = 5  # doc_id % 5 == 4 -> the "incoming batch" (~20%)
 def q59_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: treat docs with doc_id % 5 == 4 as the
     incoming batch and everything else as the already-indexed corpus; emit
-    (new_doc, corpus_doc) minhash-band collisions. The asymmetric join is
-    the point: only the BATCH is shingled/hashed at ingest time, and it
-    equi-joins the persisted band index (minhash_band_rows) — per-batch cost
-    is O(batch) + index lookup, never a corpus re-scan. At 100 TB the index
-    side is bucketed by (j, mh) on disk so the join is shuffle-free on the
-    corpus side."""
+    (new_doc, corpus_doc) minhash-band collisions (8x4 banding, see
+    minhash_band_rows). The asymmetric join is the point: only the BATCH is
+    shingled/hashed at ingest time, and it equi-joins the persisted band
+    index — per-batch cost is O(batch) + index lookup, never a corpus
+    re-scan. At 100 TB the index side is bucketed by (band, bkey) on disk so
+    the join is shuffle-free on the corpus side; the hot-band cap lives in
+    the index build (capped_band_rows), not re-derived per batch."""
     sig = minhash_band_rows(spark, sf_dir)
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
-    new = sig.filter(is_new).select(F.col("doc_id").alias("new_doc"), "j", "mh")
-    old = sig.filter(~is_new).select(F.col("doc_id").alias("corpus_doc"), "j", "mh")
+    new = sig.filter(is_new).select(F.col("doc_id").alias("new_doc"), "band", "bkey")
+    old = sig.filter(~is_new).select(F.col("doc_id").alias("corpus_doc"), "band", "bkey")
     return (
-        new.join(old, ["j", "mh"])
+        new.join(old, ["band", "bkey"])
         .groupBy("new_doc", "corpus_doc")
         .agg(F.count("*").alias("n_bands"))
     )

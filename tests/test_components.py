@@ -52,3 +52,30 @@ def test_simhash_banding_is_lossless(spark, sf_dir):
     }
     assert banded == naive
     assert len(banded) > 0  # corpus must actually exercise the join
+
+
+def test_hot_band_cap_bounds_candidates(spark, tmp_path):
+    """Boilerplate guard: a corpus with a 300-clone template must NOT produce
+    300^2/2 minhash candidate pairs — the hot-band cap (MAX_BAND_BUCKET=200)
+    drops the template's band buckets, while an under-cap 10-doc duplicate
+    group still pairs up fully."""
+    from flink_adcom_spark.queries.dedup import MAX_BAND_BUCKET, N_BANDS
+    from flink_adcom_spark.registry import get
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    small_dup = "completely different words compose this other duplicated passage here"
+    rows = [(i, template, "en", "syn", len(template)) for i in range(300)]
+    rows += [(1000 + i, small_dup, "en", "syn", len(small_dup)) for i in range(10)]
+    rows += [(2000 + i, f"unique filler document number {i} with token{i} salt{i * 7}", "en", "syn", 40) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = get("q41_minhash_lsh_pairs").build(spark, str(tmp_path)).collect()
+    clone_pairs = [r for r in pairs if r["doc_a"] < 1000 and r["doc_b"] < 1000]
+    small_pairs = [r for r in pairs if 1000 <= r["doc_a"] < 2000 and 1000 <= r["doc_b"] < 2000]
+    assert clone_pairs == [], f"hot band not capped: {len(clone_pairs)} clone pairs"
+    assert len(small_pairs) == 10 * 9 // 2  # full clique, all bands agree
+    assert all(r["n_bands"] == N_BANDS for r in small_pairs)
+    assert len(pairs) <= MAX_BAND_BUCKET ** 2  # global bound sanity
