@@ -98,26 +98,53 @@ def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- sign-LSH bucketed top pair per bucket ------------------------------------
-N_BUCKET_DIMS = 4  # first 4 dims' signs -> 16 buckets
+# Bucket count SCALES WITH CORPUS SIZE: bits = clamp(ceil(log2(N / target)),
+# 4, 16), so expected bucket occupancy stays ~LSH_TARGET_BUCKET and the
+# within-bucket pair join stays O(N * target) total instead of O(N^2 / 2^k)
+# with a frozen k. Both engines derive bits from the same COUNT(*), so the
+# bucketing (and every downstream result) is identical. 16 bits caps the
+# sign prefix well under the 64 embedding dims.
+LSH_TARGET_BUCKET = 64
+LSH_MIN_BITS = 4
+LSH_MAX_BITS = 16
 
 
-def _bucket_col() -> Column:
+def _n_bucket_bits(n: int) -> int:
+    """ceil(log2(n / LSH_TARGET_BUCKET)) clamped to [4, 16] — IEEE-exact in
+    both engines (DuckDB mirrors this as GREATEST/LEAST/CEIL/LOG2)."""
+    import math
+
+    if n <= LSH_TARGET_BUCKET:
+        return LSH_MIN_BITS
+    return min(LSH_MAX_BITS, max(LSH_MIN_BITS, math.ceil(math.log2(n / LSH_TARGET_BUCKET))))
+
+
+def _bucket_col(bits: int) -> Column:
     b = F.lit(0)
-    for i in range(1, N_BUCKET_DIMS + 1):
+    for i in range(1, bits + 1):
         b = b + F.when(F.element_at("v", i) >= 0, F.lit(1 << (i - 1))).otherwise(F.lit(0))
     return b.cast("int")
 
 
+# SQL twin: `bits` comes from the bp scalar CTE (cross-joined), each term
+# gated on i <= bits; unrolled to the static LSH_MAX_BITS upper bound.
+_BITS_SQL = (
+    f"SELECT LEAST({LSH_MAX_BITS}, GREATEST({LSH_MIN_BITS}, "
+    f"CAST(CEIL(LOG2(COUNT(*) / {LSH_TARGET_BUCKET}.0)) AS INT))) AS bits "
+    "FROM embeddings"
+)
 _BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
-    for i in range(1, N_BUCKET_DIMS + 1)
+    f"(CASE WHEN {i} <= bits AND embedding[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
+    for i in range(1, LSH_MAX_BITS + 1)
 )
 
 
 @query(
     "q51_lsh_bucket_top_pairs",
     f"""
-    WITH e AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+    WITH bp AS ({_BITS_SQL}),
+    e AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket
+          FROM embeddings CROSS JOIN bp),
     x AS ({_X_SQL}),
     n AS ({_N_SQL}),
     p AS (SELECT ea.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -139,10 +166,14 @@ _BUCKET_SQL = " + ".join(
 )
 def q51_lsh_bucket_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-similar pair within each sign-LSH bucket (axis-aligned hyperplane
-    LSH on the first 4 dims -> 16 buckets). The pair join is an equi-join on
-    bucket — the linear-scale ANN pattern; at 100 TB the bucket count grows
-    with N (more dims) to keep per-bucket work bounded."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col())
+    LSH on the first `bits` dims). The pair join is an equi-join on bucket —
+    the linear-scale ANN pattern; bucket count is DERIVED from corpus size
+    (_n_bucket_bits: 2x the corpus -> +1 bit) so per-bucket occupancy — and
+    the quadratic within-bucket pair work — stays ~constant at any N.
+    The N-count job is one cheap scan (parquet row-group counts)."""
+    e0 = _emb(spark, sf_dir)
+    bits = _n_bucket_bits(e0.count())
+    e = e0.withColumn("bucket", _bucket_col(bits))
     a = e.select(
         F.col("bucket"),
         F.col("vec_id").alias("vec_a"),
@@ -203,7 +234,9 @@ NEARDUP_COSINE = 0.9
 @query(
     "q53_embed_neardup_pairs",
     f"""
-    WITH e AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+    WITH bp AS ({_BITS_SQL}),
+    e AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket
+          FROM embeddings CROSS JOIN bp),
     x AS ({_X_SQL}),
     n AS ({_N_SQL}),
     p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.val * b.val) AS dot
@@ -223,8 +256,11 @@ def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH bucket mates — the embedding leg of the dedup suite. Candidate
     generation is the bucket equi-join; true near-dups land in the same
     bucket with high probability (agreeing signs), the standard recall/cost
-    trade of hyperplane LSH."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col())
+    trade of hyperplane LSH. Bucket count scales with corpus size exactly as
+    in q51 (_n_bucket_bits)."""
+    e0 = _emb(spark, sf_dir)
+    bits = _n_bucket_bits(e0.count())
+    e = e0.withColumn("bucket", _bucket_col(bits))
     a = e.select("bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(
         F.col("bucket").alias("bucket_b"),

@@ -22,3 +22,50 @@ def test_ivf_nprobe2_recall_at_least_nprobe1(spark, sf_dir):
     # centroids (the centroid-update step is q52) — measured r2 ~ 0.3.
     assert 0 < r1 <= r2 <= 1, (r1, r2)
     assert r2 >= 0.2, r2
+
+
+def test_bucket_bits_scale_with_corpus():
+    from flink_adcom_spark.queries.similarity import _n_bucket_bits
+
+    assert _n_bucket_bits(64) == 4       # floor
+    assert _n_bucket_bits(500) == 4      # sf0.01 scale -> 16 buckets
+    assert _n_bucket_bits(2000) == 5     # sf0.1 scale -> 32 buckets
+    assert _n_bucket_bits(1 << 20) == 14
+    assert _n_bucket_bits(10**12) == 16  # cap
+    # monotone: corpus growth never shrinks the bucket space
+    widths = [_n_bucket_bits(n) for n in (100, 1000, 10**4, 10**5, 10**6)]
+    assert widths == sorted(widths)
+
+
+def test_lsh_bucket_pairs_match_oracle_at_wider_bucket_width(spark):
+    """Two-width oracle check: sf0.1 has 2000 vectors -> 5 bucket bits (vs 4
+    at the sf0.01 gate scale), so this exercises the dynamically-derived
+    width end-to-end on both engines."""
+    import duckdb
+
+    from flink_adcom_spark.queries.similarity import (
+        LSH_TARGET_BUCKET,
+        _n_bucket_bits,
+    )
+    from flink_adcom_spark.registry import get
+
+    sf = "/root/testdata/sf0.1"
+    sdf = get("q51_lsh_bucket_top_pairs").build(spark, sf)
+    got = {(r["bucket"], r["vec_a"], r["vec_b"], r["cosine"]) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = set(map(tuple, con.sql(get("q51_lsh_bucket_top_pairs").oracle).fetchall()))
+    assert got == want
+    # occupancy contract: buckets stay near the target size
+    buckets = {b for (b, *_r) in got}
+    assert len(buckets) > 16  # wider than the frozen-width 16
+    n_bits = _n_bucket_bits(2000)
+    assert all(b < (1 << n_bits) for b in buckets)
+    sizes = (
+        get("q51_lsh_bucket_top_pairs")
+        .build(spark, sf)
+        .sparkSession.read.parquet(f"{sf}/embeddings.parquet")
+        .count()
+    )
+    assert sizes / (1 << n_bits) <= 2 * LSH_TARGET_BUCKET  # avg occupancy bounded
