@@ -1,0 +1,119 @@
+"""Driver-gated batch renderings of the streaming jobs.
+
+The streaming differentials (tests/test_streaming.py) prove each streaming
+job equals its batch twin inside pytest; these registry entries put the SAME
+streaming executions under the external oracle gate: each builder actually
+RUNS the Structured Streaming job (micro-batch engine, real sinks/state) over
+the sf_dir tables and returns the drained result as a DataFrame, which the
+driver then hashes against a plain batch SQL oracle. A wrong watermark,
+output-mode, or merge-path change now fails the external gate, not just the
+in-repo suite.
+
+Reference anchor: the reference validates its pre-aggregation variants by
+comparing streamed output against the unaggregated recomputation
+(SURVEY.md §5 differential testing); these queries are that method, driven
+from the outside.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..streaming import jobs
+
+# Decimal-cast sum matches functions/exact.py::dec_sum (engine-stable sums).
+_SUM_VALUE_SQL = "CAST(SUM(CAST(value AS DECIMAL(20, 6))) AS DOUBLE)"
+
+
+@query(
+    "q83_stream_incremental_mv",
+    f"""
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+           {_SUM_VALUE_SQL} AS sum_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "materialize", "pipeline"),
+)
+def q83_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view, externally gated: split the events table
+    into 4 file chunks, stream them through streaming_daily_stats_materialize
+    one file per micro-batch (so the partition-merge path really runs on
+    batches 2..4, not just the empty-table branch), then return the
+    materialized daily-stats table. Must equal a plain batch GROUP BY."""
+    work = tempfile.mkdtemp(prefix="mv_gate_")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "mv")
+    # re-shard the feed with the RAW nanos ts the streaming reader expects
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw.repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_daily_stats_materialize(spark, feed, out, maxFilesPerTrigger=1)
+    return (
+        spark.read.parquet(out)
+        .select("day", "event_type", "n", "sum_value", "max_value")
+        .withColumn("day", F.col("day").cast("date"))
+    )
+
+
+@query(
+    "q84_stream_view_purchase_join",
+    """
+    SELECT v.user_id AS p_user, v.event_id AS view_id, p.event_id AS purchase_id,
+           p.value AS purchase_value, v.ts AS v_ts, p.ts AS p_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def q84_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join, externally gated: run the
+    streaming job to a memory sink until drained; the emitted matches must
+    equal the batch interval join. Inner joins emit eagerly on match, so
+    drainage is complete even though the watermark lags."""
+    name = f"vpj_{uuid.uuid4().hex[:8]}"
+    return jobs.run_to_memory(
+        jobs.streaming_view_purchase_join(spark, sf_dir, max_files_per_trigger=1),
+        name,
+        output_mode="append",
+        trigger_ms=None,
+    )
+
+
+@query(
+    "q85_stream_sessions",
+    """
+    WITH l AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "window"),
+)
+def q85_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization (session_window, 30-min gap), externally
+    gated against the batch islands formulation: a session breaks when the
+    gap is >= 30 min (session windows are half-open [start, start+gap))."""
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    return jobs.run_to_memory(
+        jobs.streaming_user_sessions(spark, sf_dir),
+        name,
+        output_mode="complete",
+        trigger_ms=None,
+    )
