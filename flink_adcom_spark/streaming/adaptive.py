@@ -116,12 +116,16 @@ class SelfPacedAdaptiveRunner:
         decision_period_s: float = 2.0,
         clock=time.monotonic,
         sleep=time.sleep,
+        hist_window_s: float | None = None,
     ):
+        from .controller import HISTOGRAM_WINDOW_S
+
         self.controller = controller or BandController()
         self.listener = TriggerControllerListener(
             self.controller,
             trigger_ms_getter=lambda: self.controller.interval_ms,
             period_s=decision_period_s,
+            hist_window_s=HISTOGRAM_WINDOW_S if hist_window_s is None else hist_window_s,
         )
         self._clock = clock
         self._sleep = sleep

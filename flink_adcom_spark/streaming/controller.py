@@ -177,13 +177,14 @@ class TriggerControllerListener:
         on_decision=None,
         period_s: float = CONTROLLER_PERIOD_S,
         clock=time.monotonic,
+        hist_window_s: float = HISTOGRAM_WINDOW_S,
     ):
         self.controller = controller
         self._trigger_ms = trigger_ms_getter
         self._on_decision = on_decision
         self._period_s = period_s
         self._clock = clock
-        self._hist = SignalsHistogram(clock=clock)
+        self._hist = SignalsHistogram(window_s=hist_window_s, clock=clock)
         self._last_decision = clock()
         self._lock = threading.Lock()
         self.decisions: list[Decision] = []
