@@ -162,7 +162,11 @@ def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the relation a production pipeline PERSISTS as the near-dup
     index (see q59: incremental batches join against it)."""
     sh = shingle_docs(spark, sf_dir)
-    rows = sh.select("doc_id", F.expr(_U32_SH_SQL).alias("u"))
+    # Spark spells the md5-prefix->u32 step with conv() — one md5 call, ~2x
+    # faster than the 8-hex-char ascii chain (measured at sf0.1) and
+    # value-identical to the oracle's _U32_SH_SQL (DuckDB has no conv()).
+    u32 = "CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"
+    rows = sh.select("doc_id", F.expr(u32).alias("u"))
     sig = rows.groupBy("doc_id").agg(
         *[
             F.min((F.lit(MH_A[j]) * F.col("u") + F.lit(MH_B[j])) % F.lit(MINHASH_MOD)).alias(f"mh{j}")
@@ -275,6 +279,7 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) >= {JACCARD_THRESHOLD}
     """.format(cap=STOP_SHINGLE_DF),
     tags=("dedup", "join"),
+    bench=True,
 )
 def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for all doc pairs sharing a shingle.
@@ -361,7 +366,12 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by occurrence). Near-dup detection then compares hamming distance
     on the signature — O(1) per pair vs O(|doc|) for raw text."""
     wrds = _documents(spark, sf_dir).select("doc_id", F.explode(words_col()).alias("word"))
-    h = wrds.select("doc_id", F.expr(_H16_SQL).alias("h16"))
+    # conv() md5-prefix hash: value-identical to the oracle's ascii-chain
+    # _H16_SQL, ~2x cheaper on the Spark side (see minhash_band_rows)
+    h = wrds.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT)").alias("h16"),
+    )
     bit_sums = [
         F.sum(F.when(F.expr(_bit_sql(j)) == 1, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(SIMHASH_BITS)

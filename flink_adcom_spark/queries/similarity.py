@@ -317,6 +317,7 @@ def _ivf_sql(nprobe: int) -> str:
     "q54_ivf_knn",
     _ivf_sql(1),
     tags=("similarity", "knn", "ivf"),
+    bench=True,
 )
 def q54_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search with nprobe=1 (see _ivf_knn)."""
@@ -456,6 +457,7 @@ KMEANS_ITERS = 3
     "q57_kmeans",
     None,  # iterative algorithm: rows-only gate; numpy differential in tests
     tags=("similarity", "clustering", "iterative"),
+    bench=True,
 )
 def q57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means assignments over the embedding table (k=8, 3 iterations,

@@ -450,6 +450,7 @@ def q49_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     """,
     tags=("text", "quality", "pipeline"),
+    bench=True,
 )
 def q77_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average unigram log-probability per document under the corpus's own
