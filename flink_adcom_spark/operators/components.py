@@ -68,3 +68,87 @@ def connected_components(
             return labels.select("v", F.col("lbl").alias("cluster_id"))
         prev_sum = cur_sum
     raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+
+
+def connected_components_twophase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Two-phase star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): alternate LARGE-STAR (hook every
+    larger-than-center neighbor to the neighborhood minimum) and SMALL-STAR
+    (hook the center and its smaller neighbors to the minimum) until the edge
+    set is stable — O(log n) rounds on ANY graph, vs label propagation's
+    O(diameter) (a 100k-vertex path costs ~17 rounds here and 100k there).
+
+    Per round: two groupBy-min aggregates + edge regeneration, each one
+    shuffle on vertex id; lineage is truncated per round exactly like the
+    label-propagation loop. Convergence = (edge count, xxhash64 checksum)
+    fixpoint — an O(1)-row aggregate, no driver-side edge materialization.
+
+    Returns (v, cluster_id), cluster_id = component minimum, identical to
+    connected_components (differentially tested in tests/test_components.py).
+    """
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        hooked = (
+            sym.filter(keep)
+            .join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        if not large:  # small-star also hooks the center itself
+            hooked = hooked.unionByName(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        return (
+            hooked.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # vertex set from RAW edges: a vertex appearing only in a self-loop is
+    # still a (singleton) component and must get a label
+    vertices = (
+        raw.select(F.col("a").alias("v"))
+        .unionByName(raw.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),  # overflow-free fold
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = fingerprint(e)
+    for _ in range(max_iter):
+        e = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_iter} rounds")
+
+    # stable state is a forest of stars in canonical (min, max) form, i.e.
+    # (a=root, b=child). Vertices never appearing as a child are roots of
+    # their own component.
+    lbl = e.groupBy(F.col("b").alias("v")).agg(F.min("a").alias("cluster_id"))
+    return (
+        vertices.join(lbl, "v", "left")
+        .select("v", F.coalesce("cluster_id", "v").alias("cluster_id"))
+    )

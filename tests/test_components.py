@@ -79,3 +79,53 @@ def test_hot_band_cap_bounds_candidates(spark, tmp_path):
     assert len(small_pairs) == 10 * 9 // 2  # full clique, all bands agree
     assert all(r["n_bands"] == N_BANDS for r in small_pairs)
     assert len(pairs) <= MAX_BAND_BUCKET ** 2  # global bound sanity
+
+
+def _random_edges(spark, n_vertices, n_edges, seed):
+    import random
+
+    rnd = random.Random(seed)
+    rows = [
+        (rnd.randrange(n_vertices), rnd.randrange(n_vertices)) for _ in range(n_edges)
+    ]
+    return spark.createDataFrame(rows, "src bigint, dst bigint")
+
+
+def test_twophase_matches_label_propagation(spark):
+    from flink_adcom_spark.operators.components import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    for seed in (7, 21):
+        edges = _random_edges(spark, 200, 150, seed)
+        want = {
+            (r["v"], r["cluster_id"])
+            for r in connected_components(edges).collect()
+        }
+        got = {
+            (r["v"], r["cluster_id"])
+            for r in connected_components_twophase(edges).collect()
+        }
+        assert got == want
+
+
+def test_twophase_handles_high_diameter_path(spark):
+    """A 600-vertex path has diameter 599: label propagation's 50-round cap
+    explodes, star contraction finishes in O(log n) rounds."""
+    import pytest
+
+    from flink_adcom_spark.operators.components import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    n = 600
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    got = connected_components_twophase(path).collect()
+    assert len(got) == n
+    assert {r["cluster_id"] for r in got} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=10)
