@@ -58,12 +58,14 @@ _ROUND2_GATE = frozenset(
         "q47_dedup_canonical_quality",
     ]
     # new this round
-    + ["q83_stream_incremental_mv", "q84_stream_view_purchase_join", "q85_stream_sessions"]
+    + [
+        "q83_stream_incremental_mv", "q84_stream_view_purchase_join",
+        "q85_stream_sessions", "q86_sequence_pack",
+    ]
     # round-1 anchors re-greened with the spare slots
     + [
         "q01_ride_count", "q08_tpch_q1", "q14_revenue_by_nation",
-        "q20_tumbling_hourly", "q22_running_count", "q39_corpus_select",
-        "q42_ngram_jaccard_pairs",
+        "q22_running_count", "q39_corpus_select", "q42_ngram_jaccard_pairs",
     ]
 )
 

@@ -481,3 +481,82 @@ def q77_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- sequence packing (concat-and-chunk) --------------------------------------
+CTX_TOKENS = 2048  # context-window length in whitespace tokens
+PACK_SHARDS = 64  # order-aligned shards for the distributed prefix sum
+
+
+@query(
+    "q86_sequence_pack",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents WHERE len({_WORDS_SQL}) >= 1
+    ),
+    offs AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, start_tok,
+           CAST(FLOOR(start_tok / {CTX_TOKENS}) AS BIGINT) AS win_first,
+           CAST(FLOOR((start_tok + n_tokens - 1) / {CTX_TOKENS}) AS BIGINT) AS win_last
+    FROM offs
+    """,
+    tags=("text", "packing", "pipeline"),
+)
+def q86_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing, concat-and-chunk form: documents are
+    concatenated in doc_id order into one token stream sliced into
+    CTX_TOKENS-sized context windows; emit each doc's global token offset
+    and the [win_first, win_last] window span (a doc crossing a boundary is
+    split across those windows — the standard packing used when nothing may
+    be discarded).
+
+    The global prefix sum is computed SCALE-CORRECTLY, not with a
+    single-partition global window sort: docs are bucketed into
+    order-aligned shards (doc_id ranges), per-shard token totals (<= 64
+    rows) come back to the driver as the shard base offsets, and the
+    intra-shard running sum is a window PARTITIONED by shard — every shard
+    sorts in parallel, the only global state is the 64-entry offset map.
+    The oracle states the same result as one flat SQL window."""
+    from pyspark.sql import Window
+
+    docs = _documents(spark, sf_dir)
+    toks = (
+        docs.select("doc_id", F.size(words_col()).cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    max_id = toks.agg(F.max("doc_id")).collect()[0][0] or 0
+    shard_w = max(1, (int(max_id) + PACK_SHARDS) // PACK_SHARDS)
+    toks = toks.withColumn("shard", (F.col("doc_id") / shard_w).cast("bigint"))
+
+    shard_totals = {
+        r["shard"]: r["tot"]
+        for r in toks.groupBy("shard").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    base, offsets = 0, {}
+    for s in sorted(shard_totals):
+        offsets[s] = base
+        base += shard_totals[s]
+    off_map = F.create_map(
+        *[F.lit(x) for s in sorted(offsets) for x in (s, offsets[s])]
+    )
+
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = off_map[F.col("shard")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        toks.withColumn("start_tok", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            F.floor(F.col("start_tok") / CTX_TOKENS).cast("bigint").alias("win_first"),
+            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / CTX_TOKENS)
+            .cast("bigint")
+            .alias("win_last"),
+        )
+    )
