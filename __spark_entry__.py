@@ -60,12 +60,13 @@ _ROUND2_GATE = frozenset(
     # new this round
     + [
         "q83_stream_incremental_mv", "q84_stream_view_purchase_join",
-        "q85_stream_sessions", "q86_sequence_pack",
+        "q85_stream_sessions", "q86_sequence_pack", "q87_greedy_pack",
+        "q88_embed_neardup_multiprobe",
     ]
     # round-1 anchors re-greened with the spare slots
     + [
-        "q01_ride_count", "q08_tpch_q1", "q14_revenue_by_nation",
-        "q22_running_count", "q39_corpus_select", "q42_ngram_jaccard_pairs",
+        "q08_tpch_q1", "q14_revenue_by_nation",
+        "q39_corpus_select", "q42_ngram_jaccard_pairs",
     ]
 )
 

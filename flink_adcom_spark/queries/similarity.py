@@ -499,3 +499,72 @@ def q58_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= DIVERSITY_PER_CLUSTER)
         .select("vec_id", "cluster")
     )
+
+
+# --- multi-probe sign-LSH near-dup pairs --------------------------------------
+@query(
+    "q88_embed_neardup_multiprobe",
+    f"""
+    WITH bp AS ({_BITS_SQL}),
+    e AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket
+          FROM embeddings CROSS JOIN bp),
+    probes AS (
+      SELECT vec_id, bucket AS probe FROM e
+      UNION ALL
+      SELECT vec_id, xor(bucket, CAST(POW(2, k) AS INT)) AS probe
+      FROM e CROSS JOIN (SELECT unnest(range(0, (SELECT bits FROM bp))) AS k) ks
+    ),
+    x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM probes a JOIN e b ON a.probe = b.bucket
+             WHERE a.vec_id < b.vec_id),
+    p AS (SELECT c.vec_a, c.vec_b, SUM(xa.val * xb.val) AS dot
+          FROM cand c JOIN x xa ON xa.vec_id = c.vec_a
+                      JOIN x xb ON xb.vec_id = c.vec_b AND xa.i = xb.i
+          GROUP BY 1, 2)
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM p JOIN n na ON p.vec_a = na.vec_id JOIN n nb ON p.vec_b = nb.vec_id
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= {NEARDUP_COSINE}
+    """,
+    tags=("similarity", "dedup", "lsh", "multiprobe"),
+)
+def q88_embed_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53 with MULTI-PROBE: each vector additionally probes the `bits`
+    buckets one sign-flip away, so a true near-dup pair straddling a single
+    hyperplane boundary is still matched — the standard recall repair for
+    sign LSH (recall >= q53's by construction, asserted with q50 ground
+    truth in tests/test_similarity_recall.py) at ~(bits+1)x candidate cost,
+    still an equi-join, never all-pairs.
+
+    One side probes, the other stays in its home bucket: flipping bit k on
+    side A covers hamming-1 pairs exactly once per direction, and the
+    DISTINCT collapses pairs found via several probes."""
+    e0 = _emb(spark, sf_dir)
+    bits = _n_bucket_bits(e0.count())
+    e = e0.withColumn("bucket", _bucket_col(bits))
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << k)) for k in range(bits)],
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(probe_arr).alias("probe"),
+    )
+    b = e.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, (F.col("probe") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "va", "na", "vb", "nb")
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+    )

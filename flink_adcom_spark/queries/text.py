@@ -560,3 +560,58 @@ def q86_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("win_last"),
         )
     )
+
+
+@query(
+    "q87_greedy_pack",
+    None,  # sequential next-fit state is not SQL-expressible: rows-only gate;
+    # exact differential vs a pure-Python packer in tests/test_packing.py
+    tags=("text", "packing", "pipeline", "pandas-udf"),
+)
+def q87_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing (next-fit): documents are packed whole into
+    CTX_TOKENS windows — a doc that would overflow the current window opens
+    a new one; docs longer than a full window get a window of their own
+    (flagged oversize) for downstream truncation. The policy used when
+    documents must not cross sequence boundaries (e.g. SFT examples).
+
+    Distributed shape: docs are bucketed into order-aligned doc_id shards;
+    each shard packs INDEPENDENTLY with an Arrow-batched applyInPandas (the
+    per-row sequential fill state is genuinely not expressible as window
+    functions), and window ids are namespaced by shard — so the packing is
+    embarrassingly parallel, deterministic under any partitioning, and the
+    only cross-shard waste is <= 1 partially-filled window per shard
+    (bounded by PACK_SHARDS, not by corpus size)."""
+    import pandas as pd
+
+    docs = _documents(spark, sf_dir)
+    toks = (
+        docs.select("doc_id", F.size(words_col()).cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    max_id = toks.agg(F.max("doc_id")).collect()[0][0] or 0
+    shard_w = max(1, (int(max_id) + PACK_SHARDS) // PACK_SHARDS)
+    toks = toks.withColumn("shard", (F.col("doc_id") / shard_w).cast("bigint"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        win, fill, wins, oversize = 0, 0, [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > CTX_TOKENS:
+                win, fill = win + 1, 0
+            wins.append(shard * (1 << 32) + win)
+            oversize.append(n > CTX_TOKENS)
+            fill += n
+            if fill >= CTX_TOKENS:
+                win, fill = win + 1, 0
+        out = pdf[["doc_id", "n_tokens", "shard"]].copy()
+        out["window_id"] = pd.Series(wins, dtype="int64")
+        out["oversize"] = pd.Series(oversize, dtype="bool")
+        return out
+
+    return toks.groupBy("shard").applyInPandas(
+        pack,
+        "doc_id bigint, n_tokens bigint, shard bigint, window_id bigint, oversize boolean",
+    )

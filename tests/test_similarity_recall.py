@@ -69,3 +69,31 @@ def test_lsh_bucket_pairs_match_oracle_at_wider_bucket_width(spark):
         .count()
     )
     assert sizes / (1 << n_bits) <= 2 * LSH_TARGET_BUCKET  # avg occupancy bounded
+
+
+def test_multiprobe_improves_neardup_recall(spark, sf_dir):
+    """q88 (multi-probe) must find a superset of q53's pairs, and its recall
+    against brute-force cosine>=0.9 ground truth must be >= q53's."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.queries.similarity import NEARDUP_COSINE, _dot, _emb
+    from flink_adcom_spark.registry import get
+
+    single = {(r["vec_a"], r["vec_b"]) for r in get("q53_embed_neardup_pairs").build(spark, sf_dir).collect()}
+    multi = {(r["vec_a"], r["vec_b"]) for r in get("q88_embed_neardup_multiprobe").build(spark, sf_dir).collect()}
+    assert multi >= single
+
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("c", cos)
+        .filter(F.col("c") >= NEARDUP_COSINE)
+        .collect()
+    }
+    assert multi <= truth  # LSH candidates are exact-scored: no false pairs
+    if truth:
+        assert len(multi & truth) >= len(single & truth)
