@@ -461,3 +461,68 @@ def q74_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal").cast("double").alias("totacctbal"),
         )
     )
+
+
+# --- TPC-H Q10: returned-item revenue ------------------------------------------
+Q10_START = "1996-10-01"
+Q10_END = "1997-01-01"
+
+
+@query(
+    "q89_tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{Q10_START} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{Q10_END} 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=("tpch", "join", "topn"),
+)
+def q89_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (top-20 customers by returned-item revenue in one quarter),
+    adapted to the synthetic schema (no c_address/phone/comment columns).
+
+    Plan shape for 100 TB: the quarter filter pushes to the ORDERS scan and
+    the returnflag filter to the LINEITEM scan before any join; nation is
+    broadcast; the aggregate keys on customer, so the only wide shuffle
+    carries (custkey, partial revenue). Exact-decimal revenue + custkey
+    tiebreak keep the top-20 set engine-stable."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(money("l_extendedprice") * (1 - rate("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
