@@ -91,6 +91,12 @@ class AdaptiveQueryRunner:
                         rep.intervals.append(decision.interval_ms)
                         query = self.start_query(decision.interval_ms, self.checkpoint_dir)
         finally:
+            # drain one flush before stopping: if the deadline lands right
+            # after a restart, the fresh query may not have committed a
+            # batch yet and its sink would otherwise end the run empty
+            drain = time.monotonic() + 15
+            while time.monotonic() < drain and not query.recentProgress:
+                time.sleep(poll_s)
             query.stop()
         return rep
 

@@ -19,7 +19,7 @@ from flink_adcom_spark.streaming.adaptive import SelfPacedAdaptiveRunner, report
 from flink_adcom_spark.streaming.controller import BandController
 
 LOW_RATE = 100
-HIGH_RATE = 4000
+HIGH_RATE = 6000
 PER_ROW_S = 0.0005  # emulated per-row aggregation cost (deterministic load)
 
 
@@ -50,21 +50,24 @@ def test_controller_adapts_to_rate_swap_both_directions(spark, tmp_path):
     feeder = VariableRateFeeder(str(tmp_path / "spool"), rf, tick_s=0.3).start()
 
     runner = SelfPacedAdaptiveRunner(
-        controller=BandController(interval_ms=400),
+        controller=BandController(interval_ms=600),
         decision_period_s=1.0,
         hist_window_s=3.0,  # short horizon so phase changes surface fast
     )
 
     def process(batch_df, _bid):
+        # keyed aggregation of the RAW micro-batch (the combine surface),
+        # plus a row-proportional cost so load tracks the INPUT rate — a
+        # complete-mode aggregate sink would only ever see the 64-word
+        # output table, hiding the rate change entirely.
         n = batch_df.count()
-        time.sleep(n * PER_ROW_S)  # row-proportional aggregation cost
+        batch_df.groupBy("word").count().collect()
+        time.sleep(n * PER_ROW_S)
 
-    agg = variable_words_stream(spark, str(tmp_path / "spool")).groupBy("word").agg(
-        F.count("*").alias("cnt")
-    )
+    raw = variable_words_stream(spark, str(tmp_path / "spool"))
     name = f"rswap_{uuid.uuid4().hex[:8]}"
     q = (
-        agg.writeStream.outputMode("complete")
+        raw.writeStream
         .foreachBatch(runner.paced(process))
         .queryName(name)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -87,15 +90,17 @@ def test_controller_adapts_to_rate_swap_both_directions(spark, tmp_path):
         # phase 2: step the rate UP mid-run -> overload -> interval rises
         rf.write_rate(HIGH_RATE)
         n_dec = len(runner.report.decisions)
+        # wait for a clear rise (>= 2 steps above base) so the phase-3
+        # denominator is large enough to read as idle under a loaded JVM
         assert wait_until(
-            lambda: runner.controller.interval_ms > base_interval, 40
+            lambda: runner.controller.interval_ms >= base_interval + 200, 60
         ), f"no up-step: {runner.report.decisions[n_dec:]}"
         peak_interval = runner.controller.interval_ms
 
         # phase 3: step the rate back DOWN mid-run -> idle -> interval falls
         rf.write_rate(LOW_RATE)
         assert wait_until(
-            lambda: runner.controller.interval_ms < peak_interval, 40
+            lambda: runner.controller.interval_ms < peak_interval, 60
         ), f"no down-step from {peak_interval}: {runner.report.decisions}"
     finally:
         q.stop()
