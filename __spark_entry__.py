@@ -62,10 +62,11 @@ _ROUND2_GATE = frozenset(
         "q83_stream_incremental_mv", "q84_stream_view_purchase_join",
         "q85_stream_sessions", "q86_sequence_pack", "q87_greedy_pack",
         "q88_embed_neardup_multiprobe", "q89_tpch_q10_returned_items",
+        "q90_stream_dedup",
     ]
     # round-1 anchors re-greened with the spare slots
     + [
-        "q08_tpch_q1", "q14_revenue_by_nation", "q42_ngram_jaccard_pairs",
+        "q08_tpch_q1", "q42_ngram_jaccard_pairs",
     ]
 )
 

@@ -70,9 +70,12 @@ def lloyd_kmeans(
     The returned DataFrame has (id_col, cluster) with the FINAL assignment
     against the post-iteration centroids.
     """
-    init_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    )
+    # materialize the projected point set once: every iteration (and the
+    # final assignment) re-reads it, so without this the source re-scans
+    # iters+1 times. At cluster scale this is persist(MEMORY_AND_DISK) on
+    # the (id, vector) projection — the same choice MLlib's KMeans makes.
+    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    init_rows = df.orderBy(id_col).limit(k).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     for _ in range(iters):
         assigned = assign_clusters(df, vec_col, centroids)

@@ -117,3 +117,29 @@ def q85_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
         trigger_ms=None,
     )
+
+
+@query(
+    "q90_stream_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def q90_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup, externally gated: feed the events
+    table TWICE (two file copies -> guaranteed duplicate event_ids across
+    micro-batches) through dropDuplicatesWithinWatermark and return the
+    drained output — it must equal the original table exactly (the duplicate
+    copies are byte-identical, so whichever arrival wins, the row values
+    match the oracle's plain SELECT)."""
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="dedup_gate_")
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copyfile(src, os.path.join(work, "copy_a.parquet"))
+    shutil.copyfile(src, os.path.join(work, "copy_b.parquet"))
+    deduped = jobs.streaming_dedup_events(spark, work, maxFilesPerTrigger=1)
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    out = jobs.run_to_memory(deduped, name, output_mode="append", trigger_ms=None)
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
