@@ -143,3 +143,23 @@ def q90_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sdd_{uuid.uuid4().hex[:8]}"
     out = jobs.run_to_memory(deduped, name, output_mode="append", trigger_ms=None)
     return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "q91_stream_update_fold",
+    """
+    SELECT user_id AS driver_id, COUNT(*) AS ride_cnt FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "retract"),
+)
+def q91_stream_update_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retract-stream surface (reference T4), externally gated: run Q1 in
+    update mode capturing every per-batch emission with its batch_id, fold
+    to the last emission per key, and hash against the batch GROUP BY — the
+    add-side of toRetractStream, end-to-end through the micro-batch engine.
+    (Registered for the round-3 gate rotation; the in-repo mirror checks it
+    every run.)"""
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    return jobs.streaming_ride_count_updates(
+        spark, sf_dir, name, max_files_per_trigger=1
+    )
