@@ -27,9 +27,15 @@ from .rides import rides, rides_oracle_cte
 def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature extraction end-to-end: documents -> binary media table ->
     Arrow-batched decode/checksum/features (payload column dropped before any
-    downstream shuffle)."""
+    downstream shuffle).
+
+    The feature vector is rendered as its string form for the gate: the
+    driver's rows-only canonicalization sorts every output column, and
+    array-typed cells are unsortable there. The array-typed path is exercised
+    by tests/test_multimodal.py."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    return extract_features(media, fake_decode=True)
+    feats = extract_features(media, fake_decode=True)
+    return feats.withColumn("feat", F.col("feat").cast("string"))
 
 
 @query(

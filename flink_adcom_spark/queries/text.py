@@ -497,8 +497,12 @@ PACK_SHARDS = 64  # order-aligned shards for the distributed prefix sum
     ),
     offs AS (
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+             -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which round-trips
+             -- through pandas as float64 and hash-mismatches Spark's BIGINT
+             -- even when every value is identical.
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_tok
       FROM toks
     )
     SELECT doc_id, n_tokens, start_tok,

@@ -26,18 +26,32 @@ from ..queries.rides import RIDES_EXPRS
 from ..functions.distance import distance_km
 from ..functions.exact import dec_sum
 
-# readStream needs an explicit schema; ts arrives as epoch-nanos BIGINT
-# (see tables.py nanos note).
-STREAM_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream(
+    spark: SparkSession, events_dir: str, glob: str | None = None, **options
+) -> DataFrame:
+    """Streaming reader over an events parquet directory with the ts column
+    normalized to TimestampType.
+
+    readStream needs an explicit schema; rather than hardcoding one, peek the
+    actual footer schema with a batch read (driver data generations have
+    stored ts as both TIMESTAMP(NANOS)->BIGINT and TIMESTAMP(MICROS)->NTZ; a
+    hardcoded LongType schema silently reads micros as longs and shifts every
+    timestamp 1000x). Footer-only read: cheap at any scale."""
+    from ..tables import _pin_session_confs, normalize_event_ts
+
+    _pin_session_confs(spark)
+    peek = spark.read
+    if glob is not None:
+        peek = peek.option("pathGlobFilter", glob)
+    schema = peek.parquet(events_dir).schema
+
+    reader = spark.readStream.schema(schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    for k, v in options.items():
+        if v is not None:
+            reader = reader.option(k, v)
+    return normalize_event_ts(reader.parquet(events_dir))
 
 
 def stream_events(
@@ -47,13 +61,9 @@ def stream_events(
     for the reference's gzip replay source, SURVEY.md S1-S4: source
     parallelism and replay rate are file-split and maxFilesPerTrigger here)."""
     # the file source needs a directory; pathGlobFilter selects the table
-    reader = spark.readStream.schema(STREAM_EVENTS_SCHEMA).option(
-        "pathGlobFilter", "events.parquet"
+    return _events_stream(
+        spark, sf_dir, glob="events.parquet", maxFilesPerTrigger=max_files_per_trigger
     )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def stream_rides(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
@@ -180,10 +190,7 @@ def streaming_dedup_events(
     — the property that makes exactly-once ingest dedup viable on an
     unbounded 100 TB/day feed. (The reference has no dedup operator at all;
     this is part of the training-pipeline extension surface.)"""
-    reader = spark.readStream.schema(STREAM_EVENTS_SCHEMA)
-    for k, v in kw.items():
-        reader = reader.option(k, v)
-    ev = reader.parquet(events_dir).withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ev = _events_stream(spark, events_dir, **kw)
     return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
@@ -290,10 +297,7 @@ def streaming_daily_stats_materialize(
     storage instead of printed."""
     from ..operators.storage import upsert_partitions
 
-    reader = spark.readStream.schema(STREAM_EVENTS_SCHEMA)
-    for k, v in kw.items():
-        reader = reader.option(k, v)
-    ev = reader.parquet(events_dir).withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ev = _events_stream(spark, events_dir, **kw)
     agg = (
         ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
         .agg(

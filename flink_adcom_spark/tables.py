@@ -133,19 +133,35 @@ def _pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to session-tz TimestampType whatever
+    the parquet physically stores. Driver data generations have used both
+    TIMESTAMP(NANOS) (arrives as epoch-nanos BIGINT under
+    spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS) (arrives as
+    TIMESTAMP_NTZ). Decide from the READ dtype, never from an assumption —
+    at 100 TB a producer-side schema drift must not silently shift every
+    timestamp 1000x."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        # epoch-nanos -> micros by integer division: exact for the full int64
+        # range, and the same ns->us truncation DuckDB applies on read.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif dt == "timestamp_ntz":
+        # session tz is pinned to UTC, so NTZ -> TZ is value-preserving and
+        # keeps one stable engine-facing type across data generations.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     _pin_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS); with spark.sql.legacy.parquet.
-        # nanosAsLong it arrives as epoch-nanos BIGINT. Convert with integer
-        # division (ts DIV 1000) — exact for the full int64 range, and the
-        # same ns->us truncation DuckDB applies when it reads the file.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        df = normalize_event_ts(df)
     return df
 
 
