@@ -1,10 +1,10 @@
 """Registry entries for the multimodal pipeline and the generic-combine tier,
 so they run under the external correctness gate too (not only pytest).
 
-q80/q81 are rows-only (their outputs hang off the stubbed codec and
-mapInPandas — not ANSI-SQL-expressible); q82 runs an arbitrary Python fold
-through combine_generic yet still has a full SQL oracle, proving the generic
-tier computes exactly what the declarative plan would.
+q80 is rows-only (its output hangs off the stubbed codec inside mapInPandas —
+not ANSI-SQL-expressible); q81's sampling schedule and q82's generic fold both
+have full SQL oracles, proving the Arrow-batched tiers compute exactly what
+the declarative plan would.
 """
 
 from __future__ import annotations
@@ -40,11 +40,26 @@ def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q81_frame_samples",
-    None,
+    # The frame-sampling CONTRACT (which rows, which offsets) is fully
+    # deterministic given the fixture's media derivation, so it oracles as
+    # plain SQL even though the Spark side runs the real mapInPandas stage:
+    # video = doc_id % 3 = 2, offsets = range(0, utf8_len, 64) capped at 8.
+    """
+    WITH vids AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(k AS INT) AS frame_idx,
+           CAST(k * 64 AS BIGINT) AS frame_offset
+    FROM vids CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks
+    WHERE k * 64 < n
+    """,
     tags=("multimodal",),
 )
 def q81_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: one row per sampled frame offset."""
+    """Video frame-sampling plumbing: one row per sampled frame offset. The
+    mapInPandas stage is the system under test; the oracle restates the
+    sampling schedule declaratively."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, every_n_bytes=64, max_frames=8)
 

@@ -568,8 +568,65 @@ def q86_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q87_greedy_pack",
-    None,  # sequential next-fit state is not SQL-expressible: rows-only gate;
-    # exact differential vs a pure-Python packer in tests/test_packing.py
+    # The per-shard next-fit fill state IS expressible in ANSI SQL as a
+    # recursive CTE that advances every shard one document per iteration
+    # (depth = max docs per shard, ~N/PACK_SHARDS — fine for an oracle, and
+    # exactly why the engine side uses applyInPandas instead). State law
+    # mirrors pack() below line for line.
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents WHERE len({_WORDS_SQL}) >= 1
+    ),
+    w AS (SELECT CAST((MAX(doc_id) + {PACK_SHARDS}) // {PACK_SHARDS} AS BIGINT)
+                 AS shard_w FROM toks),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR(doc_id / shard_w) AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR(doc_id / shard_w) AS BIGINT)
+                                ORDER BY doc_id) AS rn
+      FROM toks CROSS JOIN w
+    ),
+    pack AS (
+      SELECT doc_id, n_tokens, shard, rn,
+             CAST(0 AS BIGINT) AS win,
+             CASE WHEN n_tokens >= {CTX_TOKENS} THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS next_win,
+             CASE WHEN n_tokens >= {CTX_TOKENS} THEN CAST(0 AS BIGINT)
+                  ELSE n_tokens END AS next_fill
+      FROM sharded WHERE rn = 1
+      UNION ALL
+      SELECT s.doc_id, s.n_tokens, s.shard, s.rn,
+             CASE WHEN p.next_fill > 0 AND p.next_fill + s.n_tokens > {CTX_TOKENS}
+                  THEN p.next_win + 1 ELSE p.next_win END AS win,
+             CASE WHEN (CASE WHEN p.next_fill > 0
+                                  AND p.next_fill + s.n_tokens > {CTX_TOKENS}
+                             THEN CAST(0 AS BIGINT) ELSE p.next_fill END)
+                       + s.n_tokens >= {CTX_TOKENS}
+                  THEN (CASE WHEN p.next_fill > 0
+                                  AND p.next_fill + s.n_tokens > {CTX_TOKENS}
+                             THEN p.next_win + 1 ELSE p.next_win END) + 1
+                  ELSE (CASE WHEN p.next_fill > 0
+                                  AND p.next_fill + s.n_tokens > {CTX_TOKENS}
+                             THEN p.next_win + 1 ELSE p.next_win END)
+                  END AS next_win,
+             CASE WHEN (CASE WHEN p.next_fill > 0
+                                  AND p.next_fill + s.n_tokens > {CTX_TOKENS}
+                             THEN CAST(0 AS BIGINT) ELSE p.next_fill END)
+                       + s.n_tokens >= {CTX_TOKENS}
+                  THEN CAST(0 AS BIGINT)
+                  ELSE (CASE WHEN p.next_fill > 0
+                                  AND p.next_fill + s.n_tokens > {CTX_TOKENS}
+                             THEN CAST(0 AS BIGINT) ELSE p.next_fill END)
+                       + s.n_tokens
+                  END AS next_fill
+      FROM pack p JOIN sharded s ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 4294967296 + win AS window_id,
+           n_tokens > {CTX_TOKENS} AS oversize
+    FROM pack
+    """,
     tags=("text", "packing", "pipeline", "pandas-udf"),
 )
 def q87_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
