@@ -66,10 +66,15 @@ _ROUND4_GATE = frozenset(
     + [
         "q91_stream_update_fold",
     ]
-    # stable non-events anchors re-greened with the spare slots
+    # new this round (TPC-H Q17/Q18 adaptations, language-mixture balance)
     + [
-        "q08_tpch_q1", "q41_minhash_lsh_pairs", "q42_ngram_jaccard_pairs",
-        "q44_simhash_neardup", "q45_dedup_clusters",
+        "q92_tpch_q17_small_qty", "q93_tpch_q18_large_orders",
+        "q94_lang_balance",
+    ]
+    # stable non-events anchors re-greened with the spare slots (the other
+    # dedup/similarity anchors already hold green rows from r03)
+    + [
+        "q08_tpch_q1", "q45_dedup_clusters",
         "q88_embed_neardup_multiprobe", "q89_tpch_q10_returned_items",
     ]
 )

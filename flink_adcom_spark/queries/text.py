@@ -676,3 +676,70 @@ def q87_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         "doc_id bigint, n_tokens bigint, shard bigint, window_id bigint, oversize boolean",
     )
+
+
+# --- source-mixture balancing (training-data mixing) --------------------------
+BALANCE_RES = 1_000_000  # keep-rule resolution (integer per-mille-of-million)
+
+
+@query(
+    "q94_lang_balance",
+    f"""
+    WITH cnt AS (
+      SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+    ),
+    tgt AS (
+      SELECT lang, c,
+             LEAST(c, CAST(CEIL(CAST((SELECT SUM(c) FROM cnt) AS DOUBLE)
+                                / (SELECT COUNT(*) FROM cnt)) AS BIGINT)) AS target
+      FROM cnt
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN tgt USING (lang)
+    WHERE ((d.doc_id % 2147483648) * {SAMPLE_MULT}) % 4294967296 % {BALANCE_RES}
+          < (tgt.target * {BALANCE_RES}) // tgt.c
+    """,
+    tags=("text", "sample", "mixture", "pipeline"),
+)
+def q94_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture balancing: cap every language at the mean per-language
+    share (the over-represented language — en, ~44% of the corpus — is
+    down-sampled toward a uniform mixture; the standard rebalancing step for
+    multilingual training data).
+
+    Scale shape — this is the SCAN-SIDE form of per-group sampling: phase 1
+    is a tiny map-side-combined count per language (|langs| rows); phase 2
+    broadcasts the per-language keep-rate and filters each row by a PORTABLE
+    integer hash threshold (same multiplicative hash as q38) — no per-group
+    rank window, no sort, no extra shuffle, so it runs at scan throughput on
+    100 TB where a row_number()-per-lang window would shuffle everything by
+    a 5-value skewed key. The trade: the kept count per language is
+    target±binomial noise rather than exactly target; the hash rule is
+    deterministic, so both engines keep the IDENTICAL doc set. Integer-only
+    arithmetic ((target*RES) DIV c) keeps the threshold exact across
+    engines."""
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_langs")
+    )
+    tgt = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.least(
+                F.col("c"),
+                F.ceil(F.col("n").cast("double") / F.col("n_langs")).cast("bigint"),
+            ),
+        )
+        .withColumn("thresh", F.expr(f"(target * {BALANCE_RES}) DIV c"))
+        .select("lang", "thresh")
+    )
+    return (
+        docs.join(F.broadcast(tgt), "lang")
+        .filter(
+            ((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296 % BALANCE_RES
+            < F.col("thresh")
+        )
+        .select("doc_id", "lang")
+    )

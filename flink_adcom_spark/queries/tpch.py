@@ -526,3 +526,120 @@ def q89_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+# --- Q17 adaptation: small-quantity-order revenue -----------------------------
+# Real TPC-H Q17 (spec 2.18) filters p_brand + p_container and averages
+# lineitem quantity per part in a correlated scalar subquery. The synthetic
+# part table has no p_container, so the filter is brand-only; the correlated
+# subquery decorrelates to a per-part aggregate joined back — the plan every
+# engine (and the spec's own commentary) rewrites it to.
+Q17_BRAND = "Brand#4"
+
+
+@query(
+    "q92_tpch_q17_small_qty",
+    f"""
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+    li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN bp ON l_partkey = p_partkey
+    ),
+    av AS (
+      SELECT l_partkey,
+             {sql_dec_sum('l_quantity', 'DECIMAL(18,2)')} / COUNT(*) AS avg_qty
+      FROM li GROUP BY l_partkey
+    )
+    SELECT {sql_dec_sum('l_extendedprice')} / CAST('7' AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM li JOIN av USING (l_partkey)
+    WHERE l_quantity < CAST('0.2' AS DOUBLE) * avg_qty
+    """,
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q92_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: yearly revenue lost if small-quantity orders (below 20% of
+    the part's average order quantity) were not filled.
+
+    Scale shape: the brand filter keeps ~1/25 of parts, so that side
+    BROADCASTS; the per-part average is computed AFTER the semi-reduction to
+    brand parts (classic Q17 rewrite — averaging all 100 TB of lineitem first
+    and keeping 4% of the groups would be pure waste). The per-part average
+    is a map-side-combinable agg; the back-join is partkey-equi on the
+    already-reduced relation. Exact decimal sums keep the 20%-of-average
+    comparison bit-identical across engines and merge orders
+    (cf. reference TPCHQuery01PreAggregate.java:33-40 for the exact-money
+    discipline)."""
+    bp = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    av = li.groupBy("l_partkey").agg(
+        (dec_sum("l_quantity", "DECIMAL(18,2)") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(av, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+# --- Q18 adaptation: large-volume orders --------------------------------------
+# Spec threshold 300 assumes 7 lineitems/order; the synthetic generator emits
+# ~4, so 250 lands at the same "top ~1% of orders" selectivity (204 orders at
+# sf0.01, 25 at sf0.001).
+Q18_QTY_THRESHOLD = 250
+
+
+@query(
+    "q93_tpch_q18_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_dec_sum('l_quantity', 'DECIMAL(18,2)')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {sql_dec_sum('l_quantity', 'DECIMAL(18,2)')} > {Q18_QTY_THRESHOLD}
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    tags=("tpch", "join", "agg", "having", "topn"),
+)
+def q93_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: the top-100 largest-volume orders with their customers.
+
+    Scale shape: the HAVING pre-aggregate reduces lineitem to ~1% of orders
+    BEFORE any join (map-side combinable sum keyed by orderkey); orders joins
+    that reduced set on its key, customer joins the ~100x-smaller result.
+    TakeOrderedAndProject keeps the top-100 without a global sort. Exact
+    decimal quantity sums make the >threshold cut merge-order-independent —
+    on a double sum, a 100 TB partial-agg tree could flip boundary orders in
+    and out of the result between runs."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity", "DECIMAL(18,2)").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
