@@ -107,7 +107,12 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # Project to the 3 consumed columns BEFORE the Arrow exchange: mapInPandas
+    # is a pruning barrier, so without this the scan reads (and Arrow ships)
+    # every media column into Python.
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
@@ -130,7 +135,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
                 )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_offset"])
 
-    return media.mapInPandas(run, schema="media_id long, frame_idx int, frame_offset long")
+    # Same pruning-barrier discipline as extract_features: only ship the
+    # consumed columns through Arrow.
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        run, schema="media_id long, frame_idx int, frame_offset long"
+    )
 
 
 RESIZE_SCHEMA = (
