@@ -66,16 +66,17 @@ _ROUND4_GATE = frozenset(
     + [
         "q91_stream_update_fold",
     ]
-    # new this round (TPC-H Q17/Q18 adaptations, language-mixture balance)
+    # new this round (TPC-H Q17/Q18 adaptations, language-mixture balance,
+    # resize plumbing under oracle)
     + [
         "q92_tpch_q17_small_qty", "q93_tpch_q18_large_orders",
-        "q94_lang_balance",
+        "q94_lang_balance", "q95_media_resize",
     ]
     # stable non-events anchors re-greened with the spare slots (the other
     # dedup/similarity anchors already hold green rows from r03)
     + [
-        "q08_tpch_q1", "q45_dedup_clusters",
-        "q88_embed_neardup_multiprobe", "q89_tpch_q10_returned_items",
+        "q08_tpch_q1", "q88_embed_neardup_multiprobe",
+        "q89_tpch_q10_returned_items",
     ]
 )
 _GATE = _ROUND4_GATE

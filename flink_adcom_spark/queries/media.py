@@ -90,3 +90,49 @@ def q82_generic_topn_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key long, rnk int, distance_km double",
     )
     return out.select("key", "rnk", F.round("distance_km", 6).alias("distance_km"))
+
+
+@query(
+    "q95_media_resize",
+    # The fake resize is a pure function of the payload bytes, and the fixture
+    # payload is the document's ASCII text — so first/last byte = ascii of
+    # first/last char, and the resampled output length is integer arithmetic:
+    # step = max(1, n DIV 784), out = min(ceil(n/step), 784).
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+             ascii(left(text, 1)) AS b0, ascii(right(text, 1)) AS b1
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 64 + b0 % 192 END AS INT) AS width,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 64 + b1 % 192 END AS INT) AS height,
+           CAST(224 AS INT) AS target_w, CAST(224 AS INT) AS target_h,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE LEAST((n + GREATEST(1, n // 784) - 1) // GREATEST(1, n // 784),
+                           784) END AS BIGINT) AS out_bytes
+    FROM img
+    """,
+    tags=("multimodal",),
+)
+def q95_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing end-to-end: image rows -> Arrow-batched
+    decode/scale/re-encode -> (dims, target dims, resized payload size). The
+    mapInPandas stage with the stubbed codec is the system under test; the
+    oracle restates the deterministic fake's byte arithmetic. The payload
+    itself stays executor-side (only its length is emitted), mirroring the
+    drop-bytes-before-shuffle discipline of extract_features."""
+    from ..operators.multimodal import resize_images
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    out = resize_images(media, target_w=224, target_h=224)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.octet_length("content").cast("bigint").alias("out_bytes"),
+    )
