@@ -556,6 +556,7 @@ Q17_BRAND = "Brand#4"
     WHERE l_quantity < CAST('0.2' AS DOUBLE) * avg_qty
     """,
     tags=("tpch", "join", "agg", "subquery"),
+    bench=True,
 )
 def q92_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: yearly revenue lost if small-quantity orders (below 20% of
@@ -615,6 +616,7 @@ Q18_QTY_THRESHOLD = 250
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
     tags=("tpch", "join", "agg", "having", "topn"),
+    bench=True,
 )
 def q93_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: the top-100 largest-volume orders with their customers.
