@@ -70,13 +70,12 @@ _ROUND4_GATE = frozenset(
     # resize plumbing under oracle)
     + [
         "q92_tpch_q17_small_qty", "q93_tpch_q18_large_orders",
-        "q94_lang_balance", "q95_media_resize",
+        "q94_lang_balance", "q95_media_resize", "q96_sketch_rollup",
     ]
     # stable non-events anchors re-greened with the spare slots (the other
     # dedup/similarity anchors already hold green rows from r03)
     + [
-        "q08_tpch_q1", "q88_embed_neardup_multiprobe",
-        "q89_tpch_q10_returned_items",
+        "q08_tpch_q1", "q89_tpch_q10_returned_items",
     ]
 )
 _GATE = _ROUND4_GATE

@@ -84,3 +84,37 @@ def q72_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("value", 0.95).alias("p95"),
         )
     )
+
+
+@query(
+    "q96_sketch_rollup",
+    None,  # sketches are engine-specific; merge-exactness is asserted in
+    # tests/test_sketches.py (rolled-up estimate == direct estimate, exactly)
+    tags=("events", "sketch", "rollup", "distinct"),
+)
+def q96_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the hypertable pattern): persistable per-day
+    HLL sketches of distinct users, union-merged into the per-type total
+    WITHOUT touching the raw events again.
+
+    This is how a 100 TB serving layer answers "distinct users over any date
+    range": the base rollup stores one binary sketch per (day, type) — KBs —
+    and range queries fold hll_union_agg over the selected days, an
+    O(days*types) aggregation instead of an O(rows) dedup shuffle. The HLL
+    union is lossless w.r.t. the sketch (merged estimate == the estimate a
+    single pass would produce), asserted exactly in the tests; the direct
+    single-pass estimate is emitted alongside for that proof."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("rollup_users")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users")
+    )
+    return rolled.join(direct, "event_type").select(
+        "event_type", "rollup_users", "direct_users"
+    )

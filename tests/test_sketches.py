@@ -64,3 +64,23 @@ def test_salted_distinct_equals_plain(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
     assert got == want
+
+
+def test_sketch_rollup_merge_is_lossless(spark, sf_dir):
+    """The union-merged per-day sketches must estimate EXACTLY what a single
+    pass over the raw rows estimates (HLL union is deterministic and
+    lossless w.r.t. the sketch), and both must sit within the error bound
+    of the exact distinct count."""
+    rows = get("q96_sketch_rollup").build(spark, sf_dir).collect()
+    assert rows
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["rollup_users"] == r["direct_users"], r
+        n = exact[r["event_type"]]
+        assert abs(r["rollup_users"] - n) <= max(1, 0.1 * n), (r, n)
