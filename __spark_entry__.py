@@ -71,11 +71,12 @@ _ROUND4_GATE = frozenset(
     + [
         "q92_tpch_q17_small_qty", "q93_tpch_q18_large_orders",
         "q94_lang_balance", "q95_media_resize", "q96_sketch_rollup",
+        "q97_asof_next_purchase",
     ]
-    # stable non-events anchors re-greened with the spare slots (the other
-    # dedup/similarity anchors already hold green rows from r03)
+    # stable non-events anchor re-greened with the spare slot (the other
+    # dedup/similarity/tpch anchors already hold green rows from r03)
     + [
-        "q08_tpch_q1", "q89_tpch_q10_returned_items",
+        "q08_tpch_q1",
     ]
 )
 _GATE = _ROUND4_GATE

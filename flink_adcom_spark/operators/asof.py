@@ -33,9 +33,14 @@ def as_of_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row with
-    right_ts <= left_ts (backward-inclusive) sharing the `on` keys.
+    right_ts <= left_ts (backward-inclusive, the default) or — with
+    direction="forward" — the EARLIEST right row with right_ts >= left_ts,
+    sharing the `on` keys. Forward is the conversion/outcome lookup ("first
+    purchase after this view", "next failure after this deploy"); the plan
+    shape is identical, only the carry direction of the window flips.
 
     Returns all left columns plus the right side's non-key, non-timestamp
     columns (caller renames beforehand to avoid collisions — asserted; to
@@ -49,6 +54,8 @@ def as_of_join(
     right timestamps the last in (ts, original column order) wins — pre-dedup
     the right side for full determinism.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     left_payload = [c for c in left.columns if c not in on and c != left_ts]
     right_payload = [c for c in right.columns if c not in on and c != right_ts]
     clash = set(left_payload) & set(right_payload)
@@ -57,6 +64,12 @@ def as_of_join(
     if left_ts in on or right_ts in on:
         raise ValueError("timestamp column cannot be a join key")
 
+    # Tag order decides same-timestamp inclusivity: the right row must sort on
+    # the CARRY side of the left row — before it for a backward carry (last
+    # over preceding rows), after it for a forward carry (first over
+    # following rows).
+    right_tag, left_tag = (0, 1) if direction == "backward" else (1, 0)
+
     def side(df: DataFrame, ts: str, tag: int, payload: list[str]) -> DataFrame:
         cols: list[Column] = [F.col(k) for k in on]
         cols.append(F.col(ts).alias(_TS))
@@ -64,8 +77,8 @@ def as_of_join(
         cols += [F.col(c) for c in payload]
         return df.select(*cols)
 
-    r = side(right, right_ts, 0, right_payload)
-    l = side(left, left_ts, 1, left_payload)
+    r = side(right, right_ts, right_tag, right_payload)
+    l = side(left, left_ts, left_tag, left_payload)
     # align column sets: right rows carry null left payload and vice versa
     for c in left_payload:
         r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -73,15 +86,15 @@ def as_of_join(
         l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     unioned = r.unionByName(l)
 
-    # right rows (side=0) sort before left rows at the same timestamp ->
-    # backward-INCLUSIVE match
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload]
-    carried_ts = F.last(F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True).over(w)
+    base = Window.partitionBy(*on).orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    carried = [carry(F.col(c)).alias(c) for c in right_payload]
+    carried_ts = carry(F.when(F.col(_SIDE) == right_tag, F.col(_TS)))
 
     out = (
         unioned.withColumn("__asof_match_ts", carried_ts)
@@ -93,12 +106,13 @@ def as_of_join(
             *[c for c in left_payload],
             *carried,
         )
-        .filter(F.col(_SIDE) == 1)
+        .filter(F.col(_SIDE) == left_tag)
     )
     if tolerance_s is not None:
-        stale = (
-            F.col(_TS).cast("double") - F.col("__asof_match_ts").cast("double")
-        ) > F.lit(float(tolerance_s))
+        gap = F.col(_TS).cast("double") - F.col("__asof_match_ts").cast("double")
+        if direction == "forward":
+            gap = -gap
+        stale = gap > F.lit(float(tolerance_s))
         for c in right_payload:
             out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
         out = out.withColumn(

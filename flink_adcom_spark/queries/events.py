@@ -386,3 +386,63 @@ def q78_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+# --- forward as-of join (conversion lookup) -----------------------------------
+@query(
+    "q97_asof_next_purchase",
+    "WITH purchases AS ("
+    "  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value, "
+    "         ts AS purchase_ts FROM events WHERE event_type = 'purchase' "
+    "  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) = 1"
+    "), views AS ("
+    "  SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'"
+    ") "
+    "SELECT v.user_id, v.ts, v.view_id, p.purchase_id, p.purchase_value, "
+    "       epoch_us(p.purchase_ts) - epoch_us(v.ts) AS lag_us "
+    "FROM views v ASOF LEFT JOIN purchases p "
+    "ON v.user_id = p.user_id AND p.ts >= v.ts",
+    tags=("events", "join", "asof", "forward"),
+)
+def q97_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each view matched to the same user's EARLIEST purchase at-or-after it
+    (forward as-of: conversion outcome + time-to-convert), via
+    operators/asof.py direction="forward" — the mirrored carry of q26's
+    backward point-in-time join, still one shuffle and no pair blow-up.
+    Oracle = DuckDB's native ASOF JOIN with the >= inequality.
+
+    The purchase side is deduped to one per (user, ts) (min event_id) so the
+    same-timestamp tie is deterministic in both engines. lag_us is exact
+    integer microseconds (unix_micros / epoch_us)."""
+    from ..operators.asof import as_of_join
+
+    ev = _events(spark, sf_dir)
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.col("purchase_id").asc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = as_of_join(
+        views, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "ts",
+        "view_id",
+        "purchase_id",
+        "purchase_value",
+        (F.unix_micros("purchase_ts") - F.unix_micros("ts")).alias("lag_us"),
+    )

@@ -73,3 +73,35 @@ def test_asof_column_collision_rejected(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "collision" in str(e)
+
+
+def test_asof_forward_inclusive_and_nulls(spark):
+    left, right = _frames(spark)
+    got = {
+        (r["k"], r["l"]): r["r"]
+        for r in as_of_join(left, right, on=["k"], direction="forward").collect()
+    }
+    assert got == {
+        (1, "a"): 100,  # equal-timestamp right row matches (inclusive)
+        (1, "b"): None,  # no right row at-or-after 12:00
+        (2, "c"): 300,  # earliest right row after 09:00
+        (3, "d"): None,  # no right rows for key
+    }
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = _frames(spark)
+    got = {
+        (r["k"], r["l"]): r["r"]
+        for r in as_of_join(
+            left, right, on=["k"], direction="forward", tolerance_s=600
+        ).collect()
+    }
+    assert got[(1, "a")] == 100  # 0 s ahead: inside
+    assert got[(2, "c")] is None  # 30 min ahead -> outside 10 min tolerance
+
+
+def test_asof_forward_plan_has_single_exchange(spark):
+    left, right = _frames(spark)
+    joined = as_of_join(left, right, on=["k"], direction="forward")
+    assert explain.num_exchanges(joined) == 1, explain.formatted_plan(joined)
