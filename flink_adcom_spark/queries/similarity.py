@@ -568,3 +568,59 @@ def q88_embed_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# --- int8 quantization round-trip ---------------------------------------------
+@query(
+    "q101_quantize_embeddings",
+    # The quantization arithmetic is pure per-element math, so it restates in
+    # SQL: scale = amax/127, q = round(x/scale). Both engines do the double
+    # division on identical operands and round halves away from zero, and the
+    # digest over the comma-joined int components is byte-identical.
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, vec,
+             list_max(list_transform(vec, x -> abs(x))) AS amax
+      FROM v
+    )
+    SELECT vec_id,
+           CASE WHEN amax > 0 THEN amax / CAST(127 AS DOUBLE) ELSE 0.0 END AS scale,
+           CAST(len(vec) AS INT) AS n_dims,
+           md5(array_to_string(
+             CASE WHEN amax > 0
+                  THEN list_transform(vec,
+                         x -> CAST(round(x / (amax / CAST(127 AS DOUBLE))) AS TINYINT))
+                  ELSE list_transform(vec, x -> CAST(0 AS TINYINT)) END,
+             ',')) AS q_digest
+    FROM s
+    """,
+    tags=("similarity", "vectors", "quantize", "pipeline"),
+)
+def q101_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding table
+    (operators/vectors.py) — 4x storage reduction before indexing — surfaced
+    as (scale, dim count, md5 digest of the quantized components) so the
+    exact quantized bytes are externally hash-checked. Pure higher-order
+    column expressions: JVM-side, zero shuffle, scan-through at 100 TB.
+    Error bound (dequantize error <= scale/2 per component) is asserted in
+    tests/test_vectors.py."""
+    from ..operators.vectors import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qz = e.withColumn("qs", quantize_int8(F.col("v")))
+    return qz.select(
+        "vec_id",
+        F.col("qs").getField("scale").alias("scale"),
+        F.size("v").cast("int").alias("n_dims"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("qs").getField("q"), lambda x: x.cast("string")), ","
+            )
+        ).alias("q_digest"),
+    )

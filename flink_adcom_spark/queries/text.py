@@ -743,3 +743,67 @@ def q94_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+# --- vocabulary build with cumulative coverage --------------------------------
+VOCAB_TOP_K = 30
+
+
+@query(
+    "q100_vocab_coverage",
+    f"""
+    WITH cnt AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents) t
+      GROUP BY word
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM cnt),
+    ranked AS (
+      SELECT word, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM cnt
+    )
+    SELECT word, cnt, CAST(rnk AS INT) AS rnk,
+           CAST(cum AS DOUBLE) / (SELECT n FROM tot) AS coverage
+    FROM ranked WHERE rnk <= {VOCAB_TOP_K}
+    """,
+    tags=("text", "vocab", "pipeline"),
+)
+def q100_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary candidate build: the top-K corpus tokens with their
+    cumulative corpus-coverage fraction — the curve a tokenizer build reads
+    to pick a vocab size ("K tokens cover X% of the corpus").
+
+    Scale shape: token counts are the q10 word-count aggregate (map-side
+    combined); the ranking window then runs over the |vocab| COUNTED rows,
+    not the corpus — at 100 TB the corpus explode/agg dominates and the
+    cumulative window touches only the (small) distinct-token relation.
+    Rank ties break by word so both engines pick the identical top-K and
+    identical running sums. The coverage division is one double op on an
+    exact integer pair."""
+    from pyspark.sql import Window
+
+    cnt = (
+        _documents(spark, sf_dir)
+        .select(F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cnt.agg(F.sum("cnt").alias("n"))
+    # TakeOrdered the top-K FIRST (no global sort), so the unpartitioned
+    # cumulative window only ever sees K rows — the cum at rank r depends
+    # only on rows ranked above it, so limiting before the window is exact.
+    topk = cnt.orderBy(F.desc("cnt"), F.asc("word")).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = topk.withColumn("rnk", F.row_number().over(w).cast("int")).withColumn(
+        "cum",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "word",
+        "cnt",
+        "rnk",
+        (F.col("cum").cast("double") / F.col("n")).alias("coverage"),
+    )

@@ -645,3 +645,155 @@ def q93_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# --- Q7 adaptation: bilateral shipping volume ---------------------------------
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_START, Q7_END = "1996-01-01", "1998-01-01"
+
+
+@query(
+    "q98_tpch_q7_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dec_sum('volume', 'DECIMAL(22,4)')} AS revenue, COUNT(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             {sql_money('l_extendedprice')} * (1 - {sql_rate('l_discount')}) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+          OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+        AND l_shipdate >= TIMESTAMP '{Q7_START} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{Q7_END} 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q98_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by direction and year
+    (supplier nation -> customer nation).
+
+    Scale shape: nation is broadcast on BOTH sides of the fact table
+    (aliased to keep supplier's and customer's nation distinct); supplier is
+    SF-bounded and broadcastable; the shipdate window pushes into the
+    lineitem scan so only the 2-year slice joins at all. The disjunctive
+    nation pair filter applies after the two broadcast joins — still
+    scan-side, no shuffle of lineitem before the final 3-key aggregate."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_END).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum((money("l_extendedprice") * (1 - rate("l_discount"))).cast("decimal(22,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- Q8 adaptation: national market share -------------------------------------
+Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_3", "EUROPE", "PROMO"
+
+
+@query(
+    "q99_tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           {sql_dec_sum('nation_volume', 'DECIMAL(22,4)')}
+             / {sql_dec_sum('volume', 'DECIMAL(22,4)')} AS mkt_share,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             {sql_money('l_extendedprice')} * {sql_rate('l_discount')} AS volume,
+             CASE WHEN n1.n_name = '{Q8_NATION}'
+                  THEN {sql_money('l_extendedprice')} * {sql_rate('l_discount')}
+                  ELSE CAST(0.0000 AS DECIMAL(22,4)) END AS nation_volume
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE p_type = '{Q8_TYPE}' AND r_name = '{Q8_REGION}'
+    ) volumes
+    GROUP BY o_year
+    """,
+    tags=("tpch", "join", "agg", "share"),
+)
+def q99_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a part type's sales volume
+    into a region, by order year.
+
+    Scale shape: every dimension (part after its type filter, supplier,
+    nation x2, region) broadcasts; lineitem never shuffles until the
+    per-year aggregate (a handful of groups). The share is a ratio of two
+    EXACT decimal sums, so the division is performed once on two exact
+    operands — the only double op — keeping the result identical across
+    engines and partial-agg merge orders."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION).select(
+        "r_regionkey"
+    )
+    vol = money("l_extendedprice") * rate("l_discount")
+    nation_vol = F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(
+        F.lit(0).cast("decimal(22,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(reg), F.col("c_rk") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_vol.cast("decimal(22,4)")).cast("double")
+                / F.sum(vol.cast("decimal(22,4)")).cast("double")
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
