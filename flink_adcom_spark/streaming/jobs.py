@@ -341,3 +341,65 @@ def streaming_daily_stats_materialize(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def streaming_sketch_rollup_materialize(
+    spark: SparkSession, events_dir: str, out_path: str, **kw
+) -> None:
+    """Incrementally maintain a per-(day, event_type) HLL sketch table from
+    the event stream: each micro-batch pre-aggregates its rows into
+    BATCH-LOCAL sketches (no streaming agg state at all), and the sink folds
+    them into the stored sketches with a binary hll_union on the touched day
+    partitions.
+
+    This is the sketch-typed face of the reference's adCombine contract
+    (PreAggregateFunction.java: bounded-bundle pre-aggregate, associative
+    merge downstream): the bundle is the micro-batch, the merge is the HLL
+    union — associative and lossless w.r.t. the sketch, so the stored sketch
+    is bit-equivalent to a single pass regardless of how the stream was
+    batched (asserted in tests/test_streaming.py against the batch q96
+    rollup). Steady-state cost per batch: O(touched days x types) rows of
+    KB-sized sketches, never O(history) — and because there is no streaming
+    aggregation state, nothing grows with the key space; the serving table
+    IS the state."""
+    from ..operators.storage import upsert_partitions
+
+    ev = _events_stream(spark, events_dir, **kw)
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        delta = (
+            batch_df.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+            .localCheckpoint(eager=True)
+        )
+        days = [r["day"] for r in delta.select("day").distinct().collect()]
+        jvm = sess._jvm
+        jsc = sess._jsc
+        path = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            existing = sess.read.parquet(out_path).filter(F.col("day").isin(days))
+            merged = (
+                existing.withColumnRenamed("sketch", "old_sketch")
+                .join(delta.withColumnRenamed("sketch", "new_sketch"),
+                      ["day", "event_type"], "full_outer")
+                .select(
+                    "day",
+                    "event_type",
+                    F.when(F.col("old_sketch").isNull(), F.col("new_sketch"))
+                    .when(F.col("new_sketch").isNull(), F.col("old_sketch"))
+                    .otherwise(F.hll_union("old_sketch", "new_sketch"))
+                    .alias("sketch"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged = delta
+        upsert_partitions(merged, out_path, ["day"])
+
+    q = ev.writeStream.outputMode("append").foreachBatch(merge).start()
+    q.processAllAvailable()
+    q.stop()

@@ -455,3 +455,41 @@ def test_ad_combine_topn_fold_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got_rows == want_rows
+
+
+def test_streaming_sketch_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained sketch table, union-merged across days,
+    estimates EXACTLY what the batch single-pass sketch estimates — i.e. the
+    batch-bundled pre-aggregate + binary union loses nothing regardless of
+    how the stream was split into micro-batches."""
+    import pyarrow.parquet as pq
+
+    from flink_adcom_spark.tables import load_table
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    half = src.num_rows // 2
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    pq.write_table(src.slice(0, half), feed / "a.parquet")
+    pq.write_table(src.slice(half), feed / "b.parquet")
+
+    out = str(tmp_path / "sketch_rollup")
+    jobs.streaming_sketch_rollup_materialize(
+        spark, str(feed), out, maxFilesPerTrigger=1
+    )
+
+    got = {
+        r["event_type"]: r["est"]
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["est"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert got == want
