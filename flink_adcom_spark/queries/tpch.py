@@ -749,6 +749,7 @@ Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_3", "EUROPE", "PROMO"
     GROUP BY o_year
     """,
     tags=("tpch", "join", "agg", "share"),
+    bench=True,
 )
 def q99_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one supplier nation's share of a part type's sales volume
