@@ -94,3 +94,35 @@ def test_asof_join_equals_naive(left, right):
         cands = [(rt, rid) for rid, rk, rt in rrows if rk == k and rt <= t]
         naive.add((lid, max(cands)[1] if cands else None))
     assert got == naive
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_points, right=_points)
+def test_asof_forward_join_equals_naive(left, right):
+    spark = _spark()
+    # dedupe right to one row per (k, ts) — forward tie rule: keep min rid
+    right_dedup = {}
+    for i, (k, t) in enumerate(right):
+        cur = right_dedup.get((k, t))
+        right_dedup[(k, t)] = i if cur is None else min(cur, i)
+    l = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)] or [(0, 0, EPOCH)],
+        "lid int, k int, ts timestamp",
+    )
+    r = spark.createDataFrame(
+        [(rid, k, t) for (k, t), rid in right_dedup.items()] or [(0, 99, EPOCH)],
+        "rid int, k int, rts timestamp",
+    )
+    got = {
+        (row["lid"], row["rid"])
+        for row in as_of_join(
+            l, r, on=["k"], left_ts="ts", right_ts="rts", direction="forward"
+        ).collect()
+    }
+    # naive: per left row, the right row with min rts >= ts for the same key
+    rrows = [(rid, k, t) for (k, t), rid in right_dedup.items()]
+    naive = set()
+    for lid, (k, t) in enumerate(left or [(0, EPOCH)]):
+        cands = [(rt, rid) for rid, rk, rt in rrows if rk == k and rt >= t]
+        naive.add((lid, min(cands)[1] if cands else None))
+    assert got == naive
