@@ -63,18 +63,25 @@ def main() -> None:
     # relation build, AQE stats — that amortize away in any real deployment;
     # min-of-3 keeps one GC-pause outlier from distorting a recorded number)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(specs):
         spec = specs[name]
         best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            df = spec.build(spark, sf_dir)
-            if name in COUNT_ONLY:
-                df.count()
-            else:
-                df.collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                df = spec.build(spark, sf_dir)
+                if name in COUNT_ONLY:
+                    df.count()
+                else:
+                    df.collect()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            # One broken query must not zero out the whole round's numbers
+            # (round 3 lost every timing to a single schema-drift error):
+            # record the failure, keep benchmarking the rest.
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     stream_rps = _stream_throughput(spark)
     bundle = _adaptive_bundle_metric(spark)
@@ -91,6 +98,7 @@ def main() -> None:
                 "warmup_sec": round(warmup_s, 3),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "stream_wordcount_rows_per_sec": stream_rps,
+                **({"errors": errors} if errors else {}),
                 **bundle,
             }
         )
