@@ -155,14 +155,40 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def _normalize_to_declared(df: DataFrame, name: str) -> DataFrame:
+    """Cast any column whose READ dtype drifted from the declared schema back
+    to the declared type (the events-ts generalization: test-data
+    regenerations have changed physical types between rounds — e.g.
+    TIMESTAMP(NANOS)->TIMESTAMP(MICROS) — and the engine-facing types must
+    stay stable). Value-preserving by construction: the session tz is pinned
+    UTC, so NTZ<->TZ and DATE->TIMESTAMP casts do not reinterpret values. A
+    MISSING declared column still fails loudly at plan time."""
+    from pyspark.sql import functions as F
+
+    declared = SCHEMAS[name]
+    actual = dict(df.dtypes)
+    missing = [f.name for f in declared.fields if f.name not in actual]
+    if missing:
+        raise ValueError(
+            f"table {name!r} is missing declared columns {missing}; "
+            f"found {sorted(actual)} — test data layout changed?"
+        )
+    for field in declared.fields:
+        if actual[field.name] != field.dataType.simpleString():
+            df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     _pin_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
+        # runs before the generic cast: epoch-nanos BIGINT needs DIV 1000,
+        # which a plain cast-to-timestamp would get wrong by 1000x.
         df = normalize_event_ts(df)
-    return df
+    return _normalize_to_declared(df, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
