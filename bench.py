@@ -93,6 +93,10 @@ def main() -> None:
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                # the headline set GROWS round over round, so `value` is not
+                # comparable across rounds — BENCH_HISTORY.md carries the
+                # per-query deltas that are.
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf_from_dir(sf_dir),
                 "warmup_sec": round(warmup_s, 3),
