@@ -84,13 +84,32 @@ def replay_table_stream(
     spark: SparkSession,
     sf_dir: str,
     table: str,
-    schema,
+    schema=None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-replay source for any synthetic table (reference S1/S3 file
     sources). Replay rate is governed by maxFilesPerTrigger; at cluster scale
-    file-splits give per-partition parallel readers (S2/S4) for free."""
+    file-splits give per-partition parallel readers (S2/S4) for free.
+
+    With schema=None the footer schema is peeked with a batch read and the
+    result is normalized to the declared table schema — robust to
+    physical-type drift across test-data regenerations."""
+    if schema is None:
+        schema = (
+            spark.read.option("pathGlobFilter", f"{table}.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
     reader = spark.readStream.schema(schema).option("pathGlobFilter", f"{table}.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir)
+    df = reader.parquet(sf_dir)
+    from ..tables import SCHEMAS, _normalize_to_declared
+
+    if table in SCHEMAS:
+        if table == "events":
+            from ..tables import normalize_event_ts
+
+            df = normalize_event_ts(df)
+        df = _normalize_to_declared(df, table)
+    return df

@@ -97,29 +97,21 @@ def streaming_ride_avg(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
 
 
 def streaming_tpch_q1(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
-    """Q8 streaming form over a lineitem file stream."""
-    schema = T.StructType(
-        [
-            T.StructField("l_orderkey", T.LongType()),
-            T.StructField("l_partkey", T.LongType()),
-            T.StructField("l_suppkey", T.LongType()),
-            T.StructField("l_linenumber", T.IntegerType()),
-            T.StructField("l_quantity", T.DoubleType()),
-            T.StructField("l_extendedprice", T.DoubleType()),
-            T.StructField("l_discount", T.DoubleType()),
-            T.StructField("l_tax", T.DoubleType()),
-            T.StructField("l_returnflag", T.StringType()),
-            T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
-        ]
-    )
+    """Q8 streaming form over a lineitem file stream. Same footer-peek +
+    declared-schema normalization as _events_stream, so a physical-type
+    drift in a data regeneration cannot silently corrupt the stream."""
     from ..queries.tpch import _q1_aggs
+    from ..tables import _normalize_to_declared
 
+    peek = (
+        spark.read.option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir).schema
+    )
     li = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(peek)
         .option("pathGlobFilter", "lineitem.parquet")
         .parquet(sf_dir)
     )
+    li = _normalize_to_declared(li, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(*_q1_aggs())
 
 
