@@ -21,21 +21,50 @@ from .rides import rides, rides_oracle_cte
 
 @query(
     "q80_media_features",
-    None,  # mapInPandas + stubbed codec: rows-only check
+    # The deterministic fake decode is a pure function of the payload bytes
+    # (= the document's ASCII text), so every feature restates as SQL: md5
+    # checksum over the bytes, dimensions from first/last byte for images,
+    # the 3-component feature vector emitted as scalar columns (array cells
+    # are unsortable in the driver's canonicalization).
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(CASE WHEN doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+                     THEN 64 + ascii(left(text, 1)) % 192 ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+                     THEN 64 + ascii(right(text, 1)) % 192 ELSE 0 END AS INT) AS height,
+           CAST(octet_length(encode(text)) % 251 AS DOUBLE) AS feat_len,
+           CAST(CASE WHEN octet_length(encode(text)) > 0
+                     THEN ascii(left(text, 1)) ELSE 0 END AS DOUBLE) AS feat_first,
+           CAST(CASE WHEN octet_length(encode(text)) > 0
+                     THEN ascii(right(text, 1)) ELSE 0 END AS DOUBLE) AS feat_last
+    FROM documents
+    """,
     tags=("multimodal",),
 )
 def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature extraction end-to-end: documents -> binary media table ->
     Arrow-batched decode/checksum/features (payload column dropped before any
-    downstream shuffle).
-
-    The feature vector is rendered as its string form for the gate: the
-    driver's rows-only canonicalization sorts every output column, and
-    array-typed cells are unsortable there. The array-typed path is exercised
-    by tests/test_multimodal.py."""
+    downstream shuffle). The mapInPandas codec stage is the system under
+    test; the oracle restates the deterministic fake decode. The feature
+    vector is surfaced as scalar columns for the gate; the array-typed path
+    is exercised by tests/test_multimodal.py."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media, fake_decode=True)
-    return feats.withColumn("feat", F.col("feat").cast("string"))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        "width",
+        "height",
+        F.col("feat")[0].alias("feat_len"),
+        F.col("feat")[1].alias("feat_first"),
+        F.col("feat")[2].alias("feat_last"),
+    )
 
 
 @query(
