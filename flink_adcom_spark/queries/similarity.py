@@ -453,9 +453,81 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
+# --- unrolled Lloyd oracle ----------------------------------------------------
+EMB_DIM = 64  # embeddings fixture dimension (TESTDATA.md)
+
+
+def _kmeans_dist_sql(v: str, c: str) -> str:
+    """Squared L2 distance with the IDENTICAL left-fold order as the Spark
+    side (operators/kmeans.py::_sq_dist: zip_with diff-squares, then
+    aggregate fold from 0.0) — double addition is not associative, and the
+    argmin tie rule needs bit-equal distances."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(list_zip({v}, {c}), p -> (p[1]-p[2])*(p[1]-p[2]))), "
+        f"(a, x) -> a + x)"
+    )
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """DuckDB restatement of lloyd_kmeans: the ITERS iterations are unrolled
+    as chained CTEs (assign -> per-cluster/dim mean -> empty-cluster
+    fallback). Centroid means are double averages whose summation order is
+    engine-internal on both sides; the assignment output is integer-valued
+    and empirically bit-stable (a flip would need two centroids equidistant
+    to ~1 ulp — surfaced by the per-round mirror run if a data generation
+    ever produces that)."""
+    parts = [
+        f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k}) t
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, cid AS cluster, v FROM (
+    SELECT vecs.vec_id, {prev}.cid, vecs.v,
+           ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                              ORDER BY {_kmeans_dist_sql('vecs.v', prev + '.c')},
+                                       {prev}.cid) AS rn
+    FROM vecs CROSS JOIN {prev}
+  ) t WHERE rn = 1
+),
+u{it} AS (
+  SELECT cluster AS cid, list(m ORDER BY i) AS c FROM (
+    SELECT cluster, i, AVG(v[i]) AS m FROM a{it} CROSS JOIN dims GROUP BY cluster, i
+  ) t GROUP BY cluster
+),
+c{it} AS (
+  SELECT {prev}.cid, COALESCE(u{it}.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN u{it} ON {prev}.cid = u{it}.cid
+)"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"""
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+  SELECT vecs.vec_id, {prev}.cid AS cluster,
+         ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                            ORDER BY {_kmeans_dist_sql('vecs.v', prev + '.c')},
+                                     {prev}.cid) AS rn
+  FROM vecs CROSS JOIN {prev}
+) t WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
 @query(
     "q57_kmeans",
-    None,  # iterative algorithm: rows-only gate; numpy differential in tests
+    _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
     tags=("similarity", "clustering", "iterative"),
     bench=True,
 )
@@ -481,7 +553,11 @@ DIVERSITY_PER_CLUSTER = 20
 
 @query(
     "q58_diversity_sample",
-    None,  # composes the iterative q57 assignment: rows-only gate
+    "WITH assign AS (" + _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS) + ") "
+    "SELECT vec_id, cluster FROM ("
+    "  SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster "
+    "                                             ORDER BY vec_id) AS rnk"
+    "  FROM assign) t WHERE rnk <= 20",
     tags=("similarity", "clustering", "sample", "pipeline"),
 )
 def q58_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
