@@ -84,6 +84,7 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     stream_rps = _stream_throughput(spark)
+    stream_rps_skew = _stream_throughput(spark, skewed=True)
     bundle = _adaptive_bundle_metric(spark)
 
     total = round(sum(timings.values()), 3)
@@ -102,6 +103,7 @@ def main() -> None:
                 "warmup_sec": round(warmup_s, 3),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "stream_wordcount_rows_per_sec": stream_rps,
+                "stream_wordcount_skew30_rows_per_sec": stream_rps_skew,
                 **({"errors": errors} if errors else {}),
                 **bundle,
             }
@@ -109,25 +111,32 @@ def main() -> None:
     )
 
 
-def _stream_throughput(spark, offer_rps: int = 8_000_000, run_s: float = 12.0) -> int:
+def _stream_throughput(
+    spark, offer_rps: int = 8_000_000, run_s: float = 12.0, skewed: bool = False
+) -> int:
     """Sustained streaming keyed-count throughput (rows/s).
 
     The reference's benchmark axis is source rate sustained by the combiner
-    pipeline (BASELINE.md: busy-sleep sources up to 2M rec/s). Here: offer
-    8M rows/s from the rate source through word-count (update mode, memory
-    sink) — deliberately ABOVE sustainable capacity so the measured max
-    processedRowsPerSecond is the pipeline's true ceiling, not the offer."""
+    pipeline (BASELINE.md: busy-sleep sources up to 2M rec/s), on BOTH a
+    uniform and a skewed workload (nycTaxiRidesSkew30: ~30% of rows on one
+    key). Here: offer 8M rows/s from the rate source through word-count
+    (update mode, memory sink) — deliberately ABOVE sustainable capacity so
+    the measured max processedRowsPerSecond is the pipeline's true ceiling,
+    not the offer. The skewed variant should land close to uniform: the
+    partial aggregate absorbs the hot key map-side, which is the combiner's
+    whole point."""
     from pyspark.sql import functions as F
 
-    from flink_adcom_spark.sources.replay import words_stream
+    from flink_adcom_spark.sources.replay import skewed_words_stream, words_stream
 
-    agg = words_stream(spark, rows_per_second=offer_rps).groupBy("word").agg(
+    source = skewed_words_stream if skewed else words_stream
+    agg = source(spark, rows_per_second=offer_rps).groupBy("word").agg(
         F.count("*").alias("cnt")
     )
     q = (
         agg.writeStream.outputMode("update")
         .format("memory")
-        .queryName("bench_stream_tp")
+        .queryName("bench_stream_tp_skew" if skewed else "bench_stream_tp")
         .trigger(processingTime="500 milliseconds")
         .start()
     )

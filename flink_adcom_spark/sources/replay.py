@@ -80,6 +80,26 @@ def varying_words_stream(
     return src.select(F.col("timestamp").alias("ts"), word.alias("word"))
 
 
+def skewed_words_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    hot_pct: int = 30,
+    corpus_index: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-key word stream: `hot_pct`% of rows carry one hot word, the rest
+    are uniform over the corpus (the reference's skewed benchmark workload,
+    nycTaxiRidesSkew30.gz — ~30% of rides on one key). Deterministic in the
+    rate-source position, so replays reproduce."""
+    corpus = CORPORA[corpus_index]
+    arr = F.array(*[F.lit(w) for w in corpus])
+    src = rate_source(spark, rows_per_second, num_partitions)
+    word = F.when(F.col("value") % 100 < hot_pct, F.lit(HOT_WORD)).otherwise(
+        F.element_at(arr, (F.col("value") % len(corpus) + 1).cast("int"))
+    )
+    return src.select(F.col("timestamp").alias("ts"), word.alias("word"))
+
+
 def replay_table_stream(
     spark: SparkSession,
     sf_dir: str,
