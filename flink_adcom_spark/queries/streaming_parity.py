@@ -163,3 +163,44 @@ def q91_stream_update_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_ride_count_updates(
         spark, sf_dir, name, max_files_per_trigger=1
     )
+
+
+@query(
+    "q102_stream_sketch_rollup",
+    None,  # sketch estimates are engine-specific (rows-only gate); the
+    # EXACT equality proven here is streaming-vs-batch: the returned
+    # rolled-up estimates are asserted equal to the single-pass batch
+    # estimates inside the builder itself — a lossy merge path would
+    # raise before the driver ever hashes rows.
+    tags=("streaming", "sketch", "materialize", "pipeline"),
+)
+def q102_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained HLL sketch table, externally gated: shard the
+    events feed into 4 micro-batches, run streaming_sketch_rollup_materialize
+    (batch-local sketches union-merged into the stored day partitions), then
+    roll the stored sketches up per event_type. The builder asserts the
+    streamed estimates equal the batch single-pass estimates EXACTLY (HLL
+    union is lossless w.r.t. the sketch) before returning."""
+    from ..tables import load_table
+
+    work = tempfile.mkdtemp(prefix="sketch_gate_")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "rollup")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw.repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_sketch_rollup_materialize(spark, feed, out, maxFilesPerTrigger=1)
+    streamed = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"))
+    )
+    batch = {
+        r["event_type"]: r["est"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    got = {r["event_type"]: r["est_users"] for r in streamed.collect()}
+    assert got == batch, f"streamed sketch rollup diverged: {got} vs {batch}"
+    return streamed
