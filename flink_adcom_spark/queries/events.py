@@ -446,3 +446,82 @@ def q97_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         (F.unix_micros("purchase_ts") - F.unix_micros("ts")).alias("lag_us"),
     )
+
+
+# --- time-RANGE window frame --------------------------------------------------
+@query(
+    "q103_time_range_rolling",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS rolling_1h_events
+    FROM events
+    """,
+    tags=("events", "window", "range-frame"),
+)
+def q103_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling sum/count per user — a RANGE window frame over
+    event TIME (q24's ROWS-frame sibling: the frame is bounded by a time
+    horizon, not a row count, so bursty users aggregate everything within
+    the hour). Both engines order by exact integer epoch-micros with the
+    same inclusive 3.6e9-microsecond bound, so frame membership — including
+    equal-timestamp peers, which RANGE frames treat as one peer group — is
+    bit-identical. Decimal-cast sum keeps the money math merge-order-exact.
+
+    Scale shape: one shuffle on user_id + an in-partition sort — the same
+    lower bound as any per-key ordered scan; state per row is O(1) beyond
+    the frame contents."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias(
+            "rolling_1h_value"
+        ),
+        F.count("*").over(w).alias("rolling_1h_events"),
+    )
+
+
+# --- semi-structured props extraction -----------------------------------------
+@query(
+    "q104_props_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which hash-mismatches
+           -- Spark's BIGINT through the driver's pandas round-trip (cf. q86)
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "json", "semi-structured"),
+)
+def q104_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: parse the JSON `props` payload
+    scan-side (get_json_object — codegen'd JSON path, no Python) and
+    aggregate the extracted integer per event type. The shape every event
+    pipeline needs: schema-on-read over a JSON blob column without a
+    pre-parse ETL pass. Integer sums are exact on both engines."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
