@@ -525,3 +525,112 @@ def q104_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# --- gaps-and-islands: activity streaks ---------------------------------------
+@query(
+    "q105_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len, MIN(day) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MIN(streak_start) AS first_day
+    FROM streaks GROUP BY user_id
+    """,
+    tags=("events", "window", "gaps-islands"),
+)
+def q105_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the gaps-and-islands
+    pattern: distinct active days, then day minus its per-user rank is
+    constant within a consecutive run (the island anchor), so one GROUP BY
+    on (user, anchor) yields streaks without any self-join or iteration.
+
+    Scale shape: distinct-days dedup and the rank window share the user_id
+    partitioning (one shuffle, AQE-coalesced), then two cheap aggregates;
+    nothing is quadratic in days. Both engines do identical integer date
+    arithmetic (day - rank days)."""
+    from pyspark.sql import Window
+
+    days = (
+        _events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    grp = days.withColumn("anchor", F.date_sub(F.col("day"), rn))
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.min("streak_start").alias("first_day"),
+    )
+
+
+# --- ordered conversion funnel ------------------------------------------------
+@query(
+    "q106_conversion_funnel",
+    """
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click_any,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase_any
+      FROM events GROUP BY user_id
+    ),
+    funnel AS (
+      SELECT user_id, first_view,
+             CASE WHEN first_click_any >= first_view
+                  THEN first_click_any END AS click_after_view,
+             CASE WHEN first_purchase_any >= first_view
+                       AND first_purchase_any >= first_click_any
+                  THEN first_purchase_any END AS purchase_after_click
+      FROM stage
+    )
+    SELECT COUNT(first_view) AS n_viewed,
+           COUNT(click_after_view) AS n_clicked,
+           COUNT(CASE WHEN click_after_view IS NOT NULL
+                      THEN purchase_after_click END) AS n_converted
+    FROM funnel
+    """,
+    tags=("events", "funnel", "agg"),
+)
+def q106_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: users whose FIRST click is
+    at-or-after their first view, and whose first purchase follows both —
+    the standard product-analytics funnel computed with one conditional-min
+    aggregation per user (no joins, no per-event window), then one global
+    count. Two shuffles total (user agg -> 3-number final), regardless of
+    corpus size."""
+    ev = _events(spark, sf_dir)
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    funnel = stage.select(
+        "first_view",
+        F.when(F.col("fc") >= F.col("first_view"), F.col("fc")).alias("cav"),
+        F.when(
+            (F.col("fp") >= F.col("first_view")) & (F.col("fp") >= F.col("fc")),
+            F.col("fp"),
+        ).alias("pac"),
+    )
+    return funnel.agg(
+        F.count("first_view").alias("n_viewed"),
+        F.count("cav").alias("n_clicked"),
+        F.count(F.when(F.col("cav").isNotNull(), F.col("pac"))).alias("n_converted"),
+    )
