@@ -798,3 +798,102 @@ def q99_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# --- Q15 adaptation: top supplier by quarterly revenue ------------------------
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+@query(
+    "q107_tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dec_sum('volume', 'DECIMAL(22,4)')} AS total_revenue
+      FROM (
+        SELECT l_suppkey,
+               {sql_money('l_extendedprice')} * (1 - {sql_rate('l_discount')}) AS volume
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_START} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{Q15_END} 00:00:00'
+      ) t GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "join", "agg", "subquery", "view"),
+)
+def q107_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue in a quarter. The
+    spec's CREATE VIEW + scalar-max subquery becomes a reused aggregate: the
+    revenue relation is computed once and consumed by both the max and the
+    filter (exchange reuse keeps it one scan at execution).
+
+    Exact decimal revenue makes the MAX selection deterministic — on double
+    sums, two suppliers within an ulp of each other could swap in and out of
+    the answer between runs/engines. Scale shape: the shipdate window pushes
+    to the scan, the supplier-keyed agg is map-side combined, supplier
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum((money("l_extendedprice") * (1 - rate("l_discount"))).cast("decimal(22,4)"))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q19 adaptation: disjunctive predicate revenue ----------------------------
+# Real Q19 ORs three (brand, container, quantity-range, size-range) conjunct
+# groups; the synthetic part table has no p_container, so each group keeps
+# its brand + quantity + size conditions.
+@query(
+    "q108_tpch_q19_disjunctive",
+    f"""
+    SELECT {sql_dec_sum('volume', 'DECIMAL(22,4)')} AS revenue, COUNT(*) AS n_items
+    FROM (
+      SELECT {sql_money('l_extendedprice')} * (1 - {sql_rate('l_discount')}) AS volume
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+         OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+         OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    ) t
+    """,
+    tags=("tpch", "join", "predicate", "disjunctive"),
+)
+def q108_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR of brand/quantity/size conjunct groups
+    — the disjunctive-predicate stress test. Catalyst pushes the common
+    implied constraints scan-side (l_quantity spans, the brand IN-set
+    derived from the OR) and evaluates the residual disjunction after the
+    broadcast part join; at 100 TB the win is that neither side is scanned
+    twice despite three predicate branches."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.filter(cond).agg(
+        F.sum((money("l_extendedprice") * (1 - rate("l_discount"))).cast("decimal(22,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
