@@ -30,15 +30,21 @@ def test_runner_adapts_under_overload(spark, tmp_path):
             .start()
         )
 
-    runner = AdaptiveQueryRunner(
-        start_query,
-        controller=BandController(interval_ms=50),  # local batches take ~100ms+ -> overload
-        decision_period_s=3.0,
-        checkpoint_dir=str(tmp_path / "ckpt"),
-    )
-    # generous window: under full-suite load the first micro-batch can take
-    # several seconds to commit, and the controller needs >= 1 decision period
-    report = runner.run_for(30.0)
+    # Under full-suite machine load the first micro-batch can take many
+    # seconds to commit; retry with widening windows (fresh runner +
+    # checkpoint each attempt) before declaring failure, so a busy box
+    # can't starve the overload scenario into a flake.
+    report = None
+    for attempt, window_s in enumerate((30.0, 60.0, 120.0)):
+        runner = AdaptiveQueryRunner(
+            start_query,
+            controller=BandController(interval_ms=50),  # batches ~100ms+ -> overload
+            decision_period_s=3.0,
+            checkpoint_dir=str(tmp_path / f"ckpt{attempt}"),
+        )
+        report = runner.run_for(window_s)
+        if report.batches_observed > 0 and report.restarts >= 1:
+            break
 
     assert report.batches_observed > 0
     assert report.decisions, "controller never decided"
