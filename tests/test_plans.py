@@ -140,3 +140,39 @@ def test_dedup_clusters_inherit_banded_edges(spark, sf_dir):
     plan = explain.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_join_degrades_to_sort_merge_without_broadcast(spark, sf_dir):
+    """With broadcast disabled (both planning-time and AQE thresholds), the
+    un-hinted joins in q14 must fall back to shuffle joins — the 100 TB
+    behavior when dimensions outgrow the broadcast threshold — and produce
+    IDENTICAL rows. The nation side stays broadcast because the query hints
+    it explicitly (fixed-size at any SF)."""
+    from flink_adcom_spark.registry import get
+
+    def rows():
+        df = get("q14_revenue_by_nation").build(spark, sf_dir)
+        return sorted(map(tuple, df.collect()))
+
+    want = rows()
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = get("q14_revenue_by_nation").build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        got = sorted(map(tuple, df.collect()))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    assert got == want
