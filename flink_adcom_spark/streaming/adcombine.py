@@ -18,6 +18,14 @@ Semantics note (matches the reference): flush timing changes WHEN partial
 results move downstream, never their sum — a downstream final aggregation of
 the emitted deltas equals the batch result regardless of interval. The
 differential test asserts exactly that.
+
+Spark 4 upgrade path (env-gated): `transformWithStateInPandas` is the
+modern API for this operator (typed ValueState + explicit timer registry +
+RocksDB provider) and maps 1:1 onto this contract — handleInputRows = the
+fold, handleExpiredTimer = the flush. It is NOT used here because its
+driver worker imports google.protobuf, which this container lacks
+(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE verified empirically);
+applyInPandasWithState has no such dependency.
 """
 
 from __future__ import annotations
