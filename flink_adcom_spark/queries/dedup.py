@@ -680,3 +680,90 @@ def q59_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("new_doc", "corpus_doc")
         .agg(F.count("*").alias("n_bands"))
     )
+
+
+# --- end-to-end training manifest ---------------------------------------------
+CONTAM_MAX = 0.5  # drop docs with >= 50% benchmark-shingle overlap
+MANIFEST_MIN_TOKENS = 10
+
+
+@query(
+    "q110_training_manifest",
+    f"""
+    WITH RECURSIVE wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits),
+    pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sym AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+    drop_dups AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+    sh AS ({_SHINGLE_DOCS_SQL}),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    ev AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    contam AS (SELECT e.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_hit
+               FROM ev e LEFT JOIN bench b USING (sh) GROUP BY e.doc_id),
+    dirty AS (SELECT doc_id FROM contam
+              WHERE CAST(n_hit AS DOUBLE) / n_shingles >= {CONTAM_MAX}),
+    toks AS (SELECT doc_id, lang,
+                    CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+             FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+                WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM toks
+    WHERE doc_id % {BENCH_MOD} <> 0
+      AND n_tokens >= {MANIFEST_MIN_TOKENS}
+      AND doc_id NOT IN (SELECT doc_id FROM drop_dups)
+      AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+    tags=("dedup", "text", "pipeline", "composite"),
+)
+def q110_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training manifest: the document set a pretraining run
+    would actually read, produced by composing the pipeline's operator
+    families in one plan —
+
+        near-dup dedup keep-list (q45/q46 simhash clusters, keep min-id)
+      ∘ benchmark holdout + decontamination (q48, drop >= 50% overlap)
+      ∘ quality gate (token count >= 10)
+      ∘ deterministic split assignment (q49's multiplicative hash)
+
+    emitting (doc_id, lang, n_tokens, split). The value demonstrated is
+    COMPOSITION: every stage is the already-verified operator, and Catalyst
+    plans the whole thing as one DAG — the keep-list anti-join, the
+    broadcast contamination side, and the scan-side token count share one
+    pass over documents where possible instead of five pipeline jobs with
+    materialized intermediates."""
+    from .text import SAMPLE_MULT, words_col
+
+    docs = _documents(spark, sf_dir)
+    keep = q46_dedup_keep_list(spark, sf_dir)
+    dirty = (
+        q48_contamination(spark, sf_dir)
+        .filter(F.col("contamination") >= CONTAM_MAX)
+        .select("doc_id")
+    )
+    bucket = (F.col("doc_id") * SAMPLE_MULT) % 4294967296 % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.size(words_col()).cast("bigint").alias("n_tokens")
+        )
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .filter(F.col("n_tokens") >= MANIFEST_MIN_TOKENS)
+        .join(keep, "doc_id", "left_semi")
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens", split.alias("split"))
+    )
