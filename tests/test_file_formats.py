@@ -91,9 +91,28 @@ def test_format_matrix_roundtrip(spark, sf_dir, tmp_path):
         ("orc", {}),
         ("json", {}),
         ("csv", {"header": "true"}),
+        # native since Spark 4 (the XML data source moved in-tree)
+        ("xml", {"rootTag": "rows", "rowTag": "row"}),
     ):
         out = str(tmp_path / fmt)
         src.write.mode("overwrite").options(**opts).format(fmt).save(out)
         back = spark.read.options(**opts).schema(schema).format(fmt).load(out)
         got = sorted(tuple(r) for r in back.select(*src.columns).collect())
         assert got == want, fmt
+
+
+def test_avro_is_classpath_gated(spark, sf_dir, tmp_path):
+    """Avro ships as an external Spark module; this environment does not
+    carry it, and the failure must be the actionable built-in message (how
+    to deploy spark-avro), not a silent wrong result. If a deployment adds
+    the module, the roundtrip contract above applies unchanged."""
+    from flink_adcom_spark.tables import load_table
+
+    src = load_table(spark, sf_dir, "region")
+    try:
+        src.write.mode("overwrite").format("avro").save(str(tmp_path / "avro"))
+    except Exception as e:
+        assert "avro" in str(e).lower(), e
+    else:  # classpath provides it -> full roundtrip must hold
+        back = spark.read.format("avro").load(str(tmp_path / "avro"))
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
