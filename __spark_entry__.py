@@ -35,6 +35,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # (93 queries) remains verified by the in-repo mirror
 # (tests/test_oracle_parity.py) at sf0.001 and the driver simulation in
 # .claude/skills/verify at sf0.01.
+# Round 5 rotates to (a) the 12 queries registered after the r4 gate froze
+# (q98-q108, q110 -- implemented + mirror-verified but never driver-checked),
+# (b) the 4 sketch queries, which this round gained full bound-check oracles
+# (exact twin + within_bound booleans; see queries/sketches.py module
+# docstring) and so flip from `no_oracle` rows-only to hash-match rows
+# (q102 is already in set (a)), (c) the 22 queries whose ONLY green row is
+# r1 -- recorded against the pre-regeneration dataset, re-proven here against
+# current data, and (d) 13 r3-green entries that are either modified this
+# round (q45/q46/q47 components probe-trim, q49 split-hash mask alignment)
+# or bench headliners owed a fresh row (q41/q42/q44/q50/q54).
+_ROUND5_GATE = frozenset(
+    # (a) never driver-checked
+    [
+        "q98_tpch_q7_nation_volume", "q99_tpch_q8_market_share",
+        "q100_vocab_coverage", "q101_quantize_embeddings",
+        "q102_stream_sketch_rollup", "q103_time_range_rolling",
+        "q104_props_extract", "q105_activity_streaks",
+        "q106_conversion_funnel", "q107_tpch_q15_top_supplier",
+        "q108_tpch_q19_disjunctive", "q110_training_manifest",
+    ]
+    # (b) sketches, newly oracle-checkable
+    + [
+        "q70_approx_distinct_users", "q71_value_percentiles",
+        "q96_sketch_rollup",
+    ]
+    # (c) only green row predates the r3 data regeneration
+    + [
+        "q08_tpch_q1_ref", "q09_tpch_q6", "q09b_order_revenue",
+        "q10_wordcount", "q14_revenue_by_nation", "q15_top_customers",
+        "q16_mktsegment_stats", "q17_orders_without_lineitems",
+        "q18_tpch_q5_local_suppliers", "q19_tpch_q4_order_priority",
+        "q19b_tpch_q14_promo_share", "q30_token_stats", "q31_quality_score",
+        "q32_lang_id", "q33_fingerprint", "q34_regex_token_count",
+        "q35_tfidf_top_terms", "q36_bigram_counts", "q37_repetition_ratio",
+        "q39_corpus_select", "q40_exact_dedup", "q43_simhash",
+    ]
+    # (d) modified this round or bench headliners
+    + [
+        "q41_minhash_lsh_pairs", "q42_ngram_jaccard_pairs",
+        "q44_simhash_neardup", "q45_dedup_clusters", "q46_dedup_keep_list",
+        "q47_dedup_canonical_quality", "q49_train_split",
+        "q50_knn_bruteforce", "q54_ivf_knn", "q62_tpch_q3",
+        "q73_tpch_q13_order_distribution", "q77_unigram_logprob",
+        "q89_tpch_q10_returned_items",
+    ]
+)
 _ROUND4_GATE = frozenset(
     # red in CORRECTNESS_r03 (events ts regeneration + q86 HUGEINT oracle
     # type + q80 unsortable array cell) -> re-green with this round's fixes
@@ -79,7 +125,7 @@ _ROUND4_GATE = frozenset(
         "q08_tpch_q1",
     ]
 )
-_GATE = _ROUND4_GATE
+_GATE = _ROUND5_GATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

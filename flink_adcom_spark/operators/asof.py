@@ -50,9 +50,11 @@ def as_of_join(
     payload values are carried over by older rows (ignorenulls carry) —
     pre-coalesce sentinel values if that distinction matters.
 
-    Tie rule: a right row AT the left row's timestamp matches; among equal
-    right timestamps the last in (ts, original column order) wins — pre-dedup
-    the right side for full determinism.
+    Tie rule: a right row AT the left row's timestamp matches in either
+    direction. Among equal right timestamps the winner is
+    direction-dependent — backward carries F.last, so the LAST equal-ts
+    right row (in ts, original column order) wins; forward carries F.first,
+    so the FIRST wins. Pre-dedup the right side for full determinism.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")

@@ -717,8 +717,8 @@ MANIFEST_MIN_TOKENS = 10
                     CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
              FROM documents)
     SELECT doc_id, lang, n_tokens,
-           CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
-                WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+           CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+                WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
                 ELSE 'test' END AS split
     FROM toks
     WHERE doc_id % {BENCH_MOD} <> 0
@@ -753,7 +753,10 @@ def q110_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contamination") >= CONTAM_MAX)
         .select("doc_id")
     )
-    bucket = (F.col("doc_id") * SAMPLE_MULT) % 4294967296 % 10
+    # pre-mask to 2^31 before multiplying (as q38/q94): keeps the product in
+    # int64 for ANY doc_id, where a raw doc_id * mult would wrap silently in
+    # Spark (non-ANSI) but raise in DuckDB
+    bucket = ((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296 % 10
     split = (
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )

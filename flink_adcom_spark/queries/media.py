@@ -19,6 +19,23 @@ from ..tables import load_table
 from .rides import rides, rides_oracle_cte
 
 
+def _assert_ascii_fixture(docs: DataFrame) -> None:
+    """q80/q95's oracles equate DuckDB ascii(left(text,1)) (Unicode code
+    point) with the payload's first UTF-8 byte — valid only while the
+    documents fixture is pure ASCII (char length == byte length). The
+    driver regenerates testdata between rounds, so fail LOUDLY if a
+    regeneration breaks the invariant rather than letting the oracle
+    silently diverge (FIXTURES.md §documents)."""
+    bad = docs.filter(F.length("text") != F.octet_length("text")).limit(1).count()
+    if bad:
+        raise AssertionError(
+            "documents fixture is no longer pure ASCII: q80/q95 oracles "
+            "equate ascii(char) with the first/last UTF-8 byte and would "
+            "silently diverge — rewrite the oracle byte extraction "
+            "(queries/media.py) for the new fixture encoding"
+        )
+
+
 @query(
     "q80_media_features",
     # The deterministic fake decode is a pure function of the payload bytes
@@ -52,7 +69,9 @@ def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     test; the oracle restates the deterministic fake decode. The feature
     vector is surfaced as scalar columns for the gate; the array-typed path
     is exercised by tests/test_multimodal.py."""
-    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_ascii_fixture(docs)
+    media = media_from_documents(docs)
     feats = extract_features(media, fake_decode=True)
     return feats.select(
         "media_id",
@@ -153,7 +172,9 @@ def q95_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-bytes-before-shuffle discipline of extract_features."""
     from ..operators.multimodal import resize_images
 
-    media = media_from_documents(load_table(spark, sf_dir, "documents")).filter(
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_ascii_fixture(docs)
+    media = media_from_documents(docs).filter(
         F.col("media_type") == "image"
     )
     out = resize_images(media, target_w=224, target_h=224)

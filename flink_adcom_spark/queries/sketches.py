@@ -7,10 +7,20 @@ sketch per partition per key (KBs) with ~2% error. The reference itself ships
 an approximate distinct (its combiner overcounts across bundles — SURVEY.md
 A5); ours carries a principled error bound instead.
 
-No DuckDB oracle: sketch results are engine-specific by construction (DuckDB's
-approx_count_distinct uses a different HLL seed/width). The driver records the
-rows-only check; tests/test_sketches.py bounds the error against the exact
-answer instead — a stronger property than cross-engine equality for these.
+Sketch ESTIMATES are engine-specific by construction (DuckDB's
+approx_count_distinct uses a different HLL seed/width), so the estimates
+themselves can never hash-match a DuckDB oracle. Instead each query here
+carries a VERIFIABLE CONTRACT: it computes the exact answer in the same plan,
+emits `exact_*` columns plus boolean `within_bound` columns (sketch error
+inside its published bound), and the oracle restates the exact side with
+literal TRUE for the bounds. A sketch whose error escapes its bound emits
+FALSE and the driver's value-hash goes red — a full hash-match gate, not a
+rows-only check. tests/test_sketches.py additionally bounds the error at
+tighter tolerances in-repo.
+
+The exact twin inside each plan is the verification harness for test-scale
+runs; at 100 TB a user runs only the sketch side (see each docstring's scale
+note).
 """
 
 from __future__ import annotations
@@ -24,39 +34,103 @@ from ..tables import load_table
 
 @query(
     "q70_approx_distinct_users",
-    None,  # sketches are engine-specific; bounded-error-tested instead
+    "SELECT event_type, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+    "TRUE AS within_bound "
+    "FROM events GROUP BY event_type",
     tags=("events", "sketch", "distinct"),
 )
 def q70_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct users per event_type (rsd=2%)."""
+    """HLL distinct users per event_type (rsd=2%), gated by a bound-check
+    contract: the plan also computes the exact distinct and emits
+    within_bound = |approx - exact| <= max(0.10 * exact, 5) — five standard
+    errors of the rsd=0.02 sketch plus small-cardinality slack. The oracle
+    asserts TRUE; a bound escape hash-mismatches.
+
+    Scale note: the exact twin is the verification harness only. At 100 TB
+    run just the sketch side — one KB-sized HLL per partition per key vs a
+    full dedup shuffle for the exact answer."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(0.10 * F.col("exact_users"), F.lit(5.0))
+            ).alias("within_bound"),
+        )
     )
 
 
 @query(
     "q71_value_percentiles",
-    None,
+    "SELECT event_type, "
+    "quantile_cont(value, 0.5) AS exact_p50, "
+    "quantile_cont(value, 0.95) AS exact_p95, "
+    "quantile_cont(value, 0.99) AS exact_p99, "
+    "TRUE AS p50_in_bound, TRUE AS p95_in_bound, TRUE AS p99_in_bound "
+    "FROM events GROUP BY event_type",
     tags=("events", "sketch", "quantile"),
 )
 def q71_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate p50/p95/p99 of event value per type (GK sketch,
-    accuracy 10000 -> error <= 0.01%)."""
-    return (
-        load_table(spark, sf_dir, "events")
+    """Approximate p50/p95/p99 of event value per type (GK sketch, accuracy
+    10000 -> deterministic rank error <= n/10000), gated by a bound-check
+    contract stated on RANKS (GK's actual guarantee — the returned value is
+    an order statistic, so a value-interval bound would be scale-fragile in
+    small groups where adjacent samples sit further apart than the rank
+    tolerance): the plan re-ranks each approx value against the group
+    (broadcast of <= n_types rows back onto events) and emits
+    pXX_in_bound = rank-interval of approx overlaps p*n +- (n/10000 + 2).
+    The oracle restates the exact interpolated percentiles (quantile_cont
+    shares Spark percentile's rank = p*(n-1) interpolation) and asserts the
+    bounds TRUE.
+
+    Scale note: exact percentiles buffer each group's values; the GK sketch
+    is the unbounded-scale path — the exact twin and the re-rank pass are
+    the verification harness."""
+    ps = [0.5, 0.95, 0.99]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", ps, 10000).alias("apx"),
+        F.percentile("value", F.array(*[F.lit(p) for p in ps])).alias("ex"),
+    )
+    # one extra pass: 1-based rank interval [cnt_lt+1, cnt_le] of each approx
+    # value within its group, vs target rank p*n with slack n/accuracy + 2
+    ranked = (
+        ev.join(F.broadcast(agg.select("event_type", "apx")), "event_type")
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts")
-        )
-        .select(
-            "event_type",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p95"),
-            F.col("pcts")[2].alias("p99"),
+            F.count("*").alias("n"),
+            *[
+                F.sum((F.col("value") < F.col("apx")[i]).cast("long")).alias(f"lt{i}")
+                for i in range(len(ps))
+            ],
+            *[
+                F.sum((F.col("value") <= F.col("apx")[i]).cast("long")).alias(f"le{i}")
+                for i in range(len(ps))
+            ],
         )
     )
+    out = agg.join(ranked, "event_type")
+    slack = F.col("n") / 10000 + 2
+    cols = [F.col("event_type")]
+    cols += [
+        F.col("ex")[i].alias(f"exact_p{int(p * 100)}") for i, p in enumerate(ps)
+    ]
+    cols += [
+        (
+            (F.col(f"le{i}") >= p * F.col("n") - slack)
+            & (F.col(f"lt{i}") + 1 <= p * F.col("n") + slack)
+        ).alias(f"p{int(p * 100)}_in_bound")
+        for i, p in enumerate(ps)
+    ]
+    return out.select(*cols)
 
 
 @query(
@@ -88,8 +162,10 @@ def q72_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q96_sketch_rollup",
-    None,  # sketches are engine-specific; merge-exactness is asserted in
-    # tests/test_sketches.py (rolled-up estimate == direct estimate, exactly)
+    "SELECT event_type, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+    "TRUE AS merge_lossless, TRUE AS within_bound "
+    "FROM events GROUP BY event_type",
     tags=("events", "sketch", "rollup", "distinct"),
 )
 def q96_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,10 +176,15 @@ def q96_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is how a 100 TB serving layer answers "distinct users over any date
     range": the base rollup stores one binary sketch per (day, type) — KBs —
     and range queries fold hll_union_agg over the selected days, an
-    O(days*types) aggregation instead of an O(rows) dedup shuffle. The HLL
-    union is lossless w.r.t. the sketch (merged estimate == the estimate a
-    single pass would produce), asserted exactly in the tests; the direct
-    single-pass estimate is emitted alongside for that proof."""
+    O(days*types) aggregation instead of an O(rows) dedup shuffle.
+
+    Gate contract (full hash-match): emits the exact distinct plus two
+    booleans the oracle asserts TRUE — merge_lossless (rolled-up estimate ==
+    direct single-pass estimate, EXACT equality: HLL union is lossless
+    w.r.t. the sketch) and within_bound (rollup estimate within
+    max(0.10 * exact, 5) of exact; default lgConfigK=12 -> ~1.6% standard
+    error, so 0.10 is >5 sigma). The exact twin is the verification harness;
+    at 100 TB only the sketch side runs."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
@@ -113,8 +194,15 @@ def q96_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("rollup_users")
     )
     direct = ev.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users")
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     return rolled.join(direct, "event_type").select(
-        "event_type", "rollup_users", "direct_users"
+        "event_type",
+        "exact_users",
+        (F.col("rollup_users") == F.col("direct_users")).alias("merge_lossless"),
+        (
+            F.abs(F.col("rollup_users") - F.col("exact_users"))
+            <= F.greatest(0.10 * F.col("exact_users"), F.lit(5.0))
+        ).alias("within_bound"),
     )

@@ -167,20 +167,27 @@ def q91_stream_update_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q102_stream_sketch_rollup",
-    None,  # sketch estimates are engine-specific (rows-only gate); the
-    # EXACT equality proven here is streaming-vs-batch: the returned
-    # rolled-up estimates are asserted equal to the single-pass batch
-    # estimates inside the builder itself — a lossy merge path would
-    # raise before the driver ever hashes rows.
+    "SELECT event_type, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+    "TRUE AS merge_lossless, TRUE AS within_bound "
+    "FROM events GROUP BY event_type",
     tags=("streaming", "sketch", "materialize", "pipeline"),
 )
 def q102_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained HLL sketch table, externally gated: shard the
     events feed into 4 micro-batches, run streaming_sketch_rollup_materialize
     (batch-local sketches union-merged into the stored day partitions), then
-    roll the stored sketches up per event_type. The builder asserts the
-    streamed estimates equal the batch single-pass estimates EXACTLY (HLL
-    union is lossless w.r.t. the sketch) before returning."""
+    roll the stored sketches up per event_type.
+
+    Gate contract (full hash-match, not rows-only): emits the exact batch
+    distinct plus two booleans the oracle asserts TRUE — merge_lossless
+    (streamed rolled-up estimate == batch single-pass estimate EXACTLY; HLL
+    union is lossless w.r.t. the sketch, so any divergence means the
+    incremental merge path dropped or double-merged a sketch) and
+    within_bound (streamed estimate within max(0.10 * exact, 5) of the
+    exact distinct; lgConfigK=12 -> ~1.6% standard error). The exact twin
+    is the test-scale verification harness; the stored rollup is the 100 TB
+    serving path."""
     from ..tables import load_table
 
     work = tempfile.mkdtemp(prefix="sketch_gate_")
@@ -194,13 +201,20 @@ def q102_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"))
     )
-    batch = {
-        r["event_type"]: r["est"]
-        for r in load_table(spark, sf_dir, "events")
+    batch = (
+        load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
-        .collect()
-    }
-    got = {r["event_type"]: r["est_users"] for r in streamed.collect()}
-    assert got == batch, f"streamed sketch rollup diverged: {got} vs {batch}"
-    return streamed
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+    return streamed.join(batch, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.col("est_users") == F.col("direct_users")).alias("merge_lossless"),
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.greatest(0.10 * F.col("exact_users"), F.lit(5.0))
+        ).alias("within_bound"),
+    )

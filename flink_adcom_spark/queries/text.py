@@ -407,7 +407,7 @@ def q37_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q49_train_split",
     f"""
     WITH b AS (SELECT lang, n_chars,
-                      (doc_id * {SAMPLE_MULT}) % 4294967296 % 10 AS bucket
+                      ((doc_id % 2147483648) * {SAMPLE_MULT}) % 4294967296 % 10 AS bucket
                FROM documents)
     SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
                 ELSE 'test' END AS split,
@@ -422,8 +422,12 @@ def q49_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id to the same split (unlike randomSplit), which is what makes a
     100 TB corpus split reproducible and leak-free incrementally — new docs
     never move old docs between splits. Returns the per-(split, lang) audit
-    counts a pipeline would log."""
-    bucket = (F.col("doc_id") * SAMPLE_MULT) % 4294967296 % 10
+    counts a pipeline would log.
+
+    The id is pre-masked to 2^31 before the multiply (as q38/q94) so the
+    product stays in int64 for any doc_id — unmasked, Spark (non-ANSI)
+    would wrap silently past ~3.47e9 while DuckDB raises."""
+    bucket = ((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296 % 10
     split = (
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )

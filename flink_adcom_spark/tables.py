@@ -155,14 +155,30 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Drift casts known to be value-preserving (read dtype -> declared dtype).
+# The session tz is pinned UTC, so NTZ->TZ and DATE->TIMESTAMP do not
+# reinterpret values; integer-width and float-width moves round-trip for the
+# value ranges the generator emits. ANYTHING else (e.g. a numeric column
+# re-emitted as strings) must raise: under a non-ANSI session a blanket cast
+# would quietly turn unparseable cells into NULLs — the opposite of the loud
+# failure this helper promises for missing columns.
+_INT_WIDTHS = ("tinyint", "smallint", "int", "bigint")
+_SAFE_DRIFT_CASTS = (
+    {("timestamp_ntz", "timestamp"), ("date", "timestamp")}
+    | {(a, b) for a in _INT_WIDTHS for b in _INT_WIDTHS if a != b}
+    | {("float", "double"), ("double", "float")}
+    | {("array<float>", "array<double>"), ("array<double>", "array<float>")}
+)
+
+
 def _normalize_to_declared(df: DataFrame, name: str) -> DataFrame:
     """Cast any column whose READ dtype drifted from the declared schema back
     to the declared type (the events-ts generalization: test-data
     regenerations have changed physical types between rounds — e.g.
     TIMESTAMP(NANOS)->TIMESTAMP(MICROS) — and the engine-facing types must
-    stay stable). Value-preserving by construction: the session tz is pinned
-    UTC, so NTZ<->TZ and DATE->TIMESTAMP casts do not reinterpret values. A
-    MISSING declared column still fails loudly at plan time."""
+    stay stable). Only the whitelisted value-preserving casts above are
+    applied automatically; a MISSING column or an incompatible drift (new
+    physical type not in the whitelist) fails loudly at plan time."""
     from pyspark.sql import functions as F
 
     declared = SCHEMAS[name]
@@ -174,8 +190,18 @@ def _normalize_to_declared(df: DataFrame, name: str) -> DataFrame:
             f"found {sorted(actual)} — test data layout changed?"
         )
     for field in declared.fields:
-        if actual[field.name] != field.dataType.simpleString():
-            df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+        want = field.dataType.simpleString()
+        got = actual[field.name]
+        if got == want:
+            continue
+        if (got, want) not in _SAFE_DRIFT_CASTS:
+            raise ValueError(
+                f"table {name!r} column {field.name!r} drifted to dtype "
+                f"{got!r} (declared {want!r}) and no value-preserving cast "
+                f"is whitelisted — inspect the regenerated data and extend "
+                f"_SAFE_DRIFT_CASTS or the loader deliberately"
+            )
+        df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
     return df
 
 
