@@ -14,9 +14,11 @@ Each iteration is one shuffle join + one aggregate. Two things make the loop
 scale-correct:
 - `localCheckpoint` per iteration truncates the lineage — without it the
   plan doubles each round and planning cost explodes (the classic iterative-
-  algorithm failure mode in Spark).
-- convergence is detected with a changed-label count (an aggregate, not a
-  collect of the labels).
+  algorithm failure mode in Spark). The per-round checkpoint is LAZY: the
+  convergence aggregate is the materializing action, so each round costs one
+  Spark job, not a materialize job plus a probe job.
+- convergence is detected with an O(1)-row aggregate (label-sum /
+  edge-fingerprint), never a collect of the labels.
 
 Label propagation converges in diameter rounds, and near-dup clusters have
 small diameters; the safety cap turns a pathological chain into an explicit
@@ -67,7 +69,10 @@ def connected_components(
                 "v",
                 F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the convergence aggregate right below is the
+            # action that materializes it, so each round runs ONE Spark job
+            # (materialize + probe fused), not two
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -142,7 +147,9 @@ def connected_components_twophase(
 
     prev = fingerprint(e)
     for _ in range(max_iter):
-        e = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        # lazy checkpoint: the fingerprint aggregate materializes it — one
+        # job per round (materialize + convergence probe fused), not two
+        e = star(star(e, large=True), large=False).localCheckpoint(eager=False)
         cur = fingerprint(e)
         if cur == prev:
             break

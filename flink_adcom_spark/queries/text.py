@@ -492,6 +492,26 @@ CTX_TOKENS = 2048  # context-window length in whitespace tokens
 PACK_SHARDS = 64  # order-aligned shards for the distributed prefix sum
 
 
+def _with_order_shard(toks: DataFrame) -> DataFrame:
+    """Assign each doc its order-aligned shard = doc_id // shard_w, with
+    shard_w = (max(doc_id) + PACK_SHARDS) // PACK_SHARDS derived IN-PLAN as
+    a broadcast scalar (the same scalar subquery the q87 oracle states) —
+    no driver-side max(doc_id) round-trip, one fewer Spark job per packing
+    query."""
+    w = toks.agg(
+        F.floor(
+            (F.coalesce(F.max("doc_id"), F.lit(0)) + PACK_SHARDS) / PACK_SHARDS
+        )
+        .cast("bigint")
+        .alias("shard_w")
+    )
+    return (
+        toks.crossJoin(F.broadcast(w))
+        .withColumn("shard", (F.col("doc_id") / F.col("shard_w")).cast("bigint"))
+        .drop("shard_w")
+    )
+
+
 @query(
     "q86_sequence_pack",
     f"""
@@ -538,9 +558,7 @@ def q86_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.size(words_col()).cast("bigint").alias("n_tokens"))
         .filter(F.col("n_tokens") >= 1)
     )
-    max_id = toks.agg(F.max("doc_id")).collect()[0][0] or 0
-    shard_w = max(1, (int(max_id) + PACK_SHARDS) // PACK_SHARDS)
-    toks = toks.withColumn("shard", (F.col("doc_id") / shard_w).cast("bigint"))
+    toks = _with_order_shard(toks)
 
     shard_totals = {
         r["shard"]: r["tot"]
@@ -654,9 +672,7 @@ def q87_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.size(words_col()).cast("bigint").alias("n_tokens"))
         .filter(F.col("n_tokens") >= 1)
     )
-    max_id = toks.agg(F.max("doc_id")).collect()[0][0] or 0
-    shard_w = max(1, (int(max_id) + PACK_SHARDS) // PACK_SHARDS)
-    toks = toks.withColumn("shard", (F.col("doc_id") / shard_w).cast("bigint"))
+    toks = _with_order_shard(toks)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

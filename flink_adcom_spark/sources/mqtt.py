@@ -38,20 +38,42 @@ def _paho():
         ) from e
 
 
-def mqtt_sink_writer(topic: str = DATA_TOPIC, host: str = DEFAULT_HOST, port: int = DEFAULT_PORT):
+def mqtt_sink_writer(
+    topic: str = DATA_TOPIC,
+    host: str = DEFAULT_HOST,
+    port: int = DEFAULT_PORT,
+    client_factory=None,
+):
     """foreachBatch function publishing each row's string form (the K1
     contract: one message per record, at-least-once — MqttDataSink.java:
-    15-112). Raises NotImplementedError without paho-mqtt."""
-    mqtt = _paho()
+    15-112).
+
+    Publishing happens EXECUTOR-SIDE via foreachPartition — one client
+    connection per partition, rows never routed through the driver. (A sink
+    that iterates the batch on the driver serializes every record through
+    one process; at 1000 executors that is the whole job's bottleneck.)
+
+    `client_factory` is a picklable zero-arg callable returning an object
+    with connect/publish/disconnect (paho's surface); tests inject a fake,
+    production omits it for a real paho client. Raises NotImplementedError
+    without paho-mqtt when no factory is given."""
+    if client_factory is None:
+        mqtt = _paho()
+
+        def client_factory():
+            return mqtt.Client()
 
     def publish(batch_df: DataFrame, epoch_id: int) -> None:
-        client = mqtt.Client()
-        client.connect(host, port)
-        try:
-            for row in batch_df.toLocalIterator():
-                client.publish(topic, "|".join(str(v) for v in row))
-        finally:
-            client.disconnect()
+        def publish_partition(rows) -> None:
+            client = client_factory()
+            client.connect(host, port)
+            try:
+                for row in rows:
+                    client.publish(topic, "|".join(str(v) for v in row))
+            finally:
+                client.disconnect()
+
+        batch_df.foreachPartition(publish_partition)
 
     return publish
 

@@ -131,6 +131,9 @@ class SelfPacedAdaptiveRunner:
             self.controller,
             trigger_ms_getter=lambda: self.controller.interval_ms,
             period_s=decision_period_s,
+            clock=clock,  # one time source end-to-end, so an injected
+            # simulation clock drives the decision cadence and the signal
+            # histogram window too, not just the pacing sleeps
             hist_window_s=HISTOGRAM_WINDOW_S if hist_window_s is None else hist_window_s,
         )
         self._clock = clock
