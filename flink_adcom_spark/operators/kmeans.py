@@ -74,7 +74,9 @@ def lloyd_kmeans(
     # final assignment) re-reads it, so without this the source re-scans
     # iters+1 times. At cluster scale this is persist(MEMORY_AND_DISK) on
     # the (id, vector) projection — the same choice MLlib's KMeans makes.
-    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    # LAZY: the init collect right below is the materializing action, so
+    # setup costs one Spark job, not a checkpoint job plus an init job.
+    df = df.select(id_col, vec_col).localCheckpoint(eager=False)
     init_rows = df.orderBy(id_col).limit(k).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     for _ in range(iters):
