@@ -770,3 +770,90 @@ def q110_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dirty, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tokens", split.alias("split"))
     )
+
+
+# --- span-level exact dedup (C4 / MassiveText duplicate-span removal) ---------
+SPAN_W = 16  # tokens per span (the "duplicate three-sentence span" analogue)
+SPAN_KEY_SHIFT = 1 << 20  # (doc_id, span_idx) -> doc_id * SHIFT + idx; holds
+# for docs up to SHIFT * SPAN_W = ~16.7M tokens per document
+
+
+@query(
+    "q111_span_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d WHERE len(w) >= 1),
+    sp AS (SELECT doc_id, n,
+                  unnest(range((n + 15) // 16)) AS k,
+                  unnest(list_transform(range((n + 15) // 16),
+                         k -> array_to_string(
+                                list_slice(w, k * 16 + 1, least(n, (k + 1) * 16)),
+                                ' '))) AS span,
+                  unnest(list_transform(range((n + 15) // 16),
+                         k -> least(n - k * 16, 16))) AS span_len
+           FROM t),
+    f AS (SELECT span, MIN(doc_id * {SPAN_KEY_SHIFT} + k) AS first_key
+          FROM sp GROUP BY span)
+    SELECT sp.doc_id,
+           CAST(MAX(sp.n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN sp.doc_id * {SPAN_KEY_SHIFT} + sp.k <> f.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN sp.doc_id * {SPAN_KEY_SHIFT} + sp.k <> f.first_key
+                         THEN 0 ELSE sp.span_len END) AS BIGINT) AS surviving_tokens
+    FROM sp JOIN f USING (span)
+    GROUP BY sp.doc_id
+    """,
+    tags=("dedup", "text", "span", "pipeline"),
+)
+def q111_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN removal across the corpus (the C4 / MassiveText move:
+    drop any repeated span of text wherever it recurs, keeping only its
+    first occurrence) — finer-grained than doc-level dedup (q40) and
+    catches boilerplate shared between otherwise-distinct documents. Spans
+    are non-overlapping {SPAN_W}-token windows; "first occurrence" is the
+    lowest (doc_id, span_idx), so the result is deterministic under any
+    partitioning. Emits per-document audit rows: span counts, duplicate
+    spans, and the token count that survives span removal.
+
+    Scale shape: one scan-side tokenize + span explode (rows ~= tokens/16),
+    one shuffle grouping identical span text to elect the first occurrence,
+    one join back + per-doc re-aggregation. No pairwise comparisons
+    anywhere — cost is linear in corpus tokens, the property that lets the
+    same plan run at 100 TB. No reference counterpart; LLM-pipeline
+    extension per SURVEY.md §"beyond the reference"."""
+    docs = _documents(spark, sf_dir)
+    t = (
+        docs.select("doc_id", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= 1)
+    )
+    sp = (
+        t.withColumn(
+            "k", F.explode(F.sequence(F.lit(0).cast("bigint"), F.expr("(n + 15) DIV 16") - 1))
+        )
+        .select(
+            "doc_id",
+            "n",
+            "k",
+            F.array_join(
+                F.slice("w", (F.col("k") * 16 + 1).cast("int"), 16), " "
+            ).alias("span"),
+            F.least(F.col("n") - F.col("k") * 16, F.lit(16)).alias("span_len"),
+        )
+    )
+    key = F.col("doc_id") * SPAN_KEY_SHIFT + F.col("k")
+    first = sp.groupBy("span").agg(F.min(key).alias("first_key"))
+    return (
+        sp.join(first, "span")
+        .withColumn("is_dup", key != F.col("first_key"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_spans"),
+            F.sum(F.when(F.col("is_dup"), 0).otherwise(F.col("span_len"))).alias(
+                "surviving_tokens"
+            ),
+        )
+    )

@@ -700,3 +700,215 @@ def q101_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("q_digest"),
     )
+
+
+# --- quantized coarse search + exact rescore ----------------------------------
+RESCORE_M = 3 * TOP_K  # coarse candidates refined at full precision
+
+
+@query(
+    "q109_quantized_rescore_knn",
+    f"""
+    WITH x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+    s AS (SELECT vec_id, vec,
+                 list_max(list_transform(vec, x -> abs(x))) AS amax
+          FROM v),
+    qz AS (SELECT vec_id,
+                  CASE WHEN amax > 0 THEN amax / CAST(127 AS DOUBLE)
+                       ELSE 0.0 END AS scale,
+                  CASE WHEN amax > 0
+                       THEN list_transform(vec,
+                              x -> CAST(round(x / (amax / CAST(127 AS DOUBLE)))
+                                        AS BIGINT))
+                       ELSE list_transform(vec, x -> CAST(0 AS BIGINT)) END AS q
+           FROM s),
+    x8 AS (SELECT vec_id, scale, generate_subscripts(q, 1) AS i, unnest(q) AS qv
+           FROM qz),
+    coarse AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                      CAST(SUM(a.qv * b.qv) AS DOUBLE)
+                        * MAX(a.scale) * MAX(b.scale) AS sdot
+               FROM x8 a JOIN x8 b ON a.i = b.i AND a.vec_id < {N_QUERY_VECS}
+                                   AND a.vec_id <> b.vec_id
+               GROUP BY 1, 2),
+    cand AS (SELECT q_id, n_id FROM (
+               SELECT c.q_id, c.n_id,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY c.q_id
+                        ORDER BY ROUND(c.sdot / (na.nrm * nb.nrm), 6) DESC,
+                                 c.n_id) AS crn
+               FROM coarse c JOIN n na ON c.q_id = na.vec_id
+                             JOIN n nb ON c.n_id = nb.vec_id) t
+             WHERE crn <= {RESCORE_M}),
+    d AS (SELECT cd.q_id, cd.n_id, SUM(a.val * b.val) AS dot
+          FROM cand cd JOIN x a ON a.vec_id = cd.q_id
+                       JOIN x b ON b.vec_id = cd.n_id AND a.i = b.i
+          GROUP BY 1, 2),
+    c2 AS (SELECT d.q_id, d.n_id, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+           FROM d JOIN n na ON d.q_id = na.vec_id
+                  JOIN n nb ON d.n_id = nb.vec_id),
+    r AS (SELECT q_id, n_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, n_id) AS rnk
+          FROM c2)
+    SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "quantize", "pipeline"),
+)
+def q109_quantized_rescore_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN over the int8-quantized index (q101's quantizer) with
+    full-precision rescoring: coarse-score every corpus vector against each
+    query using the EXACT integer dot product of the int8 codes (scaled by
+    the two per-vector scales), keep the top 3k coarse candidates per query,
+    then re-rank just those at float precision — the standard
+    quantized-index + refine pattern (FAISS SQ8+refine shape). No reference
+    counterpart (the reference has no vector search); LLM-pipeline extension
+    per SURVEY.md §"beyond the reference".
+
+    Determinism: the coarse score is an exact int64 sum times a fixed-order
+    chain of doubles, rounded to 6 before ranking with an id tie-break, so
+    both engines rank identically. Scale shape: the quantized index is 4x
+    smaller than float32 — the scan that must touch EVERY vector runs on
+    the small representation (memory-bandwidth-bound at 100 TB), and only
+    |queries| * 3k candidate rows ever touch the full-precision table
+    (broadcast-join fetch)."""
+    from pyspark.sql import Window
+
+    from ..operators.vectors import quantize_int8
+
+    e = _emb(spark, sf_dir)  # vec_id, label, v, nrm
+    qz = e.withColumn("qs", quantize_int8(F.col("v"))).select(
+        "vec_id",
+        "nrm",
+        F.col("qs").getField("scale").alias("scale"),
+        F.col("qs").getField("q").alias("q8"),
+    )
+    qry = qz.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("nrm").alias("qn"),
+        F.col("scale").alias("qscale"),
+        F.col("q8").alias("qq"),
+    )
+    doc = qz.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("nrm").alias("dn"),
+        F.col("scale").alias("dscale"),
+        F.col("q8").alias("dq"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qq", "dq", lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = F.round(
+        idot.cast("double") * F.col("qscale") * F.col("dscale")
+        / (F.col("qn") * F.col("dn")),
+        6,
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("coarse"), F.asc("n_id"))
+    cand = (
+        F.broadcast(qry)
+        .join(doc, F.col("q_id") != F.col("n_id"))
+        .withColumn("coarse", coarse)
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= RESCORE_M)
+        .select("q_id", "n_id")
+    )
+    # full-precision fetch for the few survivors only
+    full = e.select("vec_id", "v", "nrm")
+    scored = (
+        cand.join(
+            full.select(
+                F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+            ),
+            "q_id",
+        )
+        .join(
+            full.select(
+                F.col("vec_id").alias("n_id"), F.col("v").alias("dv"),
+                F.col("nrm").alias("dn"),
+            ),
+            "n_id",
+        )
+        .withColumn("cosine", F.round(_dot("qv", "dv") / (F.col("qn") * F.col("dn")), 6))
+        .select("q_id", "n_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# --- cluster-scoped semantic dedup (SemDeDup) ---------------------------------
+SEMDEDUP_COS = 0.30  # drop threshold. The synthetic embeddings are near-random
+# (max within-cluster cosine ~0.45 at sf0.001), so a production-style 0.95
+# would never fire; 0.30 sits in the tail of the random-cosine distribution
+# and exercises the drop path at every SF. The THRESHOLD is the tunable; the
+# operator shape is what scales.
+
+
+@query(
+    "q112_semdedup_keep",
+    "WITH assign AS (" + _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS) + f"""),
+    x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    xa AS (SELECT x.vec_id, a.cluster, x.i, x.val FROM x JOIN assign a USING (vec_id)),
+    p AS (SELECT a.vec_id AS hi_id, b.vec_id AS lo_id, SUM(a.val * b.val) AS dot
+          FROM xa a JOIN xa b ON a.i = b.i AND a.cluster = b.cluster
+                             AND b.vec_id < a.vec_id
+          GROUP BY 1, 2),
+    dom AS (SELECT DISTINCT p.hi_id AS vec_id
+            FROM p JOIN n na ON p.hi_id = na.vec_id
+                   JOIN n nb ON p.lo_id = nb.vec_id
+            WHERE ROUND(p.dot / (na.nrm * nb.nrm), 6) >= {SEMDEDUP_COS}),
+    r AS (SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+          FROM assign a LEFT JOIN dom d USING (vec_id))
+    SELECT vec_id, cluster, kept FROM r
+    """,
+    tags=("similarity", "dedup", "clustering", "pipeline"),
+)
+def q112_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
+    to k-means clusters — a vector is DROPPED when a lower-id vector in the
+    SAME cluster has cosine >= threshold, so each near-identical group keeps
+    exactly its lowest id (deterministic under any partitioning; the
+    lowest-id rule is this pipeline's canonical-representative convention,
+    same as q46/q47). Emits every vector with its cluster and kept flag —
+    the audit table a curation run logs.
+
+    Scale shape: this is WHY SemDeDup clusters first — pairwise comparison
+    happens only WITHIN clusters (q57's assignment, k centroids), so the
+    candidate volume is sum(|cluster|^2) ~ N^2/k instead of N^2, and each
+    cluster's pair join is an independent shuffle partition. At 100 TB, k
+    grows with the corpus (k ~ sqrt(N) keeps per-cluster work flat) and the
+    pair join stays cluster-local (no cross-partition traffic)."""
+    assign = q57_kmeans(spark, sf_dir)  # vec_id, cluster
+    e = _emb(spark, sf_dir).select("vec_id", "v", "nrm").join(assign, "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("hi_id"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"), "cluster",
+    )
+    b = e.select(
+        F.col("vec_id").alias("lo_id"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"), F.col("cluster").alias("bcluster"),
+    )
+    cos = F.round(_dot("av", "bv") / (F.col("an") * F.col("bn")), 6)
+    dom = (
+        a.join(b, (F.col("cluster") == F.col("bcluster")) & (F.col("lo_id") < F.col("hi_id")))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
+        .select(F.col("hi_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dom.withColumn("dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+        )
+    )
