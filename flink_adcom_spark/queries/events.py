@@ -634,3 +634,61 @@ def q106_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("cav").alias("n_clicked"),
         F.count(F.when(F.col("cav").isNotNull(), F.col("pac"))).alias("n_converted"),
     )
+
+
+# --- retention cohorts --------------------------------------------------------
+RETENTION_DAYS = 7  # day-offsets tracked per cohort
+
+
+@query(
+    "q113_retention_cohorts",
+    f"""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_day
+    ),
+    hits AS (
+      SELECT f.cohort_day, CAST(a.d - f.cohort_day AS INT) AS k,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM active a JOIN firsts f USING (user_id)
+      WHERE a.d - f.cohort_day BETWEEN 0 AND {RETENTION_DAYS}
+      GROUP BY 1, 2
+    )
+    SELECT h.cohort_day, h.k, h.n_active, s.cohort_size
+    FROM hits h JOIN sizes s USING (cohort_day)
+    """,
+    tags=("events", "window", "cohort", "analytics"),
+)
+def q113_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users grouped by their FIRST activity date
+    (the cohort), counted distinct on each of the following RETENTION_DAYS
+    day-offsets — the activation/retention table every product-analytics
+    stack derives from an event log (the classic triangle chart input).
+    Emits (cohort_day, day offset k, active users, cohort size).
+
+    Scale shape: one shuffle to find each user's first day (map-side
+    combine on min), one distinct on (user, day) — both keyed on user_id so
+    AQE coalesces them into co-partitioned stages — then the cohort join is
+    user-keyed (no skew: users are unique) and the final rollup has
+    O(days * {RETENTION_DAYS}) groups. No window over the whole log, no
+    per-day scans; at 100 TB the event scan happens exactly twice."""
+    ev = _events(spark, sf_dir).select("user_id", F.col("ts").cast("date").alias("d"))
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = ev.distinct()
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    hits = (
+        active.join(firsts, "user_id")
+        .withColumn("k", F.datediff("d", "cohort_day"))
+        .filter((F.col("k") >= 0) & (F.col("k") <= RETENTION_DAYS))
+        .groupBy("cohort_day", "k")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return hits.join(sizes, "cohort_day").select(
+        "cohort_day", F.col("k").cast("int").alias("k"), "n_active", "cohort_size"
+    )

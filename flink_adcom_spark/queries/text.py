@@ -827,3 +827,102 @@ def q100_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         (F.col("cum").cast("double") / F.col("n")).alias("coverage"),
     )
+
+
+# --- composite quality gate (Gopher-style rule battery) -----------------------
+# Integer-exact rule bounds (compared by cross-multiplication, so both engines
+# decide every rule on exact integers — no float-boundary risk):
+QG_MIN_TOKENS, QG_MAX_TOKENS = 20, 10_000
+QG_MWL_LO10, QG_MWL_HI10 = 30, 47  # mean word length in [3.0, 4.7] (x10)
+QG_STOP_PCT = 1  # stopword fraction >= 1%
+QG_REP_DIV = 8  # top word share <= 1/8
+_QG_STOPS = ("the", "a")
+
+
+@query(
+    "q114_quality_gate",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS chars,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS stops,
+             CAST(list_max(list_transform(list_distinct(w),
+                    x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top
+      FROM t WHERE len(w) >= 1
+    )
+    SELECT doc_id, n AS n_tokens,
+           ROUND(CAST(chars AS DOUBLE) / n, 6) AS mean_word_len,
+           ROUND(CAST(stops AS DOUBLE) / n, 6) AS stop_frac,
+           ROUND(CAST(top AS DOUBLE) / n, 6) AS top_share,
+           (n >= {QG_MIN_TOKENS} AND n <= {QG_MAX_TOKENS}) AS r_len,
+           (chars * 10 >= {QG_MWL_LO10} * n AND chars * 10 <= {QG_MWL_HI10} * n)
+             AS r_word_len,
+           (stops * 100 >= {QG_STOP_PCT} * n) AS r_stop,
+           (top * {QG_REP_DIV} <= n) AS r_rep,
+           (n >= {QG_MIN_TOKENS} AND n <= {QG_MAX_TOKENS}
+            AND chars * 10 >= {QG_MWL_LO10} * n AND chars * 10 <= {QG_MWL_HI10} * n
+            AND stops * 100 >= {QG_STOP_PCT} * n
+            AND top * {QG_REP_DIV} <= n) AS keep
+    FROM m
+    """,
+    tags=("text", "quality", "filter", "pipeline"),
+)
+def q114_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality gate in the Gopher/C4 style (Rae et al.
+    2021 §A1.1 adapted to the fixture's signals): token-count bounds, mean
+    word length band, minimum stopword fraction, and repetition cap (top
+    word share), each emitted as an audit boolean plus the conjunctive keep
+    flag. Rule decisions compare exact integers via cross-multiplication
+    (e.g. stop fraction >= 1% is `stops * 100 >= n`), so both engines agree
+    bit-for-bit; the float ratio columns are audit-only.
+
+    Scale shape: every signal — including the top-word count, computed as a
+    per-row HOF over the distinct-token array (O(distinct * n) per doc,
+    bounded by doc length) — lives in the scan projection: ZERO shuffles,
+    pure whole-stage codegen, scan-through at 100 TB."""
+    w = words_col()
+    n = F.size("w").cast("long")
+    chars = F.aggregate(
+        F.transform("w", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    stops = F.size(F.filter("w", lambda x: x.isin(*_QG_STOPS))).cast("long")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("w"),
+            lambda x: F.size(F.filter("w", lambda y: y == x)),
+        )
+    ).cast("long")
+    m = (
+        _documents(spark, sf_dir)
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 1)
+        .select(
+            "doc_id",
+            n.alias("n"),
+            chars.alias("chars"),
+            stops.alias("stops"),
+            top.alias("top"),
+        )
+    )
+    r_len = (F.col("n") >= QG_MIN_TOKENS) & (F.col("n") <= QG_MAX_TOKENS)
+    r_word_len = (F.col("chars") * 10 >= QG_MWL_LO10 * F.col("n")) & (
+        F.col("chars") * 10 <= QG_MWL_HI10 * F.col("n")
+    )
+    r_stop = F.col("stops") * 100 >= QG_STOP_PCT * F.col("n")
+    r_rep = F.col("top") * QG_REP_DIV <= F.col("n")
+    return m.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.round(F.col("chars").cast("double") / F.col("n"), 6).alias("mean_word_len"),
+        F.round(F.col("stops").cast("double") / F.col("n"), 6).alias("stop_frac"),
+        F.round(F.col("top").cast("double") / F.col("n"), 6).alias("top_share"),
+        r_len.alias("r_len"),
+        r_word_len.alias("r_word_len"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_len & r_word_len & r_stop & r_rep).alias("keep"),
+    )
