@@ -897,3 +897,88 @@ def q108_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+# --- Q9 adaptation: product-line profit by nation and year --------------------
+Q9_PART_WORD = "widget"  # p_name LIKE '%widget%' (spec uses '%green%')
+
+
+@query(
+    "q115_tpch_q9_profit",
+    f"""
+    SELECT nation, o_year,
+           {sql_dec_sum('volume', 'DECIMAL(22,4)')} AS revenue,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS supply_cost,
+           {sql_dec_sum('volume', 'DECIMAL(22,4)')}
+             - CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             {sql_money('l_extendedprice')} * (1 - {sql_rate('l_discount')}) AS volume,
+             p_retailprice, l_quantity
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%{Q9_PART_WORD}%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q115_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (reference pattern: TPCHQuery01PreAggregate.java's
+    comment-block style; the suite's other adaptations are q62/q89/q92/q93/
+    q98/q99/q107/q108): product-line profit per supplier nation per order
+    year for parts matching a name fragment. The schema ships no partsupp,
+    so supply cost is adapted to p_retailprice * l_quantity; revenue, cost,
+    and profit are each exact decimal sums cast to double (identical
+    operands both engines, so the final subtraction matches bitwise).
+
+    Scale shape: the p_name LIKE filter prunes part BEFORE its broadcast
+    (the string predicate pushes to the part scan); supplier and nation
+    broadcast too, so lineitem — the only 100 TB-scale table here — meets
+    three broadcast hashes scan-side and shuffles once for the orders join
+    keyed on l_orderkey, then once more for the 2-key aggregate. Part
+    pruning happens before any lineitem row widens: a non-matching part
+    drops its lineitems at the first broadcast probe."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q9_PART_WORD))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    volume = money("l_extendedprice") * (1 - rate("l_discount"))
+    cost = money("p_retailprice") * F.col("l_quantity").cast(MONEY)
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            volume.cast("DECIMAL(22,4)").alias("volume"),
+            cost.alias("cost"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("volume").cast("double").alias("revenue"),
+            F.sum("cost").cast("double").alias("supply_cost"),
+            (F.sum("volume").cast("double") - F.sum("cost").cast("double")).alias(
+                "profit"
+            ),
+        )
+    )
