@@ -218,3 +218,29 @@ def q102_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(0.10 * F.col("exact_users"), F.lit(5.0))
         ).alias("within_bound"),
     )
+
+
+@query(
+    "q116_stream_enrich_segments",
+    f"""
+    SELECT c_mktsegment, event_type, COUNT(*) AS n,
+           {_SUM_VALUE_SQL} AS sum_value, MAX(value) AS max_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "enrich"),
+)
+def q116_stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-stream broadcast enrichment, externally gated: the events
+    stream joins the static customer dimension and rolls up per (market
+    segment, event type); the drained complete-mode table must equal the
+    batch join + GROUP BY. Covers the stream-side dimension join (the one
+    streaming join shape q84's stream-stream attribution does NOT exercise:
+    a static side needs no watermark and no join state)."""
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    return jobs.run_to_memory(
+        jobs.streaming_enriched_segment_stats(spark, sf_dir, max_files_per_trigger=1),
+        name,
+        output_mode="complete",
+        trigger_ms=None,
+    )

@@ -155,6 +155,32 @@ def run_to_memory(
     return agg_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def streaming_enriched_segment_stats(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """Static-stream dimension enrichment: the events stream joins the STATIC
+    customer table (broadcast — the dim is loaded once per micro-batch plan,
+    never shuffled, and the stream side needs no state because the static
+    side is complete by definition), then aggregates per (market segment,
+    event type). The streaming face of the classic fact-enrich-rollup; at
+    scale the dim broadcast is the same plan Catalyst gives the batch twin.
+    Sums are decimal-cast (functions/exact.py) so the drained result is
+    bit-comparable to the batch oracle."""
+    from ..tables import load_table
+
+    ev = stream_events(spark, sf_dir, **kw)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
 def streaming_user_sessions(
     spark: SparkSession, sf_dir: str, gap_min: int = 30, watermark: str = "2 hours", **kw
 ) -> DataFrame:
