@@ -244,3 +244,67 @@ def q116_stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
         trigger_ms=None,
     )
+
+
+@query(
+    "q118_bucketed_join_stats",
+    f"""
+    SELECT user_id, MAX(c_mktsegment) AS segment, COUNT(*) AS n,
+           {_SUM_VALUE_SQL} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY user_id
+    """,
+    tags=("storage", "bucketing", "join", "agg"),
+)
+def q118_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-the-shuffle-once storage layout under the external gate: both
+    join sides are persisted as bucketed tables on the join key
+    (operators/storage.py — the Spark-native answer to the reference's
+    hand-placed partitioners, SURVEY.md X2/X3), then joined AND aggregated
+    on that key. The builder asserts the physical plan contains ZERO
+    exchanges — bucketing alone carries the co-partitioning contract for
+    both the join and the per-user aggregate — and the driver hash-checks
+    the result against the plain batch join oracle.
+
+    The zero-exchange property is asserted at BUILD time with broadcast
+    disabled (at 100 TB neither side broadcasts; the conf is restored before
+    returning, so nothing leaks into other gate queries — the driver's later
+    collect may legitimately re-plan the tiny test dim as a broadcast, which
+    changes the plan, not the answer). Tables live in a fresh temp-located
+    database per run, so re-runs never hit orphaned managed-table paths."""
+    from ..operators.storage import bucketed_join, write_bucketed
+    from ..tables import load_table
+
+    db = f"q118_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="q118_wh_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    write_bucketed(ev, f"{db}.events_b", ["user_id"], num_buckets=8)
+    write_bucketed(dim, f"{db}.customer_b", ["user_id"], num_buckets=8)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max("c_mktsegment").alias("segment"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = agg(bucketed_join(spark, f"{db}.events_b", f"{db}.customer_b", ["user_id"]))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange")
+        if n_exchanges != 0:
+            raise AssertionError(
+                f"bucketed join/agg planned {n_exchanges} exchange(s); the "
+                f"zero-shuffle layout contract is broken:\n{plan[:2000]}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return agg(
+        bucketed_join(spark, f"{db}.events_b", f"{db}.customer_b", ["user_id"])
+    ).select("user_id", "segment", "n", "sum_value")

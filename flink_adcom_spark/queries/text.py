@@ -926,3 +926,45 @@ def q114_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_rep.alias("r_rep"),
         (r_len & r_word_len & r_stop & r_rep).alias("keep"),
     )
+
+
+# --- BPE pair statistics (tokenizer training, step 1) -------------------------
+@query(
+    "q117_bpe_pair_counts",
+    f"""
+    WITH w AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+    p AS (SELECT unnest(list_transform(range(1, len(word)),
+                        i -> word[i:i] || word[i+1:i+1])) AS pair
+          FROM w WHERE len(word) >= 2)
+    SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+    """,
+    tags=("text", "tokenizer", "agg"),
+)
+def q117_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the statistic BPE
+    tokenizer training (Sennrich et al. 2016) computes on every merge
+    round: the most frequent pair becomes the next merge rule. One round
+    is representative (later rounds re-run the same plan over re-tokenized
+    words); emitting the full pair histogram lets the trainer pick argmax
+    AND audit the tail.
+
+    Scale shape: pairs are generated scan-side with a per-word HOF (no
+    per-character explode of the corpus — the explode happens at pair
+    granularity, ~bytes-of-corpus rows) and the single shuffle carries
+    (pair, partial count) after map-side combine: the same one-exchange
+    wordcount topology (q10), on a ~26^2-cardinality key space, so the
+    reduce side is trivially balanced at any corpus size."""
+    words = (
+        _documents(spark, sf_dir)
+        .select(F.explode(words_col()).alias("word"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
