@@ -97,3 +97,17 @@ def test_multiprobe_improves_neardup_recall(spark, sf_dir):
     assert multi <= truth  # LSH candidates are exact-scored: no false pairs
     if truth:
         assert len(multi & truth) >= len(single & truth)
+
+
+def test_quantized_rescore_recall_near_exact(spark, sf_dir):
+    """q109's int8 coarse scan + 3k full-precision rescore must recover
+    nearly all of the exact top-k: the coarse ranking errs by at most the
+    quantization noise (~1/127 per component), far smaller than typical
+    neighbor gaps, and the 3x rescore headroom absorbs boundary swaps.
+    Unlike the IVF tests (cell routing can lose whole neighbors), this is
+    a tight contract — measured recall 1.0 at every SF here; asserted at
+    >= 0.9 to stay robust to future fixture regenerations."""
+    exact = _pairs(get("q50_knn_bruteforce").build(spark, sf_dir))
+    q = _pairs(get("q109_quantized_rescore_knn").build(spark, sf_dir))
+    recall = len(q & exact) / len(exact)
+    assert recall >= 0.9, recall
