@@ -275,6 +275,11 @@ def q118_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.storage import bucketed_join, write_bucketed
     from ..tables import load_table
 
+    # self-clean: drop any q118 database a previous run of this session left
+    # behind (the gate runs once per driver process, but the in-repo mirror
+    # builds repeatedly in one session)
+    for row in spark.sql("SHOW DATABASES LIKE 'q118_*'").collect():
+        spark.sql(f"DROP DATABASE IF EXISTS {row[0]} CASCADE")
     db = f"q118_{uuid.uuid4().hex[:8]}"
     loc = tempfile.mkdtemp(prefix="q118_wh_")
     spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
