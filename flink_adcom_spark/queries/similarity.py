@@ -469,18 +469,28 @@ def _kmeans_dist_sql(v: str, c: str) -> str:
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
+def _kmeans_oracle_sql(k: int, iters: int, train_where: str = "", assign_cte: str | None = None) -> str:
     """DuckDB restatement of lloyd_kmeans: the ITERS iterations are unrolled
     as chained CTEs (assign -> per-cluster/dim mean -> empty-cluster
     fallback). Centroid means are double averages whose summation order is
     engine-internal on both sides; the assignment output is integer-valued
     and empirically bit-stable (a flip would need two centroids equidistant
     to ~1 ulp — surfaced by the per-round mirror run if a data generation
-    ever produces that)."""
+    ever produces that).
+
+    `train_where` restricts the TRAINING corpus (the vecs CTE); `assign_cte`
+    optionally supplies a different vector set (SQL producing vec_id, v) for
+    the FINAL assignment — the incremental-index case (q119): train on the
+    index corpus, assign a new batch against the frozen centroids."""
+    assign_src = "vecs"
+    assign_block = ""
+    if assign_cte is not None:
+        assign_src = "batch"
+        assign_block = f",\nbatch AS ({assign_cte})"
     parts = [
         f"""WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings {train_where}
 ),
 dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
 c0 AS (
@@ -512,14 +522,15 @@ c{it} AS (
 )"""
         )
         prev = f"c{it}"
+    parts.append(assign_block)
     parts.append(
         f"""
 SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
-  SELECT vecs.vec_id, {prev}.cid AS cluster,
-         ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
-                            ORDER BY {_kmeans_dist_sql('vecs.v', prev + '.c')},
+  SELECT {assign_src}.vec_id, {prev}.cid AS cluster,
+         ROW_NUMBER() OVER (PARTITION BY {assign_src}.vec_id
+                            ORDER BY {_kmeans_dist_sql(assign_src + '.v', prev + '.c')},
                                      {prev}.cid) AS rn
-  FROM vecs CROSS JOIN {prev}
+  FROM {assign_src} CROSS JOIN {prev}
 ) t WHERE rn = 1"""
     )
     return "".join(parts)
@@ -911,4 +922,46 @@ def q112_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster",
             F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
         )
+    )
+
+
+# --- incremental index maintenance: assign new vectors to frozen centroids ----
+INDEX_BATCH_MAX = 100  # vec_id < this = the "newly arrived" batch
+
+
+@query(
+    "q119_index_assign_batch",
+    _kmeans_oracle_sql(
+        KMEANS_K,
+        KMEANS_ITERS,
+        train_where=f"WHERE vec_id >= {INDEX_BATCH_MAX}",
+        assign_cte=(
+            "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            f"FROM embeddings WHERE vec_id < {INDEX_BATCH_MAX}"
+        ),
+    ),
+    tags=("similarity", "clustering", "incremental", "pipeline"),
+)
+def q119_index_assign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector-index maintenance (the q59 pattern for the vector
+    side): the coarse quantizer is trained ONCE on the existing index corpus
+    (vec_id >= 100), then a newly-arrived batch (vec_id < 100) is routed to
+    its nearest FROZEN centroid without retraining — how a production IVF
+    index absorbs inserts between periodic rebuilds. Emits the batch's
+    (vec_id, cluster) routing table.
+
+    Scale shape: training cost is amortized over many batches; per-batch
+    cost is one scan of the batch with the k*dim centroid matrix broadcast
+    into a codegen'd argmin expression — no shuffle at all for the
+    assignment itself (operators/kmeans.py::assign_clusters)."""
+    from ..operators.kmeans import assign_clusters, lloyd_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    train = e.filter(F.col("vec_id") >= INDEX_BATCH_MAX)
+    batch = e.filter(F.col("vec_id") < INDEX_BATCH_MAX)
+    _, centroids = lloyd_kmeans(train, "v", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
+    return assign_clusters(batch, "v", centroids).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
     )
