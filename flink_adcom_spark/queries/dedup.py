@@ -805,6 +805,7 @@ SPAN_KEY_SHIFT = 1 << 20  # (doc_id, span_idx) -> doc_id * SHIFT + idx; holds
     GROUP BY sp.doc_id
     """,
     tags=("dedup", "text", "span", "pipeline"),
+    bench=True,
 )
 def q111_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-SPAN removal across the corpus (the C4 / MassiveText move:

@@ -767,6 +767,7 @@ RESCORE_M = 3 * TOP_K  # coarse candidates refined at full precision
     SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= {TOP_K}
     """,
     tags=("similarity", "knn", "quantize", "pipeline"),
+    bench=True,
 )
 def q109_quantized_rescore_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN over the int8-quantized index (q101's quantizer) with
