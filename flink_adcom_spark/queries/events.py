@@ -672,23 +672,33 @@ def q113_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack derives from an event log (the classic triangle chart input).
     Emits (cohort_day, day offset k, active users, cohort size).
 
-    Scale shape: one shuffle to find each user's first day (map-side
-    combine on min), one distinct on (user, day) — both keyed on user_id so
-    AQE coalesces them into co-partitioned stages — then the cohort join is
-    user-keyed (no skew: users are unique) and the final rollup has
-    O(days * {RETENTION_DAYS}) groups. No window over the whole log, no
-    per-day scans; at 100 TB the event scan happens exactly twice."""
+    Scale shape: ONE event-scale shuffle, keyed on user_id, computes both
+    the cohort day (min) and the user's active-day set (collect_set, with
+    map-side partial aggregation and per-user cardinality bounded by the
+    calendar) in a single aggregate; everything after operates on one row
+    per USER, not per event — the day-set explode emits at most
+    {RETENTION_DAYS}+1 rows per user, the (cohort, k) rollup needs no
+    distinct (the day set already deduped per user), and cohort_size is
+    read off the k=0 row — every user is active on their own first day,
+    so the k=0 count IS the cohort size — via a window over the
+    days x offsets aggregated rows (no second branch recomputing the
+    event shuffle, no join). No window over the whole log, no per-day
+    scans, no second pass over events."""
     ev = _events(spark, sf_dir).select("user_id", F.col("ts").cast("date").alias("d"))
-    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
-    active = ev.distinct()
-    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("cohort_day"), F.collect_set("d").alias("days")
+    )
     hits = (
-        active.join(firsts, "user_id")
+        per_user.select("cohort_day", F.explode("days").alias("d"))
         .withColumn("k", F.datediff("d", "cohort_day"))
         .filter((F.col("k") >= 0) & (F.col("k") <= RETENTION_DAYS))
         .groupBy("cohort_day", "k")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count("*").alias("n_active"))
     )
-    return hits.join(sizes, "cohort_day").select(
-        "cohort_day", F.col("k").cast("int").alias("k"), "n_active", "cohort_size"
+    w = Window.partitionBy("cohort_day")
+    return hits.select(
+        "cohort_day",
+        F.col("k").cast("int").alias("k"),
+        "n_active",
+        F.max(F.when(F.col("k") == 0, F.col("n_active"))).over(w).alias("cohort_size"),
     )
