@@ -858,3 +858,81 @@ def q111_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- LSH quality audit: candidates vs exact truth -----------------------------
+LSH_TRUTH_J = 0.5  # "true near-dup" threshold for the audit
+
+
+@query(
+    "q120_lsh_quality_audit",
+    f"""
+    WITH {_CAPPED_BANDS_SQL},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM b2 a JOIN b2 b ON a.band = b.band AND a.bkey = b.bkey
+                                AND a.doc_id < b.doc_id),
+    d0 AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DOCS_SQL}) s),
+    df AS (SELECT sh FROM d0 GROUP BY sh HAVING COUNT(*) <= {STOP_SHINGLE_DF}),
+    d AS (SELECT d0.doc_id, d0.sh FROM d0 JOIN df ON d0.sh = df.sh),
+    c AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b
+              FROM p JOIN c ca ON p.doc_a = ca.doc_id
+                     JOIN c cb ON p.doc_b = cb.doc_id
+              WHERE (CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) >= {LSH_TRUTH_J}),
+    m AS (SELECT COALESCE(cand.doc_a, truth.doc_a) AS doc_a,
+                 CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+                 CASE WHEN truth.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_truth
+          FROM cand FULL OUTER JOIN truth
+            ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b)
+    SELECT CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_truth) AS BIGINT) AS n_truth,
+           CAST(SUM(is_cand * is_truth) AS BIGINT) AS n_hits,
+           (CAST(SUM(is_cand * is_truth) AS DOUBLE) / SUM(is_cand)) AS precision_,
+           (CAST(SUM(is_cand * is_truth) AS DOUBLE) / SUM(is_truth)) AS recall_
+    FROM m
+    """,
+    tags=("dedup", "minhash", "audit", "pipeline"),
+)
+def q120_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-driven curation: measure the MinHash+LSH candidate set
+    (q41) against exact Jaccard truth (q42's pipeline at J >= 0.5) — the
+    empirical check of the banding S-curve claim (8x4 bands sit at ~J0.6,
+    so J >= 0.5 truth should be recalled well while low-J pairs stay out).
+    One full-outer join of the two pair sets, folded to a single audit row:
+    candidate/truth/hit counts plus precision and recall as exact integer
+    ratios.
+
+    Scale shape: both inputs are the already-linear pipelines (banded
+    candidate join, stop-shingle-capped truth join); the audit adds one
+    pair-keyed join and an O(1)-row aggregate. This is the query a pipeline
+    runs on a SAMPLE to tune band geometry before a full-corpus dedup."""
+    cand = (
+        q41_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("is_cand", F.lit(1))
+    )
+    truth = (
+        q42_ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= LSH_TRUTH_J)
+        .select("doc_a", "doc_b")
+        .withColumn("is_truth", F.lit(1))
+    )
+    m = cand.join(truth, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+        F.coalesce("is_truth", F.lit(0)).alias("is_truth"),
+    )
+    return m.agg(
+        F.sum("is_cand").alias("n_candidates"),
+        F.sum("is_truth").alias("n_truth"),
+        F.sum(F.col("is_cand") * F.col("is_truth")).alias("n_hits"),
+        (
+            F.sum(F.col("is_cand") * F.col("is_truth")).cast("double")
+            / F.sum("is_cand")
+        ).alias("precision_"),
+        (
+            F.sum(F.col("is_cand") * F.col("is_truth")).cast("double")
+            / F.sum("is_truth")
+        ).alias("recall_"),
+    )
