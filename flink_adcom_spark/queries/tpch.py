@@ -982,3 +982,449 @@ def q115_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Q2/Q11/Q16/Q20 share a derived supply relation ---------------------------
+# The schema ships no partsupp table, so the supplier-part relation is derived
+# from lineitem: one row per DISTINCT (l_partkey, l_suppkey), with unit price
+# min(l_extendedprice / l_quantity) standing in for ps_supplycost and shipped
+# quantity standing in for ps_availqty. min() over identical fp64 divisions is
+# order-independent, so both engines derive bit-identical costs.
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: (ps_partkey, ps_suppkey, ps_supplycost)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    return li.groupBy("ps_partkey", "ps_suppkey").agg(
+        F.min("unit_price").alias("ps_supplycost")
+    )
+
+
+_SUPPLY_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+# --- Q2 adaptation: minimum-cost supplier per part ----------------------------
+Q2_MAX_SIZE, Q2_TYPE, Q2_REGION = 10, "STANDARD", "EUROPE"
+
+
+@query(
+    "q121_tpch_q2_min_cost_supplier",
+    f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    regional AS (
+      SELECT s_acctbal, s_name, n_name, ps_partkey, ps_supplycost,
+             MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+      FROM supply
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      JOIN part     ON p_partkey = ps_partkey
+      WHERE r_name = '{Q2_REGION}' AND p_size <= {Q2_MAX_SIZE} AND p_type = '{Q2_TYPE}'
+    )
+    SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey
+    FROM regional WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    tags=("tpch", "join", "window"),
+)
+def q121_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: for each part of a given size/type, the European
+    supplier(s) offering it at the region-minimum derived supply cost.
+
+    The spec's correlated scalar subquery (min ps_supplycost per part,
+    re-filtered by region) is decorrelated into a single window MIN over
+    ps_partkey on the already-filtered supply rows — one shuffle on
+    ps_partkey replaces a per-part subquery re-scan; filter-equality on the
+    window value is exact because both sides are the same fp64 bits.
+
+    Scale shape: part is pruned by (p_size, p_type) BEFORE its broadcast;
+    supplier/nation/region broadcast. The only large input is the derived
+    supply relation — one groupBy(ps_partkey, ps_suppkey) shuffle over
+    lineitem, whose output is bounded by |part|x|supplier| not |lineitem| —
+    followed by the window's ps_partkey shuffle."""
+    supply = _supply(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q2_REGION)
+        .select("r_regionkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= Q2_MAX_SIZE) & (F.col("p_type") == Q2_TYPE))
+        .select("p_partkey")
+    )
+    from pyspark.sql import Window
+
+    regional = (
+        supply.join(F.broadcast(part), supply.ps_partkey == part.p_partkey)
+        .join(F.broadcast(supp), supply.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .withColumn(
+            "min_cost",
+            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
+        )
+    )
+    return (
+        regional.filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", F.col("ps_partkey").alias("p_partkey")
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q11 adaptation: important parts by nation --------------------------------
+Q11_REGION, Q11_FRACTION = "EUROPE", 0.001
+
+
+@query(
+    "q122_tpch_q11_important_parts",
+    f"""
+    WITH national AS (
+      SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)) AS ep
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = '{Q11_REGION}'
+    )
+    SELECT l_partkey AS partkey, CAST(SUM(ep) AS DOUBLE) AS part_value
+    FROM national
+    GROUP BY l_partkey
+    HAVING CAST(SUM(ep) AS DOUBLE) >
+           {Q11_FRACTION} * (SELECT CAST(SUM(ep) AS DOUBLE) FROM national)
+    """,
+    tags=("tpch", "agg", "scalar-subquery"),
+)
+def q122_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: parts whose line-item value from one region's
+    suppliers exceeds a fraction of that region's total value (ps_supplycost
+    * ps_availqty becomes summed l_extendedprice — same shape, no partsupp).
+
+    The spec's HAVING-side scalar subquery re-aggregates the same filtered
+    relation; here the per-part aggregate is computed ONCE, the grand total
+    is a second-level aggregation OF THE PER-PART RESULT (not a re-scan of
+    lineitem), and the scalar joins back via broadcast — Catalyst folds it
+    into a BroadcastNestedLoopJoin of a 1-row side.
+
+    Scale shape: region+nation+supplier broadcast-prune lineitem scan-side to
+    ~1/25th before the single l_partkey shuffle; the total never touches
+    the driver. Exact-decimal sums keep the HAVING threshold comparison
+    bit-identical across engines."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q11_REGION)
+        .select("r_regionkey")
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", money("l_extendedprice").alias("ep")
+    )
+    national = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    per_part = national.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum("ep").alias("dec_value")
+    )
+    total = per_part.agg(
+        (F.sum("dec_value").cast("double") * F.lit(Q11_FRACTION)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("dec_value").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("dec_value").cast("double").alias("part_value"))
+    )
+
+
+# --- Q12 adaptation: late shipments by line status ----------------------------
+Q12_YEAR, Q12_LATE_DAYS = 1996, 30
+
+
+@query(
+    "q123_tpch_q12_late_priority",
+    f"""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+      AND year(o_orderdate) = {Q12_YEAR}
+    GROUP BY l_linestatus
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q123_tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted: among line items shipped more than N days after
+    their order date (the schema has no commit/receipt dates or shipmode, so
+    lateness is shipdate-vs-orderdate and the grouping key is l_linestatus),
+    how many came from high- vs low-priority orders.
+
+    Scale shape: one shuffle join on orderkey (both sides 100 TB-scale, AQE
+    sort-merge), the year predicate pushes to the orders scan, and the final
+    2-group aggregate is map-side partial — shuffle output is O(partitions).
+    The row-vs-row date comparison happens join-side, inside codegen."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == Q12_YEAR)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q16 adaptation: supplier count by part attributes ------------------------
+Q16_EXCL_BRAND, Q16_EXCL_TYPE = "Brand#1", "PROMO"
+Q16_SIZES = (3, 9, 14, 19, 23, 36, 45, 49)
+
+
+@query(
+    "q124_tpch_q16_supplier_count",
+    f"""
+    WITH supply AS ({_SUPPLY_SQL})
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM supply
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> '{Q16_EXCL_BRAND}'
+      AND p_type <> '{Q16_EXCL_TYPE}'
+      AND p_size IN {Q16_SIZES}
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "join", "agg", "anti-join"),
+)
+def q124_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: how many distinct suppliers can supply parts of
+    each (brand, type, size) combination, excluding one brand, one type, and
+    suppliers in deficit (s_acctbal < 0 stands in for the spec's
+    complaint-comment scan; the supplier-part relation is the derived
+    supply view).
+
+    The spec's NOT IN subquery becomes a broadcast LEFT ANTI join — the
+    excluded-supplier list is tiny and reaches every executor, so no NULL
+    -semantics hazard and no shuffle. Scale shape: part filters prune
+    before broadcast; the distinct count shuffles once on the 3-part group
+    key after an anti-join that did not shuffle."""
+    supply = _supply(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != Q16_EXCL_BRAND)
+            & (F.col("p_type") != Q16_EXCL_TYPE)
+            & (F.col("p_size").isin(*Q16_SIZES))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        supply.join(
+            F.broadcast(bad_supp),
+            supply.ps_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q20 adaptation: suppliers with excess shipments --------------------------
+Q20_NAME_PREFIX, Q20_YEAR, Q20_REGION = "small", 1996, "ASIA"
+
+
+@query(
+    "q125_tpch_q20_excess_shippers",
+    f"""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = '{Q20_REGION}'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CASE WHEN year(l_shipdate) = {Q20_YEAR}
+                        THEN l_quantity ELSE 0 END)
+               > 0.5 * SUM(l_quantity)
+      )
+    ORDER BY s_name
+    """,
+    tags=("tpch", "join", "semi-join", "agg"),
+)
+def q125_tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: suppliers in one region who, for some part matching
+    a name prefix, shipped more than half of their all-time quantity of that
+    part within a single year (the spec's ps_availqty > 0.5 * shipped-qty
+    becomes a within-lineitem comparison, since there is no partsupp).
+
+    The spec's nested IN subqueries flatten into: conditional aggregation
+    over one groupBy(l_suppkey, l_partkey) — the year-window sum and the
+    total sum come out of the SAME shuffle via CASE — followed by a
+    broadcast SEMI join into the region-filtered supplier list. l_quantity
+    is whole-number fp64, so the sums are exact and the 0.5* comparison is
+    engine-stable. Scale shape: part name-prefix filter prunes scan-side
+    before broadcast; exactly one lineitem shuffle."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    in_year = F.when(F.year("l_shipdate") == Q20_YEAR, F.col("l_quantity")).otherwise(
+        F.lit(0.0)
+    )
+    excess = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(in_year).alias("qty_year"),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_year") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    q20_region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q20_REGION)
+        .select("r_regionkey")
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(q20_region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(excess), supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+# --- Q21 adaptation: suppliers who kept orders waiting ------------------------
+Q21_LATE_DAYS = 60
+
+
+@query(
+    "q126_tpch_q21_waiting_suppliers",
+    f"""
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    solo_late AS (
+      SELECT l_orderkey, MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS suppkey
+      FROM flagged
+      GROUP BY l_orderkey
+      HAVING COUNT(*) >= 2 AND SUM(is_late) = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM solo_late JOIN supplier ON s_suppkey = suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q126_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order (lateness = shipped more than N days after
+    the order date; the schema has no commit/receipt dates).
+
+    The spec's EXISTS + NOT EXISTS self-join pair is decorrelated into two
+    stacked aggregations: per (order, supplier) late flags, then per order
+    [supplier count, late count, the single late suppkey] — no lineitem
+    self-join at all. Scale shape: one orderkey shuffle join against
+    status-filtered orders, one (orderkey, suppkey) shuffle, then the
+    per-order rollup reuses records already clustered by orderkey (AQE
+    coalesces the nearly-local exchange); the final per-supplier count is
+    over at most |orders| rows."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    )
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", F.when(late, 1).otherwise(0).alias("is_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("is_late"))
+    )
+    solo_late = (
+        flagged.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("is_late").alias("n_late"),
+            F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("suppkey"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        solo_late.join(F.broadcast(supp), solo_late.suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
