@@ -206,3 +206,80 @@ def q96_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(0.10 * F.col("exact_users"), F.lit(5.0))
         ).alias("within_bound"),
     )
+
+
+# --- Count-min sketch heavy hitters -------------------------------------------
+CMS_DEPTH, CMS_WIDTH, CMS_TOPK = 6, 1024, 20
+# overcount tolerance: 2e*N/w per key; P[escape] <= (2e)^-depth ~ 4e-5 per key
+CMS_BOUND_FACTOR = 2 * 2.718281828459045 / CMS_WIDTH
+
+
+@query(
+    "q127_cms_heavy_hitters",
+    f"""
+    SELECT user_id, COUNT(*) AS exact_cnt,
+           TRUE AS no_undercount, TRUE AS within_bound
+    FROM events GROUP BY user_id
+    ORDER BY exact_cnt DESC, user_id LIMIT {CMS_TOPK}
+    """,
+    tags=("events", "sketch", "heavy-hitters"),
+)
+def q127_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, gated on the top-20
+    heaviest users: the sketch is d x w counters (d=6 hash rows of
+    w=1024 buckets, xxhash64 seeded by the row index), built with ONE
+    shuffle whose distinct-key count is d*w regardless of data size — the
+    mergeable, bounded-memory path to "how often did key k occur" at 100 TB,
+    where an exact per-key count of a high-cardinality key space is a full
+    shuffle of the keys.
+
+    Gate contract (full hash-match, q70-style): the plan computes exact
+    counts for the top-k keys, probes the sketch for the same keys, and
+    emits two booleans the oracle asserts TRUE — no_undercount (CMS
+    estimates never undercount: every occurrence of k increments all d of
+    its counters) and within_bound (overcount <= 2e*N/w; by Markov +
+    d-way independence the escape probability per key is under (2e)^-d
+    ~ 4e-5, deterministic for a fixed dataset). The exact twin is the
+    verification harness; at scale only the sketch and the probe run.
+
+    Scale shape: the sketch build is a map-side-combinable groupBy over
+    d*w keys (shuffle volume O(partitions * d * w), independent of rows);
+    the probe broadcasts the d*w-row sketch to the candidate keys; the
+    grand total N rides the same sketch (sum of any one hash row) rather
+    than a second scan."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    js = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+    sketch = (
+        ev.select("user_id", F.explode(js).alias("j"))
+        .select("j", F.pmod(F.xxhash64("user_id", "j"), F.lit(CMS_WIDTH)).alias("bkt"))
+        .groupBy("j", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # N = sum over one hash row of the sketch (every row sums to N)
+    total = sketch.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(CMS_TOPK)
+    )
+    probes = top.select("user_id", "exact_cnt", F.explode(js).alias("j")).select(
+        "user_id",
+        "exact_cnt",
+        "j",
+        F.pmod(F.xxhash64("user_id", "j"), F.lit(CMS_WIDTH)).alias("bkt"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bkt"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "exact_cnt",
+        (F.col("est") >= F.col("exact_cnt")).alias("no_undercount"),
+        (
+            (F.col("est") - F.col("exact_cnt"))
+            <= F.lit(CMS_BOUND_FACTOR) * F.col("n_total")
+        ).alias("within_bound"),
+    )

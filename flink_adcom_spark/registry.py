@@ -89,6 +89,7 @@ def _load_all() -> None:
         sketches,
         fares,
         media,
+        prep,
         streaming_parity,
     )
 

@@ -1,0 +1,129 @@
+"""Token-window chunking and PII scrubbing: edge cases against a pure-Python
+reference, plus redaction on realistic literal PII that the fixture corpus
+cannot provide."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_adcom_spark.functions.pii import pii_count, redact_pii
+from flink_adcom_spark.queries.prep import CHUNK_OVERLAP, CHUNK_STRIDE, CHUNK_TOKENS
+from flink_adcom_spark.registry import get
+
+
+def _py_chunks(text: str) -> list[tuple[int, int, str]]:
+    toks = [t for t in text.split() if t]
+    starts = list(range(0, max(len(toks) - CHUNK_OVERLAP, 1), CHUNK_STRIDE))
+    out = []
+    for i, s in enumerate(starts):
+        chunk = toks[s : s + CHUNK_TOKENS]
+        out.append((i, len(chunk), " ".join(chunk)))
+    return out
+
+
+def test_chunking_matches_python_reference(spark, sf_dir):
+    rows = (
+        get("q128_token_chunks")
+        .build(spark, sf_dir)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        )
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        assert got[doc_id] == _py_chunks(text), f"doc {doc_id}"
+
+
+def test_chunking_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ""),  # empty -> one empty chunk
+            (2, "one"),  # single token
+            (3, "  padded   tokens  "),  # whitespace runs collapse
+            (4, " ".join(f"w{i}" for i in range(CHUNK_TOKENS))),  # exactly one window
+            (5, " ".join(f"w{i}" for i in range(CHUNK_TOKENS + 1))),  # spills over
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("t") - CHUNK_OVERLAP - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = (
+        df.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(starts).alias("start"), "t")
+        .select(
+            "doc_id",
+            F.slice("t", F.col("start") + 1, F.lit(CHUNK_TOKENS)).alias("chunk"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.size("chunk")).alias("tok_sum"),
+        )
+        .collect()
+    )
+    by_id = {r["doc_id"]: (r["n_chunks"], r["tok_sum"]) for r in chunks}
+    assert by_id[1] == (1, 0)
+    assert by_id[2] == (1, 1)
+    assert by_id[3] == (1, 2)
+    # exactly one window: the would-be tail at 48 is fully contained
+    assert by_id[4] == (1, CHUNK_TOKENS)
+    # 65 tokens -> windows at 0 (64 toks) and 48 (17 toks)
+    assert by_id[5] == (2, CHUNK_TOKENS + (CHUNK_TOKENS + 1 - CHUNK_STRIDE))
+
+
+def test_pii_redaction_on_real_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org today"),
+            (2, "call 555-0199 or visit 192.168.1.254 now"),
+            (3, "no pii here at all"),
+            (4, "two mails: a@b.co and x_y%z@sub.domain.io"),
+        ],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        redact_pii("text").alias("clean"),
+        pii_count("text", "email").alias("ne"),
+        pii_count("text", "phone").alias("np"),
+        pii_count("text", "ipv4").alias("ni"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["clean"] == "reach me at [EMAIL] today"
+    assert by_id[1]["ne"] == 1
+    assert by_id[2]["clean"] == "call [PHONE] or visit [IP] now"
+    assert (by_id[2]["np"], by_id[2]["ni"]) == (1, 1)
+    assert by_id[3]["clean"] == "no pii here at all"
+    assert (by_id[3]["ne"], by_id[3]["np"], by_id[3]["ni"]) == (0, 0, 0)
+    assert by_id[4]["clean"] == "two mails: [EMAIL] and [EMAIL]"
+    assert by_id[4]["ne"] == 2
+
+
+def test_pii_audit_residual_zero(spark, sf_dir):
+    rows = get("q129_pii_scrub_audit").build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["residual_pii"] == 0
+        assert r["emails_found"] == r["docs"]
+        assert r["phones_found"] == r["docs"]
+        # every doc plants exactly one IP; phone/email strings never parse as IPs
+        assert r["ips_found"] == r["docs"]
+
+
+def test_cms_never_undercounts_and_is_bounded(spark, sf_dir):
+    rows = get("q127_cms_heavy_hitters").build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["no_undercount"] for r in rows)
+    assert all(r["within_bound"] for r in rows)
