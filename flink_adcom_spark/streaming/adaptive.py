@@ -94,7 +94,10 @@ class AdaptiveQueryRunner:
             # drain one flush before stopping: if the deadline lands right
             # after a restart, the fresh query may not have committed a
             # batch yet and its sink would otherwise end the run empty
-            drain = time.monotonic() + 15
+            # (a memory sink in complete mode re-registers an EMPTY table at
+            # query start, so stopping pre-commit would lose the snapshot —
+            # 30 s covers checkpoint recovery under load)
+            drain = time.monotonic() + 30
             while time.monotonic() < drain and not query.recentProgress:
                 time.sleep(poll_s)
             query.stop()

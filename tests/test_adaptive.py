@@ -18,9 +18,12 @@ def test_runner_adapts_under_overload(spark, tmp_path):
     name = f"adapt_{uuid.uuid4().hex[:8]}"
 
     def start_query(trigger_ms: int, ckpt: str):
-        agg = words_stream(spark, rows_per_second=2000).groupBy("word").agg(
-            F.count("*").alias("cnt")
-        )
+        # few source partitions: batches stay fast to SCHEDULE under a busy
+        # box (the overload signal comes from duration vs the 50 ms trigger,
+        # not from task count)
+        agg = words_stream(spark, rows_per_second=2000, num_partitions=4).groupBy(
+            "word"
+        ).agg(F.count("*").alias("cnt"))
         return (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -35,7 +38,8 @@ def test_runner_adapts_under_overload(spark, tmp_path):
     # checkpoint each attempt) before declaring failure, so a busy box
     # can't starve the overload scenario into a flake.
     report = None
-    for attempt, window_s in enumerate((30.0, 60.0, 120.0)):
+    diags: list[str] = []
+    for attempt, window_s in enumerate((45.0, 60.0, 120.0)):
         runner = AdaptiveQueryRunner(
             start_query,
             controller=BandController(interval_ms=50),  # batches ~100ms+ -> overload
@@ -45,13 +49,26 @@ def test_runner_adapts_under_overload(spark, tmp_path):
         report = runner.run_for(window_s)
         if report.batches_observed > 0 and report.restarts >= 1:
             break
+        # zero-batch / zero-restart attempt: record why, so a flake under
+        # machine load is diagnosable from the assertion message alone
+        active = [q.name for q in spark.streams.active]
+        diags.append(
+            f"attempt {attempt} ({window_s}s): batches={report.batches_observed} "
+            f"restarts={report.restarts} decisions={len(report.decisions)} "
+            f"active_queries={active}"
+        )
+        spark.streams.resetTerminated()
 
-    assert report.batches_observed > 0
-    assert report.decisions, "controller never decided"
-    assert report.restarts >= 1, f"no adaptation happened: {report}"
+    assert report.batches_observed > 0, f"no batches committed: {diags}"
+    assert report.decisions, f"controller never decided: {diags}"
+    assert report.restarts >= 1, f"no adaptation happened: {report}; {diags}"
     assert report.intervals[0] == 50
     assert report.intervals[-1] > 50  # stepped up under overload
-    # query kept producing across restarts (checkpointed state carried over)
+    # query kept producing across restarts (checkpointed state carried over).
+    # The final instance re-registers the memory table EMPTY until its first
+    # commit; run_for's end-of-run drain waits (30 s cap) for that commit
+    # before stopping, so a populated table here proves the restart chain
+    # really resumed from checkpoint.
     n = spark.sql(f"SELECT COUNT(*) c FROM {name}").collect()[0]["c"]
     assert n > 0
 
@@ -106,8 +123,11 @@ def test_self_paced_live_no_restart(spark, tmp_path):
 
     from flink_adcom_spark.streaming.adaptive import SelfPacedAdaptiveRunner
 
+    # 2400 ms interval: a micro-batch count() takes well under 40% of it
+    # (960 ms) even on a heavily loaded box, so utilization lands below the
+    # band and the step-down decision is deterministic, not timing-lucky.
     runner = SelfPacedAdaptiveRunner(
-        controller=BandController(interval_ms=800),
+        controller=BandController(interval_ms=2400),
         decision_period_s=1.0,
     )
     totals: list[int] = []
@@ -116,7 +136,7 @@ def test_self_paced_live_no_restart(spark, tmp_path):
         totals.append(batch_df.count())
 
     agg = (
-        words_stream(spark, rows_per_second=500)
+        words_stream(spark, rows_per_second=500, num_partitions=2)
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -127,16 +147,16 @@ def test_self_paced_live_no_restart(spark, tmp_path):
         .start()
     )
     try:
-        deadline = _time.time() + 20
+        deadline = _time.time() + 90
         while _time.time() < deadline and not any(d.changed for d in runner.report.decisions):
             _time.sleep(0.5)
     finally:
         q.stop()
 
-    assert runner.report.batches_observed >= 2
+    assert runner.report.batches_observed >= 2, runner.report
     assert any(d.changed for d in runner.report.decisions), runner.report.decisions
     # light load -> utilization below band -> interval stepped down, live
-    assert runner.controller.interval_ms < 800
+    assert runner.controller.interval_ms < 2400
     assert sum(totals) > 0
 
 
