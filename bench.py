@@ -28,7 +28,12 @@ from flink_adcom_spark.session import get_spark
 
 # queries whose result sets are large enough that collect() would measure
 # driver transfer, not query execution: materialize via count() instead
-COUNT_ONLY = {"q09b_order_revenue", "q22_running_count", "q44_simhash_neardup"}
+COUNT_ONLY = {
+    "q09b_order_revenue",
+    "q22_running_count",
+    "q44_simhash_neardup",
+    "q128_token_chunks",  # emits every chunk's text: count, don't ship it
+}
 
 
 def sf_from_dir(sf_dir: str) -> float:

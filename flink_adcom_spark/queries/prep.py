@@ -55,6 +55,7 @@ CHUNK_OVERLAP = CHUNK_TOKENS - CHUNK_STRIDE
     FROM chunks
     """,
     tags=("documents", "prep", "chunking"),
+    bench=True,
 )
 def q128_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking: each document becomes overlapping

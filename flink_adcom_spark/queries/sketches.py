@@ -208,8 +208,10 @@ def q96_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Count-min sketch heavy hitters -------------------------------------------
-CMS_DEPTH, CMS_WIDTH, CMS_TOPK = 6, 1024, 20
+# --- Count-min sketch heavy hitters (build/probe: operators/cms.py) -----------
+from ..operators.cms import CMS_WIDTH  # noqa: E402
+
+CMS_TOPK = 20
 # overcount tolerance: 2e*N/w per key; P[escape] <= (2e)^-depth ~ 4e-5 per key
 CMS_BOUND_FACTOR = 2 * 2.718281828459045 / CMS_WIDTH
 
@@ -247,14 +249,10 @@ def q127_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe broadcasts the d*w-row sketch to the candidate keys; the
     grand total N rides the same sketch (sum of any one hash row) rather
     than a second scan."""
+    from ..operators.cms import cms_build, cms_probe
+
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    js = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
-    sketch = (
-        ev.select("user_id", F.explode(js).alias("j"))
-        .select("j", F.pmod(F.xxhash64("user_id", "j"), F.lit(CMS_WIDTH)).alias("bkt"))
-        .groupBy("j", "bkt")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    sketch = cms_build(ev, "user_id")
     # N = sum over one hash row of the sketch (every row sums to N)
     total = sketch.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
     top = (
@@ -263,17 +261,7 @@ def q127_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), "user_id")
         .limit(CMS_TOPK)
     )
-    probes = top.select("user_id", "exact_cnt", F.explode(js).alias("j")).select(
-        "user_id",
-        "exact_cnt",
-        "j",
-        F.pmod(F.xxhash64("user_id", "j"), F.lit(CMS_WIDTH)).alias("bkt"),
-    )
-    est = (
-        probes.join(F.broadcast(sketch), ["j", "bkt"])
-        .groupBy("user_id", "exact_cnt")
-        .agg(F.min("c").alias("est"))
-    )
+    est = cms_probe(sketch, top, "user_id")
     return est.crossJoin(F.broadcast(total)).select(
         "user_id",
         "exact_cnt",

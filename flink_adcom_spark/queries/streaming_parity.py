@@ -313,3 +313,75 @@ def q118_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(
         bucketed_join(spark, f"{db}.events_b", f"{db}.customer_b", ["user_id"])
     ).select("user_id", "segment", "n", "sum_value")
+
+
+@query(
+    "q131_stream_cms_rollup",
+    "SELECT user_id, COUNT(*) AS exact_cnt, "
+    "TRUE AS merge_exact, TRUE AS no_undercount, TRUE AS within_bound "
+    "FROM events GROUP BY user_id "
+    "ORDER BY exact_cnt DESC, user_id LIMIT 20",
+    tags=("streaming", "sketch", "heavy-hitters", "materialize"),
+)
+def q131_stream_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained count-min sketch table, externally gated:
+    shard the events feed into 4 micro-batches, run
+    streaming_cms_rollup_materialize (batch-local partial counters SUMMED
+    into stored day partitions), roll the stored counters up, and probe the
+    top-20 users.
+
+    Gate contract (full hash-match): merge_exact asserts the streamed,
+    day-merged counter table is IDENTICAL to a single-pass batch build —
+    counter addition is exact, so any divergence means a dropped or
+    double-merged batch (a strictly stronger check than the HLL path's
+    sketch-equivalence in q102); no_undercount and within_bound restate
+    q127's CMS estimate guarantees against the streamed sketch. The 100 TB
+    serving path reads only the O(days x d x w) counter table."""
+    from ..operators.cms import cms_build, cms_probe
+    from ..tables import load_table
+    from .sketches import CMS_BOUND_FACTOR, CMS_TOPK
+
+    work = tempfile.mkdtemp(prefix="cms_gate_")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "rollup")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw.repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_cms_rollup_materialize(spark, feed, out, maxFilesPerTrigger=1)
+
+    streamed = (
+        spark.read.parquet(out).groupBy("j", "bkt").agg(F.sum("c").alias("c"))
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    batch_sketch = cms_build(ev, "user_id")
+    merge_ok = (
+        streamed.withColumnRenamed("c", "s_c")
+        .join(batch_sketch.withColumnRenamed("c", "b_c"), ["j", "bkt"], "full_outer")
+        .agg(
+            (
+                F.count(F.lit(1))
+                == F.sum((F.col("s_c") == F.col("b_c")).cast("long"))
+            ).alias("merge_exact")
+        )
+    )
+    total = batch_sketch.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(CMS_TOPK)
+    )
+    est = cms_probe(streamed, top, "user_id")
+    return (
+        est.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(merge_ok))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "merge_exact",
+            (F.col("est") >= F.col("exact_cnt")).alias("no_undercount"),
+            (
+                (F.col("est") - F.col("exact_cnt"))
+                <= F.lit(CMS_BOUND_FACTOR) * F.col("n_total")
+            ).alias("within_bound"),
+        )
+    )

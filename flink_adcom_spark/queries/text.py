@@ -968,3 +968,90 @@ def q117_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     return pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+
+
+# --- DSIR-style importance reweighting ----------------------------------------
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "q130_importance_weights",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    all_c AS (SELECT word, COUNT(*) AS c_all FROM w GROUP BY word),
+    en_c AS (
+      SELECT word, COUNT(*) AS c_en FROM w
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY word
+    ),
+    sc AS (
+      SELECT CAST((SELECT COUNT(*) FROM all_c) AS DOUBLE) AS v,
+             CAST((SELECT SUM(c_all) FROM all_c) AS DOUBLE) AS t_all,
+             CAST((SELECT SUM(c_en) FROM en_c) AS DOUBLE) AS t_en
+    ),
+    scored AS (
+      SELECT doc_id,
+             ln((CAST(COALESCE(c_en, 0) + 1 AS DOUBLE) / (t_en + v))
+                / (CAST(c_all + 1 AS DOUBLE) / (t_all + v))) AS lr
+      FROM w
+      JOIN all_c USING (word)
+      LEFT JOIN en_c USING (word)
+      CROSS JOIN sc
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(lr), 6) AS dsir_weight,
+           ROUND(AVG(lr), 6) > 0 AS kept
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "sampling", "pipeline"),
+)
+def q130_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: score every document by the average
+    per-token log-ratio of a TARGET unigram LM (here: the English subset)
+    against the RAW-corpus unigram LM, add-one smoothed over the shared
+    vocabulary — the data-selection weight of Xie et al.'s DSIR, reduced to
+    hashed-unigram features. kept = weight > 0 marks documents more
+    target-like than corpus-average; a pipeline feeds `dsir_weight` into the
+    deterministic hash-threshold sampler (q38/q94) to resample at any rate.
+
+    Engine parity: both LMs are integer count tables; each smoothed ratio is
+    divided as identical doubles BEFORE the ln (never multiplied cross-wise,
+    so no bigint overflow at any scale) and the per-doc average rounds to
+    6dp under the q77 transcendental discipline.
+
+    Scale shape: pass 1 builds both count tables from one exploded scan
+    (map-side combined, word-keyed); pass 2 re-explodes and equi-joins the
+    vocabulary broadcast-side plus a 1-row scalar cross join — the q77
+    two-pass topology with a second (tiny) LM riding the same shuffle. A
+    real deployment caps the vocab at top-K hashed buckets, keeping the
+    broadcast bounded regardless of corpus size."""
+    wrds = _documents(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(words_col()).alias("word")
+    )
+    all_c = wrds.groupBy("word").agg(F.count(F.lit(1)).alias("c_all"))
+    en_c = (
+        wrds.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c_en"))
+    )
+    sc = all_c.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("c_all").cast("double").alias("t_all"),
+    ).crossJoin(en_c.agg(F.sum("c_en").cast("double").alias("t_en")))
+    lr = F.log(
+        ((F.coalesce(F.col("c_en"), F.lit(0)) + 1).cast("double") / (F.col("t_en") + F.col("v")))
+        / ((F.col("c_all") + 1).cast("double") / (F.col("t_all") + F.col("v")))
+    )
+    weight = F.round(F.avg(lr), 6)
+    return (
+        wrds.join(F.broadcast(all_c), "word")
+        .join(F.broadcast(en_c), "word", "left")
+        .crossJoin(F.broadcast(sc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            weight.alias("dsir_weight"),
+            (weight > 0).alias("kept"),
+        )
+    )

@@ -1379,6 +1379,7 @@ Q21_LATE_DAYS = 60
     ORDER BY numwait DESC, s_name LIMIT 100
     """,
     tags=("tpch", "join", "agg"),
+    bench=True,
 )
 def q126_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 adapted: suppliers who were the SOLE late shipper on a

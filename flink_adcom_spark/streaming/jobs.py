@@ -421,3 +421,66 @@ def streaming_sketch_rollup_materialize(
     q = ev.writeStream.outputMode("append").foreachBatch(merge).start()
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_cms_rollup_materialize(
+    spark: SparkSession, events_dir: str, out_path: str, **kw
+) -> None:
+    """Incrementally maintain a per-day count-min sketch table from the
+    event stream: each micro-batch builds BATCH-LOCAL (day, j, bkt, c)
+    partial counters (operators/cms.py; no streaming agg state), and the
+    sink folds them into the stored counters by ADDITION on the touched day
+    partitions.
+
+    Counter addition is associative AND exact — unlike the HLL path
+    (streaming_sketch_rollup_materialize), where the merged artifact is
+    only sketch-equivalent, the summed CMS table is bit-identical to a
+    single-pass batch build no matter how the stream was batched; q131
+    gates that equality externally. Steady-state cost per batch: O(touched
+    days x d x w) counter rows, never O(history) and never O(keys)."""
+    from ..operators.cms import cms_build
+    from ..operators.storage import upsert_partitions
+
+    ev = _events_stream(spark, events_dir, **kw)
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        delta = cms_build(
+            batch_df.withColumn("day", F.col("ts").cast("date")),
+            "user_id",
+            group_cols=("day",),
+        ).localCheckpoint(eager=True)
+        days = [r["day"] for r in delta.select("day").distinct().collect()]
+        jvm = sess._jvm
+        jsc = sess._jsc
+        path = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            existing = sess.read.parquet(out_path).filter(F.col("day").isin(days))
+            merged = (
+                existing.withColumnRenamed("c", "old_c")
+                .join(
+                    delta.withColumnRenamed("c", "new_c"),
+                    ["day", "j", "bkt"],
+                    "full_outer",
+                )
+                .select(
+                    "day",
+                    "j",
+                    "bkt",
+                    (
+                        F.coalesce(F.col("old_c"), F.lit(0))
+                        + F.coalesce(F.col("new_c"), F.lit(0))
+                    ).alias("c"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged = delta
+        upsert_partitions(merged, out_path, ["day"])
+
+    q = ev.writeStream.outputMode("append").foreachBatch(merge).start()
+    q.processAllAvailable()
+    q.stop()

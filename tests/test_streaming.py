@@ -493,3 +493,44 @@ def test_streaming_sketch_rollup_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_cms_rollup_batching_invariant(spark, sf_dir, tmp_path):
+    """CMS counter addition is exact: the day-merged sketch from a 2-file
+    replay and from a 4-file replay must be IDENTICAL to each other and to a
+    single-pass batch build (stronger than the HLL test above, which only
+    compares estimates)."""
+    import pyarrow.parquet as pq
+
+    from flink_adcom_spark.operators.cms import cms_build
+    from flink_adcom_spark.tables import load_table
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    n = src.num_rows
+
+    def run(shards: int, tag: str) -> dict:
+        feed = tmp_path / f"feed{tag}"
+        feed.mkdir()
+        step = (n + shards - 1) // shards
+        for i in range(shards):
+            pq.write_table(src.slice(i * step, step), feed / f"{i}.parquet")
+        out = str(tmp_path / f"rollup{tag}")
+        jobs.streaming_cms_rollup_materialize(
+            spark, str(feed), out, maxFilesPerTrigger=1
+        )
+        return {
+            (r["j"], r["bkt"]): r["c"]
+            for r in spark.read.parquet(out)
+            .groupBy("j", "bkt")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+
+    two, four = run(2, "a"), run(4, "b")
+    batch = {
+        (r["j"], r["bkt"]): r["c"]
+        for r in cms_build(
+            load_table(spark, sf_dir, "events").select("user_id"), "user_id"
+        ).collect()
+    }
+    assert two == four == batch
