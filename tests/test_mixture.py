@@ -1,0 +1,63 @@
+"""Semantic properties of the sampling/weighting operators (the oracle mirror
+proves engine parity; these prove the operators do the RIGHT thing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_adcom_spark.queries.text import KEEP_BUDGET_DIV
+from flink_adcom_spark.registry import get
+from flink_adcom_spark.tables import load_table
+
+
+def test_temperature_mixture_respects_budget_and_flattens(spark, sf_dir):
+    kept = get("q132_temperature_mixture").build(spark, sf_dir)
+    kept_by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    corpus = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # never keeps more than exists; every language survives
+    assert set(kept_by_lang) == set(corpus)
+    for lang, n in kept_by_lang.items():
+        assert 0 < n <= corpus[lang]
+    # budget: hash-threshold sampling is binomial around the target, so allow
+    # generous slack around total/KEEP_BUDGET_DIV
+    total, budget = sum(corpus.values()), sum(corpus.values()) / KEEP_BUDGET_DIV
+    assert 0.6 * budget <= sum(kept_by_lang.values()) <= 1.4 * budget
+    # T=2 flattening: keep RATE decreases as corpus share increases — the
+    # head language is down-sampled hardest
+    rates = sorted(
+        (corpus[lang], kept_by_lang[lang] / corpus[lang]) for lang in corpus
+    )
+    head_rate = rates[-1][1]
+    tail_rate = rates[0][1]
+    assert head_rate < tail_rate
+    # flattened but NOT uniform-capped: the head language still keeps the
+    # most documents (sqrt preserves order; realized counts carry binomial
+    # noise, so only the wide head-vs-rest gap is asserted)
+    head_lang = max(corpus, key=corpus.get)
+    assert kept_by_lang[head_lang] == max(kept_by_lang.values())
+
+
+def test_dsir_weights_separate_target_from_rest(spark, sf_dir):
+    w = get("q130_importance_weights").build(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    by_lang = (
+        w.join(docs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_weight").alias("mean_w"))
+        .collect()
+    )
+    means = {r["(lang = en)"]: r["mean_w"] for r in by_lang}
+    # English documents must score higher under the English-target LM ratio
+    assert means[True] > means[False]
+    # and the kept flag mirrors the weight sign
+    bad = w.filter((F.col("dsir_weight") > 0) != F.col("kept")).count()
+    assert bad == 0
