@@ -1055,3 +1055,141 @@ def q130_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (weight > 0).alias("kept"),
         )
     )
+
+
+# --- temperature-based mixture sampling ---------------------------------------
+# T=2 (alpha=0.5): sampling shares proportional to sqrt(count), the standard
+# multilingual temperature law. KEEP_BUDGET_DIV=2 keeps ~half the corpus.
+KEEP_BUDGET_DIV = 2
+
+
+@query(
+    "q132_temperature_mixture",
+    f"""
+    WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    s AS (
+      SELECT lang, c,
+             CAST(FLOOR(SQRT(CAST(c * 1000000 AS DOUBLE))) AS BIGINT) AS sq
+      FROM cnt
+    ),
+    tgt AS (
+      SELECT lang, c,
+             LEAST(c, ((SELECT SUM(c) FROM cnt) // {KEEP_BUDGET_DIV}) * sq
+                      // (SELECT SUM(sq) FROM s)) AS target
+      FROM s
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN tgt USING (lang)
+    WHERE ((d.doc_id % 2147483648) * {SAMPLE_MULT}) % 4294967296 % {BALANCE_RES}
+          < (tgt.target * {BALANCE_RES}) // tgt.c
+    """,
+    tags=("text", "sample", "mixture", "pipeline"),
+)
+def q132_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling at T=2: each language's share of
+    the kept corpus is proportional to sqrt(its count) — the standard
+    multilingual rebalancing law (alpha=0.5 flattens the distribution less
+    aggressively than q94's uniform cap, preserving more head-language
+    data). Budget = half the corpus.
+
+    Engine exactness: sqrt is the ONE transcendental IEEE 754 requires
+    correctly rounded, and floor(sqrt(c * 10^6)) of a bigint-ranged operand
+    is provably identical across engines (analysis: the nearest double to
+    sqrt(k^2 + 1) is strictly above k for k up to ~3e7, so the floor never
+    straddles), giving an exact integer sqrt; everything after is integer
+    division, so both engines keep the IDENTICAL doc set via the q38/q94
+    multiplicative-hash threshold.
+
+    Scale shape: same as q94 — a |langs|-row count table, broadcast
+    keep-rates, scan-side hash filter; no rank window, no extra shuffle."""
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    s = cnt.withColumn(
+        "sq",
+        F.floor(F.sqrt((F.col("c") * 1000000).cast("double"))).cast("bigint"),
+    )
+    tot = s.agg(
+        F.sum("c").alias("n"), F.sum("sq").alias("sum_sq")
+    )
+    tgt = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.least(
+                F.col("c"),
+                F.expr(f"(n DIV {KEEP_BUDGET_DIV}) * sq DIV sum_sq"),
+            ),
+        )
+        .withColumn("thresh", F.expr(f"(target * {BALANCE_RES}) DIV c"))
+        .select("lang", "thresh")
+    )
+    return (
+        docs.join(F.broadcast(tgt), "lang")
+        .filter(
+            ((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296 % BALANCE_RES
+            < F.col("thresh")
+        )
+        .select("doc_id", "lang")
+    )
+
+
+# --- exact-k per-group deterministic sample -----------------------------------
+EXACT_K, EXACT_K_SALTS = 10, 64
+
+
+@query(
+    "q133_exact_k_per_lang",
+    f"""
+    WITH hashed AS (
+      SELECT lang, doc_id,
+             ((doc_id % 2147483648) * {SAMPLE_MULT}) % 4294967296 AS h
+      FROM documents
+    )
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM hashed
+    ) t WHERE rn <= {EXACT_K}
+    """,
+    tags=("text", "sample", "topn", "skew"),
+)
+def q133_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k documents per language, chosen deterministically (smallest
+    portable multiplicative hash wins) — the exact-quota counterpart to the
+    binomial scan-side samplers (q94/q132), for when a downstream contract
+    needs a hard per-group count (eval slices, few-shot pools).
+
+    Scale shape — the oracle's rank window would shuffle the WHOLE corpus by
+    a 5-value skewed key (one task per language); the engine instead runs
+    the salted two-level fold: stage 1 keeps a bounded sorted top-k array
+    per (lang, salt-of-64) — aggregation buffers hold at most group/64 rows
+    and hot languages spread over 64 tasks — stage 2 rank-merges only the
+    64*k survivors per language, a few-thousand-row window. Same pattern as
+    the reference's bounded-array A8 fold (q07b/q82), applied to sampling."""
+    docs = _documents(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        (((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    salted = docs.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(EXACT_K_SALTS)))
+    stage1 = (
+        salted.groupBy("lang", "salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
+                1,
+                EXACT_K,
+            ).alias("cand")
+        )
+        .select("lang", F.explode("cand").alias("c"))
+        .select("lang", F.col("c.h").alias("h"), F.col("c.doc_id").alias("doc_id"))
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        stage1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EXACT_K)
+        .select("lang", "doc_id")
+    )
