@@ -21,6 +21,7 @@ from ..functions.pii import (
 )
 from ..registry import query
 from ..tables import load_table
+from .text import CTX_TOKENS
 
 # Sliding token windows: 64-token chunks starting every 48 tokens (16-token
 # overlap), the standard pre-training pack-with-overlap layout. Window starts
@@ -177,4 +178,90 @@ def q129_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("bigint").alias("phones_found"),
         F.sum("n_ip").cast("bigint").alias("ips_found"),
         F.sum(residual).cast("bigint").alias("residual_pii"),
+    )
+
+
+# --- composition: chunk -> pack (the trainer-facing layout) -------------------
+
+
+@query(
+    "q134_chunked_pack",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s.start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+             CAST(len(list_slice(t, s.start + 1,
+                                 least(s.start + {CHUNK_TOKENS}, len(t))))
+                  AS BIGINT) AS n_tokens
+      FROM toks,
+           LATERAL (
+             SELECT unnest(range(0, greatest(len(t) - {CHUNK_OVERLAP}, 1), {CHUNK_STRIDE})) AS start
+           ) s
+    ),
+    offs AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_tok
+      FROM chunks WHERE n_tokens >= 1
+    )
+    SELECT doc_id, chunk_idx, n_tokens, start_tok,
+           CAST(FLOOR(start_tok / {CTX_TOKENS}) AS BIGINT) AS win_first,
+           CAST(FLOOR((start_tok + n_tokens - 1) / {CTX_TOKENS}) AS BIGINT) AS win_last
+    FROM offs
+    """,
+    tags=("documents", "prep", "chunking", "packing", "composite"),
+)
+def q134_chunked_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer-facing composition chunk -> pack: q128's sliding token
+    windows are concatenated in (doc_id, chunk_idx) order and packed into
+    2048-token context windows with q86's sharded prefix sum — raw corpus
+    to batch layout in ONE declarative plan, no intermediate table.
+
+    Column pruning does real work here: q128's chunk_text (the expensive
+    concat) is never selected, so Catalyst drops the expression entirely
+    and the scan feeds only token COUNTS into the prefix sum. The global
+    running offset is shard-parallel exactly as in q86 (order-aligned
+    doc_id shards; only the 64-entry shard base-offset map is global
+    state); the oracle states the same result as one flat SQL window."""
+    from pyspark.sql import Window
+
+    from .text import _with_order_shard
+
+    ch = (
+        q128_token_chunks(spark, sf_dir)
+        .select("doc_id", "chunk_idx", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    ch = _with_order_shard(ch)
+    shard_totals = {
+        r["shard"]: r["tot"]
+        for r in ch.groupBy("shard").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    base, offsets = 0, {}
+    for s in sorted(shard_totals):
+        offsets[s] = base
+        base += shard_totals[s]
+    off_map = F.create_map(
+        *[F.lit(x) for s in sorted(offsets) for x in (s, offsets[s])]
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+    start = off_map[F.col("shard")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        ch.withColumn("start_tok", start)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            "start_tok",
+            F.floor(F.col("start_tok") / CTX_TOKENS).cast("bigint").alias("win_first"),
+            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / CTX_TOKENS)
+            .cast("bigint")
+            .alias("win_last"),
+        )
     )
