@@ -32,10 +32,10 @@ CHUNK_TOKENS, CHUNK_STRIDE = 64, 48
 CHUNK_OVERLAP = CHUNK_TOKENS - CHUNK_STRIDE
 
 
-@query(
-    "q128_token_chunks",
-    f"""
-    WITH toks AS (
+# Shared oracle CTE: the sliding-window chunk relation. Defined ONCE so the
+# two gated consumers (q128, q134) can never disagree about what a chunk is.
+_CHUNKS_SQL = f"""
+    toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
       FROM documents
@@ -49,10 +49,19 @@ CHUNK_OVERLAP = CHUNK_TOKENS - CHUNK_STRIDE
            LATERAL (
              SELECT unnest(range(0, greatest(len(t) - {CHUNK_OVERLAP}, 1), {CHUNK_STRIDE})) AS start
            ) s
-    )
+    )"""
+
+
+@query(
+    "q128_token_chunks",
+    f"""
+    WITH {_CHUNKS_SQL}
     SELECT doc_id, chunk_idx,
            CAST(len(chunk) AS INT) AS n_tokens,
-           array_to_string(chunk, ' ') AS chunk_text
+           -- COALESCE: array_to_string of an empty list is NULL in DuckDB,
+           -- while Spark's concat_ws is never null — an empty document must
+           -- hash identically on both sides
+           COALESCE(array_to_string(chunk, ' '), '') AS chunk_text
     FROM chunks
     """,
     tags=("documents", "prep", "chunking"),
@@ -187,28 +196,17 @@ def q129_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q134_chunked_pack",
     f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-      FROM documents
-    ),
-    chunks AS (
-      SELECT doc_id,
-             CAST(s.start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
-             CAST(len(list_slice(t, s.start + 1,
-                                 least(s.start + {CHUNK_TOKENS}, len(t))))
-                  AS BIGINT) AS n_tokens
-      FROM toks,
-           LATERAL (
-             SELECT unnest(range(0, greatest(len(t) - {CHUNK_OVERLAP}, 1), {CHUNK_STRIDE})) AS start
-           ) s
+    WITH {_CHUNKS_SQL},
+    chunk_lens AS (
+      SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens
+      FROM chunks
     ),
     offs AS (
       SELECT doc_id, chunk_idx, n_tokens,
              CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
                                       ROWS UNBOUNDED PRECEDING) - n_tokens
                   AS BIGINT) AS start_tok
-      FROM chunks WHERE n_tokens >= 1
+      FROM chunk_lens WHERE n_tokens >= 1
     )
     SELECT doc_id, chunk_idx, n_tokens, start_tok,
            CAST(FLOOR(start_tok / {CTX_TOKENS}) AS BIGINT) AS win_first,
@@ -229,9 +227,7 @@ def q134_chunked_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     running offset is shard-parallel exactly as in q86 (order-aligned
     doc_id shards; only the 64-entry shard base-offset map is global
     state); the oracle states the same result as one flat SQL window."""
-    from pyspark.sql import Window
-
-    from .text import _with_order_shard
+    from .text import _with_order_shard, sharded_prefix_sum
 
     ch = (
         q128_token_chunks(spark, sf_dir)
@@ -239,21 +235,8 @@ def q134_chunked_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens") >= 1)
     )
     ch = _with_order_shard(ch)
-    shard_totals = {
-        r["shard"]: r["tot"]
-        for r in ch.groupBy("shard").agg(F.sum("n_tokens").alias("tot")).collect()
-    }
-    base, offsets = 0, {}
-    for s in sorted(shard_totals):
-        offsets[s] = base
-        base += shard_totals[s]
-    off_map = F.create_map(
-        *[F.lit(x) for s in sorted(offsets) for x in (s, offsets[s])]
-    )
-    w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
-    start = off_map[F.col("shard")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
     return (
-        ch.withColumn("start_tok", start)
+        sharded_prefix_sum(ch, "n_tokens", "doc_id", "chunk_idx")
         .select(
             "doc_id",
             "chunk_idx",

@@ -249,25 +249,8 @@ def q127_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe broadcasts the d*w-row sketch to the candidate keys; the
     grand total N rides the same sketch (sum of any one hash row) rather
     than a second scan."""
-    from ..operators.cms import cms_build, cms_probe
+    from ..operators.cms import cms_build, heavy_hitter_audit
 
     ev = load_table(spark, sf_dir, "events").select("user_id")
     sketch = cms_build(ev, "user_id")
-    # N = sum over one hash row of the sketch (every row sums to N)
-    total = sketch.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "user_id")
-        .limit(CMS_TOPK)
-    )
-    est = cms_probe(sketch, top, "user_id")
-    return est.crossJoin(F.broadcast(total)).select(
-        "user_id",
-        "exact_cnt",
-        (F.col("est") >= F.col("exact_cnt")).alias("no_undercount"),
-        (
-            (F.col("est") - F.col("exact_cnt"))
-            <= F.lit(CMS_BOUND_FACTOR) * F.col("n_total")
-        ).alias("within_bound"),
-    )
+    return heavy_hitter_audit(sketch, ev, "user_id", CMS_TOPK, CMS_BOUND_FACTOR)

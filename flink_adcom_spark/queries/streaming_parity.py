@@ -337,7 +337,7 @@ def q131_stream_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-equivalence in q102); no_undercount and within_bound restate
     q127's CMS estimate guarantees against the streamed sketch. The 100 TB
     serving path reads only the O(days x d x w) counter table."""
-    from ..operators.cms import cms_build, cms_probe
+    from ..operators.cms import cms_build, heavy_hitter_audit
     from ..tables import load_table
     from .sketches import CMS_BOUND_FACTOR, CMS_TOPK
 
@@ -363,25 +363,7 @@ def q131_stream_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_exact")
         )
     )
-    total = batch_sketch.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "user_id")
-        .limit(CMS_TOPK)
-    )
-    est = cms_probe(streamed, top, "user_id")
-    return (
-        est.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(merge_ok))
-        .select(
-            "user_id",
-            "exact_cnt",
-            "merge_exact",
-            (F.col("est") >= F.col("exact_cnt")).alias("no_undercount"),
-            (
-                (F.col("est") - F.col("exact_cnt"))
-                <= F.lit(CMS_BOUND_FACTOR) * F.col("n_total")
-            ).alias("within_bound"),
-        )
+    audit = heavy_hitter_audit(streamed, ev, "user_id", CMS_TOPK, CMS_BOUND_FACTOR)
+    return audit.crossJoin(F.broadcast(merge_ok)).select(
+        "user_id", "exact_cnt", "merge_exact", "no_undercount", "within_bound"
     )

@@ -512,6 +512,33 @@ def _with_order_shard(toks: DataFrame) -> DataFrame:
     )
 
 
+def sharded_prefix_sum(df: DataFrame, value_col: str, *order_cols: str):
+    """Global running sum of value_col in (doc order) WITHOUT a global sort:
+    per-shard totals (<= PACK_SHARDS rows) come back as the shard base
+    offsets, and the intra-shard running sum is a window PARTITIONED by
+    shard. `df` must already carry the order-aligned `shard` column
+    (_with_order_shard). Returns df plus `start_tok` (sum of all PRIOR
+    rows' value_col in (shard, *order_cols) order)."""
+    from pyspark.sql import Window
+
+    shard_totals = {
+        r["shard"]: r["tot"]
+        for r in df.groupBy("shard").agg(F.sum(value_col).alias("tot")).collect()
+    }
+    base, offsets = 0, {}
+    for s in sorted(shard_totals):
+        offsets[s] = base
+        base += shard_totals[s]
+    if not offsets:
+        return df.withColumn("start_tok", F.lit(0).cast("bigint"))
+    off_map = F.create_map(
+        *[F.lit(x) for s in sorted(offsets) for x in (s, offsets[s])]
+    )
+    w = Window.partitionBy("shard").orderBy(*order_cols)
+    start = off_map[F.col("shard")] + F.sum(value_col).over(w) - F.col(value_col)
+    return df.withColumn("start_tok", start)
+
+
 @query(
     "q86_sequence_pack",
     f"""
@@ -551,31 +578,14 @@ def q86_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-shard running sum is a window PARTITIONED by shard — every shard
     sorts in parallel, the only global state is the 64-entry offset map.
     The oracle states the same result as one flat SQL window."""
-    from pyspark.sql import Window
-
     docs = _documents(spark, sf_dir)
     toks = (
         docs.select("doc_id", F.size(words_col()).cast("bigint").alias("n_tokens"))
         .filter(F.col("n_tokens") >= 1)
     )
     toks = _with_order_shard(toks)
-
-    shard_totals = {
-        r["shard"]: r["tot"]
-        for r in toks.groupBy("shard").agg(F.sum("n_tokens").alias("tot")).collect()
-    }
-    base, offsets = 0, {}
-    for s in sorted(shard_totals):
-        offsets[s] = base
-        base += shard_totals[s]
-    off_map = F.create_map(
-        *[F.lit(x) for s in sorted(offsets) for x in (s, offsets[s])]
-    )
-
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    start = off_map[F.col("shard")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
     return (
-        toks.withColumn("start_tok", start)
+        sharded_prefix_sum(toks, "n_tokens", "doc_id")
         .select(
             "doc_id",
             "n_tokens",
@@ -1073,9 +1083,15 @@ KEEP_BUDGET_DIV = 2
       FROM cnt
     ),
     tgt AS (
+      -- budget * share computed in DOUBLE: the int64 form (n//K)*sq can
+      -- overflow at extreme corpus sizes, where Spark (non-ANSI) wraps
+      -- silently while DuckDB promotes to HUGEINT. The product is <= n//K
+      -- < 2^53, so the double math is exact-rounded identically in both.
       SELECT lang, c,
-             LEAST(c, ((SELECT SUM(c) FROM cnt) // {KEEP_BUDGET_DIV}) * sq
-                      // (SELECT SUM(sq) FROM s)) AS target
+             LEAST(c, CAST(FLOOR(
+               CAST((SELECT SUM(c) FROM cnt) // {KEEP_BUDGET_DIV} AS DOUBLE)
+               * (CAST(sq AS DOUBLE) / CAST((SELECT SUM(sq) FROM s) AS DOUBLE))
+             ) AS BIGINT)) AS target
       FROM s
     )
     SELECT d.doc_id, d.lang
@@ -1117,7 +1133,10 @@ def q132_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target",
             F.least(
                 F.col("c"),
-                F.expr(f"(n DIV {KEEP_BUDGET_DIV}) * sq DIV sum_sq"),
+                F.floor(
+                    F.expr(f"CAST(n DIV {KEEP_BUDGET_DIV} AS DOUBLE)")
+                    * (F.col("sq").cast("double") / F.col("sum_sq").cast("double"))
+                ).cast("bigint"),
             ),
         )
         .withColumn("thresh", F.expr(f"(target * {BALANCE_RES}) DIV c"))

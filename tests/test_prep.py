@@ -120,10 +120,3 @@ def test_pii_audit_residual_zero(spark, sf_dir):
         assert r["phones_found"] == r["docs"]
         # every doc plants exactly one IP; phone/email strings never parse as IPs
         assert r["ips_found"] == r["docs"]
-
-
-def test_cms_never_undercounts_and_is_bounded(spark, sf_dir):
-    rows = get("q127_cms_heavy_hitters").build(spark, sf_dir).collect()
-    assert len(rows) > 0
-    assert all(r["no_undercount"] for r in rows)
-    assert all(r["within_bound"] for r in rows)

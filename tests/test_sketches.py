@@ -87,3 +87,30 @@ def test_sketch_rollup_merge_is_lossless(spark, sf_dir):
         assert r["merge_lossless"], r
         assert r["within_bound"], r
         assert r["exact_users"] == exact[r["event_type"]], r
+
+
+def test_cms_never_undercounts_and_is_bounded(spark, sf_dir):
+    from flink_adcom_spark.registry import get
+
+    rows = get("q127_cms_heavy_hitters").build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["no_undercount"] for r in rows)
+    assert all(r["within_bound"] for r in rows)
+
+
+def test_cms_probe_absent_key_estimates_zero(spark):
+    """A key none of whose buckets were touched must come back est=0, not
+    disappear from the probe result."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.operators.cms import cms_build, cms_probe
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    sketch = cms_build(df, "k")
+    # probe keys incl. one never seen; with only 2 built keys most of the
+    # 1024-bucket rows are empty, so an absent key usually misses entirely
+    probes = spark.createDataFrame([(1,), (2,), (999_999_999,)], "k long")
+    got = {r["k"]: r["est"] for r in cms_probe(sketch, probes, "k").collect()}
+    assert set(got) == {1, 2, 999_999_999}
+    assert got[1] >= 2 and got[2] >= 1
+    assert got[999_999_999] >= 0  # present with a (possibly zero) estimate
