@@ -966,3 +966,83 @@ def q119_index_assign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(batch, "v", centroids).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster")
     )
+
+
+# --- cross-lingual bitext mining ----------------------------------------------
+BITEXT_SRC_LANG = "en"
+
+
+@query(
+    "q135_bitext_mining",
+    f"""
+    WITH x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    lng AS (SELECT doc_id, lang FROM documents),
+    p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, SUM(a.val * b.val) AS dot
+          FROM x a
+          JOIN lng la ON la.doc_id = a.vec_id AND la.lang = '{BITEXT_SRC_LANG}'
+          JOIN x b ON a.i = b.i
+          JOIN lng lb ON lb.doc_id = b.vec_id AND lb.lang <> '{BITEXT_SRC_LANG}'
+          GROUP BY 1, 2),
+    c AS (SELECT q_id, n_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+          FROM p JOIN n na ON p.q_id = na.vec_id JOIN n nb ON p.n_id = nb.vec_id),
+    r AS (SELECT q_id, n_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, n_id) AS rnk
+          FROM c)
+    SELECT r.q_id AS src_id, r.n_id AS match_id, lb.lang AS match_lang, r.cosine
+    FROM r JOIN lng lb ON lb.doc_id = r.n_id
+    WHERE rnk = 1
+    """,
+    tags=("similarity", "knn", "crosslingual", "pipeline"),
+)
+def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining: for every source-language document, its single best
+    OTHER-language neighbor by embedding cosine — the parallel-corpus
+    harvesting step of multilingual pipelines (mine translation pairs, then
+    threshold on the margin). Language comes from the aligned documents row
+    (vec_id = doc_id in the fixture); the cross-language constraint is two
+    broadcast dimension joins AROUND the similarity join.
+
+    This exact form is the correctness baseline (same posture as q50): the
+    source side is the broadcast probe set, the candidate scan is one pass
+    with the dot product in codegen, and rank-1 selection is a per-source
+    window over candidate hits. The scale path swaps the all-pairs probe
+    for q51's sign-LSH buckets or q54's IVF cells — the language-constraint
+    joins and the rank-1 tail are unchanged."""
+    e = _emb(spark, sf_dir)
+    lng = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    src = (
+        e.join(
+            F.broadcast(lng.filter(F.col("lang") == BITEXT_SRC_LANG)),
+            e.vec_id == F.col("doc_id"),
+        )
+        .select(F.col("vec_id").alias("src_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    )
+    cand = (
+        e.join(
+            F.broadcast(lng.filter(F.col("lang") != BITEXT_SRC_LANG)),
+            e.vec_id == F.col("doc_id"),
+        )
+        .select(
+            F.col("vec_id").alias("match_id"),
+            F.col("lang").alias("match_lang"),
+            F.col("v").alias("dv"),
+            F.col("nrm").alias("dn"),
+        )
+    )
+    cos = F.round(_dot("qv", "dv") / (F.col("qn") * F.col("dn")), 6)
+    pairs = (
+        F.broadcast(src)
+        .crossJoin(cand)
+        .withColumn("cosine", cos)
+        .select("src_id", "match_id", "match_lang", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )

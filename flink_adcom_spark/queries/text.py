@@ -1212,3 +1212,84 @@ def q133_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= EXACT_K)
         .select("lang", "doc_id")
     )
+
+
+# --- bigram LM scoring --------------------------------------------------------
+
+
+@query(
+    "q136_bigram_logprob",
+    f"""
+    WITH bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_zip(w[1:len(w)-1], w[2:len(w)]),
+               s -> s[1] || ' ' || s[2])) AS bigram,
+             unnest(w[1:len(w)-1]) AS w1
+      FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS vocab
+          FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents) u),
+    scored AS (
+      SELECT doc_id,
+             ln(CAST(c12 + 1 AS DOUBLE) / (CAST(c1 AS DOUBLE) + vocab)) AS lp
+      FROM bg JOIN bc USING (bigram) JOIN uc USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "ngram", "pipeline"),
+)
+def q136_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average bigram conditional log-probability per document — the
+    next-order LM fluency score above q77's unigram: ln p(w2|w1) with
+    add-one smoothing over the corpus vocabulary, p = (c(w1 w2)+1) /
+    (c(w1 as predecessor)+V). Low scores flag locally-incoherent word
+    salads that unigram frequency alone cannot see.
+
+    Two-pass shape like q77: pass 1 builds the bigram and predecessor count
+    tables from ONE scan-side zip_with extraction (q36's slice-zip trick —
+    no self-join); pass 2 re-extracts and equi-joins both tables (broadcast
+    while they fit; a deployment caps them at top-K n-grams). Each smoothed
+    ratio divides identical-valued doubles before the ln, and the per-doc
+    average rounds to 6dp — the q77 transcendental discipline.
+
+    Scale note: the bigram table is the heavy side (~unique-bigram count);
+    its build is map-side combined with shuffle O(distinct bigrams), and a
+    100 TB run would hash-bucket n-grams (q130's note) to bound the
+    broadcast."""
+    w = words_col()
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        _documents(spark, sf_dir)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+    )
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        _documents(spark, sf_dir)
+        .select(F.explode(w).alias("word"))
+        .agg(F.count_distinct("word").cast("double").alias("vocab"))
+    )
+    lp = F.log(
+        (F.col("c12") + 1).cast("double") / (F.col("c1").cast("double") + F.col("vocab"))
+    )
+    return (
+        bg.join(F.broadcast(bc), "bigram")
+        .join(F.broadcast(uc), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_bigram_logprob"),
+        )
+    )
