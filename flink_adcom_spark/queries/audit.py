@@ -1,0 +1,135 @@
+"""Data-quality audits: the expectation checks a pipeline runs before it
+trusts a day's data (row counts, key uniqueness, null rates, range gaps).
+
+Each audit is a handful of single-pass aggregates — at 100 TB the cost is
+one scan per table with map-side partials, and the output is a few rows a
+scheduler can alert on. The same checks run as post-conditions after every
+ingest/compaction job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+def _table_audit(df: DataFrame, name: str, key: str, anomaly) -> DataFrame:
+    return df.agg(
+        F.lit(name).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(key)).alias("n_distinct_keys"),
+        F.sum(F.col(key).isNull().cast("long")).alias("n_null_keys"),
+        F.sum(anomaly.cast("long")).alias("n_anomalies"),
+    )
+
+
+@query(
+    "q137_quality_expectations",
+    """
+    SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_keys,
+           CAST(SUM(CASE WHEN ts IS NULL OR value IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_anomalies
+    FROM events
+    UNION ALL
+    SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id),
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+             AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey),
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity <= 0 OR l_extendedprice < 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+    tags=("audit", "quality", "pipeline"),
+)
+def q137_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation audit over the three primary tables: row count, key
+    cardinality, null keys, and a per-table anomaly rule (events: null
+    ts/value; documents: empty text; lineitem: non-positive quantity or
+    negative price). One scan per table, map-side-combined into a 3-row
+    report — the post-condition a 100 TB ingest job asserts before
+    publishing a partition."""
+    ev = _table_audit(
+        load_table(spark, sf_dir, "events"),
+        "events",
+        "event_id",
+        F.col("ts").isNull() | F.col("value").isNull(),
+    )
+    docs = _table_audit(
+        load_table(spark, sf_dir, "documents"),
+        "documents",
+        "doc_id",
+        F.col("text").isNull() | (F.length("text") == 0),
+    )
+    li = _table_audit(
+        load_table(spark, sf_dir, "lineitem"),
+        "lineitem",
+        "l_orderkey",
+        (F.col("l_quantity") <= 0) | (F.col("l_extendedprice") < 0),
+    )
+    return ev.unionAll(docs).unionAll(li)
+
+
+@query(
+    "q138_day_completeness",
+    """
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM days),
+    expected AS (
+      SELECT CAST(unnest(range(lo::TIMESTAMP, hi::TIMESTAMP + INTERVAL 1 DAY,
+                               INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT e.day, COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.n_users, 0) AS n_users,
+           (d.day IS NULL) AS is_gap
+    FROM expected e LEFT JOIN days d USING (day)
+    """,
+    tags=("audit", "completeness", "pipeline"),
+)
+def q138_day_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-completeness audit: every calendar day between the first
+    and last event, with its event/user counts and a gap flag for days with
+    NO data — the check that catches a silently-failed ingest before a
+    backfill window closes.
+
+    Scale shape: one day-keyed aggregate over the events scan (map-side
+    combined, O(days) output), then the expected-day spine is generated
+    from the 1-row min/max bounds with `sequence` and LEFT-joined — the
+    spine is tiny (one row per day), so the join broadcasts; the raw table
+    is never rescanned."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    bounds = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    expected = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return (
+        expected.join(F.broadcast(days.withColumnRenamed("day", "d_day")),
+                      F.col("day") == F.col("d_day"), "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            F.col("d_day").isNull().alias("is_gap"),
+        )
+    )

@@ -79,6 +79,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from .queries import (  # noqa: F401
+        audit,
         taxi,
         tpch,
         events,
