@@ -988,9 +988,12 @@ BITEXT_SRC_LANG = "en"
           FROM p JOIN n na ON p.q_id = na.vec_id JOIN n nb ON p.n_id = nb.vec_id),
     r AS (SELECT q_id, n_id, cosine,
                  ROW_NUMBER() OVER (PARTITION BY q_id
-                                    ORDER BY cosine DESC, n_id) AS rnk
+                                    ORDER BY cosine DESC, n_id) AS rnk,
+                 ROUND(cosine - LEAD(cosine) OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, n_id), 6) AS margin
           FROM c)
-    SELECT r.q_id AS src_id, r.n_id AS match_id, lb.lang AS match_lang, r.cosine
+    SELECT r.q_id AS src_id, r.n_id AS match_id, lb.lang AS match_lang,
+           r.cosine, r.margin
     FROM r JOIN lng lb ON lb.doc_id = r.n_id
     WHERE rnk = 1
     """,
@@ -999,8 +1002,9 @@ BITEXT_SRC_LANG = "en"
 def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext mining: for every source-language document, its single best
     OTHER-language neighbor by embedding cosine — the parallel-corpus
-    harvesting step of multilingual pipelines (mine translation pairs, then
-    threshold on the margin). Language comes from the aligned documents row
+    harvesting step of multilingual pipelines — plus the margin (gap to the
+    runner-up match) that mining actually thresholds on: a high-cosine pair
+    whose margin is near zero is a hub vector, not a translation. Language comes from the aligned documents row
     (vec_id = doc_id in the fixture); the cross-language constraint is two
     broadcast dimension joins AROUND the similarity join.
 
@@ -1043,6 +1047,9 @@ def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
+        # mining margin (Artetxe & Schwenk's criterion, absolute form):
+        # best-vs-runner-up gap — pairs are accepted on margin, not raw cosine
+        .withColumn("margin", F.round(F.col("cosine") - F.lead("cosine").over(w), 6))
         .filter(F.col("rnk") == 1)
         .drop("rnk")
     )
