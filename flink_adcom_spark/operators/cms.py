@@ -36,38 +36,68 @@ def cms_build(df: DataFrame, key: str, group_cols: tuple[str, ...] = ()) -> Data
     )
 
 
-def cms_probe(sketch: DataFrame, keys: DataFrame, key: str) -> DataFrame:
-    """Estimate each keys[key]'s frequency: broadcast the d*w-row sketch onto
-    the candidate keys and take the min over the d hash rows. Preserves the
-    other columns of `keys`. LEFT join + coalesce(0): a key none of whose
-    buckets were ever touched estimates 0 (a never-seen key must come back
-    as zero, not vanish from the result)."""
+def cms_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Estimate each keys[key]'s frequency: broadcast the sketch onto the
+    candidate keys and take the min over the d hash rows. With group_cols,
+    each candidate probes ITS group's sketch. Preserves the other columns
+    of `keys`. LEFT join + coalesce(0): a key none of whose buckets were
+    ever touched estimates 0 (a never-seen key must come back as zero, not
+    vanish from the result)."""
     probes = keys.select("*", F.explode(_js()).alias("j")).select(
         "*", _bkt(key)
     )
     other = [c for c in keys.columns]
     return (
-        probes.join(F.broadcast(sketch), ["j", "bkt"], "left")
+        probes.join(F.broadcast(sketch), [*group_cols, "j", "bkt"], "left")
         .groupBy(*other)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
 
 
 def heavy_hitter_audit(
-    sketch: DataFrame, ev: DataFrame, key: str, topk: int, bound_factor: float
+    sketch: DataFrame,
+    ev: DataFrame,
+    key: str,
+    topk: int,
+    bound_factor: float,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Shared q127/q131 gate tail: exact top-k keys, N from hash row 0 of
-    the sketch, probe estimates, and the two CMS contract booleans
-    (no_undercount; overcount <= bound_factor * N)."""
-    total = sketch.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
-    top = (
-        ev.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), key)
-        .limit(topk)
+    """Shared gate tail (q127/q131/q139): exact top-k keys — per group when
+    group_cols is set — N from hash row 0 of the (group's) sketch, probe
+    estimates, and the two CMS contract booleans (no_undercount;
+    overcount <= bound_factor * N of that group)."""
+    total = (
+        sketch.filter(F.col("j") == 0)
+        .groupBy(*group_cols)
+        .agg(F.sum("c").alias("n_total"))
     )
-    est = cms_probe(sketch, top, key)
-    return est.crossJoin(F.broadcast(total)).select(
+    counts = ev.groupBy(*group_cols, key).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(F.desc("exact_cnt"), key)
+        top = (
+            counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= topk)
+            .drop("rnk")
+        )
+    else:
+        top = counts.orderBy(F.desc("exact_cnt"), key).limit(topk)
+    est = cms_probe(sketch, top, key, group_cols)
+    joined = (
+        est.join(F.broadcast(total), list(group_cols))
+        if group_cols
+        else est.crossJoin(F.broadcast(total))
+    )
+    return joined.select(
+        *group_cols,
         key,
         "exact_cnt",
         (F.col("est") >= F.col("exact_cnt")).alias("no_undercount"),

@@ -254,3 +254,42 @@ def q127_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
     sketch = cms_build(ev, "user_id")
     return heavy_hitter_audit(sketch, ev, "user_id", CMS_TOPK, CMS_BOUND_FACTOR)
+
+
+GROUPED_CMS_TOPK = 5
+
+
+@query(
+    "q139_cms_heavy_hitters_by_type",
+    f"""
+    SELECT event_type, user_id, exact_cnt,
+           TRUE AS no_undercount, TRUE AS within_bound
+    FROM (
+      SELECT event_type, user_id, COUNT(*) AS exact_cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY COUNT(*) DESC, user_id) AS rnk
+      FROM events GROUP BY event_type, user_id
+    ) t WHERE rnk <= {GROUPED_CMS_TOPK}
+    """,
+    tags=("events", "sketch", "heavy-hitters", "grouped"),
+)
+def q139_cms_heavy_hitters_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group count-min heavy hitters: one independent d x w sketch PER
+    event_type (cms_build's group_cols — the counter build is still one
+    map-side-combinable shuffle, now over |types| * d * w keys), probed for
+    each type's top-5 users with the q127 contract booleans computed
+    against that type's own N.
+
+    This is the hypertable form of frequency sketching: a serving layer
+    stores one small counter table per (partition, type) and answers
+    "top users for type X" without touching raw events — the same
+    incremental-merge shape q131 proves exact for the ungrouped sketch.
+    Gate contract identical to q127, per group."""
+    from ..operators.cms import cms_build, heavy_hitter_audit
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sketch = cms_build(ev, "user_id", group_cols=("event_type",))
+    return heavy_hitter_audit(
+        sketch, ev, "user_id", GROUPED_CMS_TOPK, CMS_BOUND_FACTOR,
+        group_cols=("event_type",),
+    )
