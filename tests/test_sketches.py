@@ -114,3 +114,24 @@ def test_cms_probe_absent_key_estimates_zero(spark):
     assert set(got) == {1, 2, 999_999_999}
     assert got[1] >= 2 and got[2] >= 1
     assert got[999_999_999] >= 0  # present with a (possibly zero) estimate
+
+
+def test_cms_grouped_sketches_are_isolated(spark):
+    """With group_cols, each group's sketch counts ONLY its own rows: a key
+    heavy in group A must not inflate its estimate in group B."""
+    from flink_adcom_spark.operators.cms import cms_build, cms_probe
+
+    rows = [("A", 7)] * 50 + [("B", 7)] + [("B", 8)] * 3
+    df = spark.createDataFrame(rows, "g string, k long")
+    sketch = cms_build(df, "k", group_cols=("g",))
+    probes = spark.createDataFrame(
+        [("A", 7), ("B", 7), ("B", 8)], "g string, k long"
+    )
+    got = {
+        (r["g"], r["k"]): r["est"]
+        for r in cms_probe(sketch, probes, "k", group_cols=("g",)).collect()
+    }
+    assert got[("A", 7)] >= 50
+    # B's estimate of key 7 is bounded by B's own tiny sketch, not A's 50
+    assert 1 <= got[("B", 7)] <= 4
+    assert 3 <= got[("B", 8)] <= 4
