@@ -702,3 +702,56 @@ def q113_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.max(F.when(F.col("k") == 0, F.col("n_active"))).over(w).alias("cohort_size"),
     )
+
+
+# --- co-visitation pairs ------------------------------------------------------
+COVISIT_EVENT, COVISIT_MAX_WINDOW, COVISIT_MIN_SHARED = "purchase", 200, 2
+
+
+@query(
+    "q140_covisitation_pairs",
+    f"""
+    WITH act AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS w, user_id
+      FROM events WHERE event_type = '{COVISIT_EVENT}'
+    ),
+    ok AS (SELECT w FROM act GROUP BY w HAVING COUNT(*) <= {COVISIT_MAX_WINDOW}),
+    a2 AS (SELECT act.w, act.user_id FROM act JOIN ok USING (w)),
+    p AS (SELECT x.user_id AS u1, y.user_id AS u2, COUNT(*) AS shared_hours
+          FROM a2 x JOIN a2 y ON x.w = y.w AND x.user_id < y.user_id
+          GROUP BY 1, 2)
+    SELECT u1, u2, shared_hours FROM p WHERE shared_hours >= {COVISIT_MIN_SHARED}
+    """,
+    tags=("events", "join", "graph", "pipeline"),
+)
+def q140_covisitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-visitation mining: pairs of users repeatedly active in the same
+    hour window — the interaction-graph edge builder behind
+    collaborative-filtering candidates and coordinated-behavior detection.
+
+    The scale hazard is the within-window self-join: pairs grow
+    quadratically in window occupancy, so (exactly like q42's stop-shingle
+    cap) windows with more than COVISIT_MAX_WINDOW=200 active users are
+    DROPPED before the pair join — a hot window contributes noise-floor
+    edges at quadratic cost, and the cap bounds total pair volume to
+    O(windows * cap^2) regardless of skew. The join itself is equi on the
+    window key, never cartesian; distinct-ification happens scan-side
+    before any shuffle."""
+    act = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == COVISIT_EVENT)
+        .select(F.date_trunc("hour", "ts").alias("w"), "user_id")
+        .distinct()
+    )
+    ok = act.groupBy("w").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") <= COVISIT_MAX_WINDOW
+    ).select("w")
+    a2 = act.join(F.broadcast(ok), "w")
+    b = a2.select(F.col("w").alias("w2"), F.col("user_id").alias("u2"))
+    return (
+        a2.select("w", F.col("user_id").alias("u1"))
+        .join(b, (F.col("w") == F.col("w2")) & (F.col("u1") < F.col("u2")))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("shared_hours"))
+        .filter(F.col("shared_hours") >= COVISIT_MIN_SHARED)
+    )
