@@ -293,3 +293,68 @@ def q139_cms_heavy_hitters_by_type(spark: SparkSession, sf_dir: str) -> DataFram
         sketch, ev, "user_id", GROUPED_CMS_TOPK, CMS_BOUND_FACTOR,
         group_cols=("event_type",),
     )
+
+
+ROBUST_Z = 3.5  # Iglewicz-Hoaglin modified z-score cutoff
+
+
+@query(
+    "q141_robust_outliers",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, med,
+             quantile_cont(abs(e.value - med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN 0.6745 * abs(e.value - m.med) > {ROBUST_Z} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(ANY_VALUE(m.med), 6) AS median_value,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad_value
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("events", "quality", "robust-stats"),
+)
+def q141_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: the modified z-score
+    0.6745*|v - median| / MAD > 3.5 (Iglewicz-Hoaglin) — the
+    skew-insensitive alternative to mean/stddev trims for long-tailed value
+    columns. Emits per-type counts plus the median/MAD themselves.
+
+    Engine parity: median and MAD are interpolated percentiles of identical
+    doubles (the q72-proven quantile_cont <-> percentile equivalence,
+    applied twice), the cutoff comparison multiplies rather than divides
+    (no div-by-zero when MAD = 0, and both engines compare identical
+    products), and the reported stats round to 6dp.
+
+    Scale shape: two percentile passes over the value column (each an
+    event_type-keyed aggregate; exact percentiles buffer per-group values —
+    fine for bounded group counts, q71's GK sketch is the unbounded path)
+    plus one counting pass with the 5-row med/MAD table broadcast."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    out = (
+        0.6745 * F.abs(F.col("value") - F.col("med")) > ROBUST_Z * F.col("mad")
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad_value"),
+        )
+    )
