@@ -133,3 +133,64 @@ def q138_day_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_day").isNull().alias("is_gap"),
         )
     )
+
+
+@query(
+    "q142_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*),
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'embeddings->documents', COUNT(*),
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM embeddings LEFT JOIN documents ON vec_id = doc_id
+    UNION ALL
+    SELECT 'supplier->nation', COUNT(*),
+           CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+    """,
+    tags=("audit", "integrity", "join", "pipeline"),
+)
+def q142_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts along every foreign-key
+    edge the query suite depends on (lineitem->orders, orders->customer,
+    embeddings->documents, supplier->nation). A nonzero orphan count means
+    some join-based query silently drops or fabricates rows — this is the
+    check that catches it at ingest instead.
+
+    Scale shape: each edge is one LEFT join counting null parents. Parent
+    sides here broadcast; at 100 TB the lineitem->orders edge degrades to a
+    sort-merge join, which is exactly the plan the real queries pay — the
+    audit costs what one join query costs, per edge."""
+
+    def edge(child: DataFrame, parent: DataFrame, cond, name: str) -> DataFrame:
+        pk = parent.columns[0]
+        return child.join(F.broadcast(parent), cond, "left").agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(pk).isNull().cast("long")).alias("n_orphans"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    supp = load_table(spark, sf_dir, "supplier").select("s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    return (
+        edge(li, orders.select("o_orderkey"),
+             F.col("l_orderkey") == F.col("o_orderkey"), "lineitem->orders")
+        .unionAll(edge(orders.select("o_custkey"), cust,
+                       F.col("o_custkey") == F.col("c_custkey"), "orders->customer"))
+        .unionAll(edge(emb, docs,
+                       F.col("vec_id") == F.col("doc_id"), "embeddings->documents"))
+        .unionAll(edge(supp, nation,
+                       F.col("s_nationkey") == F.col("n_nationkey"), "supplier->nation"))
+    )
