@@ -194,3 +194,82 @@ def q142_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edge(supp, nation,
                        F.col("s_nationkey") == F.col("n_nationkey"), "supplier->nation"))
     )
+
+
+ANOM_WINDOW, ANOM_Z = 7, 3.0
+
+
+@query(
+    "q143_daily_anomaly",
+    f"""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT day, cnt,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS s1,
+             CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS s2,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n
+      FROM days
+      WINDOW w AS (ORDER BY day ROWS BETWEEN {ANOM_WINDOW} PRECEDING
+                                         AND 1 PRECEDING)
+    )
+    SELECT day, cnt,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS baseline,
+           n >= 3 AND
+           abs(cnt - CAST(s1 AS DOUBLE) / n) * sqrt(CAST(n - 1 AS DOUBLE))
+             > {ANOM_Z} * sqrt(greatest(
+                 CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n, 0.0))
+             AS is_anomaly
+    FROM stats WHERE n >= 1
+    """,
+    tags=("audit", "timeseries", "anomaly"),
+)
+def q143_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the daily event count series: each day is
+    compared against a trailing window of the prior 7 days; a day whose
+    deviation exceeds 3 trailing standard deviations is flagged — the
+    monitor that catches an ingest double-run or a silent upstream drop.
+
+    Engine exactness: the trailing baseline is built from INTEGER window
+    sums (count, sum, sum-of-squares — exact in both engines and immune to
+    frame accumulation order); the z-comparison is rearranged to avoid
+    division (|cnt - mean| * sqrt(n-1) > z * sqrt(n*var-ish form)), so both
+    engines compare identical doubles and no epsilon is needed.
+
+    Scale shape: the expensive part is the day rollup (map-side combined,
+    O(days) rows); the window runs over the tiny aggregated series, so the
+    single-partition frame is a non-issue at any corpus size."""
+    from pyspark.sql import Window
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("day").rowsBetween(-ANOM_WINDOW, -1)
+    stats = days.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    ).filter(F.col("n") >= 1)
+    mean = F.col("s1").cast("double") / F.col("n")
+    var_term = F.greatest(
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"),
+        F.lit(0.0),
+    )
+    return stats.select(
+        "day",
+        "cnt",
+        F.round(mean, 6).alias("baseline"),
+        (
+            (F.col("n") >= 3)
+            & (
+                F.abs(F.col("cnt") - mean) * F.sqrt((F.col("n") - 1).cast("double"))
+                > ANOM_Z * F.sqrt(var_term)
+            )
+        ).alias("is_anomaly"),
+    )

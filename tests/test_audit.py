@@ -128,3 +128,21 @@ def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
     assert rows["embeddings->documents"]["n_orphans"] == 1
     assert rows["orders->customer"]["n_orphans"] == 0
     assert rows["supplier->nation"]["n_orphans"] == 0
+
+
+def test_daily_anomaly_flags_planted_spike(spark, tmp_path):
+    sf = str(tmp_path)
+    events = []
+    eid = 0
+    for d in range(1, 11):           # 10 steady days of 5 events
+        for k in range(5):
+            eid += 1
+            events.append((eid, dt.datetime(2025, 1, d, 8 + k), k, "view", 1.0, "{}"))
+    for k in range(80):              # day 11: 16x spike
+        eid += 1
+        events.append((eid, dt.datetime(2025, 1, 11, 9), k, "view", 1.0, "{}"))
+    _write_min_tables(spark, sf, events=events)
+    rows = {str(r["day"]): r for r in get("q143_daily_anomaly").build(spark, sf).collect()}
+    assert rows["2025-01-11"]["is_anomaly"]
+    # steady days are not flagged (constant series -> zero deviation)
+    assert not any(rows[f"2025-01-{d:02d}"]["is_anomaly"] for d in range(2, 11))
