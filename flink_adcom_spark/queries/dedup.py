@@ -936,3 +936,39 @@ def q120_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("is_truth")
         ).alias("recall_"),
     )
+
+
+@query(
+    "q144_dup_rate_by_source",
+    """
+    WITH d AS (
+      SELECT source, md5(text) AS dig FROM documents
+    ),
+    per AS (
+      SELECT source, dig, COUNT(*) AS n FROM d GROUP BY source, dig
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_docs,
+           ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_rate
+    FROM per GROUP BY source
+    """,
+    tags=("dedup", "audit", "pipeline"),
+)
+def q144_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per-source exact-duplicate rate (docs beyond the
+    first per md5 digest) — the dashboard number a curation run tracks per
+    upstream feed to catch a crawler re-ingesting the same site. Same
+    digest-shuffle shape as q40, one extra per-source rollup; the rate is a
+    ratio of exact integers rounded on both engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text")).alias("dig")
+    )
+    per = d.groupBy("source", "dig").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("docs"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("dup_docs"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 6
+        ).alias("dup_rate"),
+    )

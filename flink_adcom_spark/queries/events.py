@@ -755,3 +755,31 @@ def q140_covisitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_hours"))
         .filter(F.col("shared_hours") >= COVISIT_MIN_SHARED)
     )
+
+
+@query(
+    "q146_hourly_seasonality",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- DuckDB Sunday=0, Spark Sunday=1
+           CAST(hour(ts) AS INT) AS hod,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "timeseries"),
+)
+def q146_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: event and distinct-user counts per
+    (day-of-week, hour-of-day) cell — the 7x24 heatmap behind capacity
+    planning and anomaly baselines (q143's trailing window models trend;
+    this models the weekly cycle). One map-side-combined aggregate with at
+    most 168 output groups; dayofweek/hour are identical integer functions
+    on both engines under the session's UTC pin."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -1429,3 +1429,48 @@ def q126_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# --- order-to-ship latency distribution ---------------------------------------
+
+
+@query(
+    "q145_ship_latency_quantiles",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5) AS p50_days,
+           quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.9) AS p90_days,
+           MAX(datediff('day', o_orderdate, l_shipdate)) AS max_days
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "join", "quantile", "latency"),
+)
+def q145_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: median/p90/max
+    of the day gap between order date and line-item ship date — the
+    fulfillment-SLA readout. Day differences are exact integers, so the
+    interpolated percentiles are ratios of identical integers on both
+    engines (q72 equivalence) with no float discipline needed.
+
+    Scale shape: one orderkey shuffle join (AQE sort-merge at 100 TB), then
+    a 5-group percentile aggregate; the percentile buffers day-gap integers
+    per priority group — bounded by line count per group, with q71's GK
+    sketch as the unbounded-scale fallback."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    gap = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", gap.alias("gap"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.percentile("gap", 0.5).alias("p50_days"),
+            F.percentile("gap", 0.9).alias("p90_days"),
+            F.max("gap").cast("bigint").alias("max_days"),
+        )
+    )
