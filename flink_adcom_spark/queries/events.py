@@ -783,3 +783,73 @@ def q146_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q147_value_concentration",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS user_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_value,
+             NTILE(10) OVER (ORDER BY user_value DESC, user_id) AS decile
+      FROM per_user
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           COUNT(*) AS n_users,
+           -- re-lift to DECIMAL before the group sums: double addition is
+           -- order-dependent in the last ulp, decimal is not
+           ROUND(CAST(SUM(CAST(user_value AS DECIMAL(20,6))) AS DOUBLE), 2)
+             AS decile_value,
+           ROUND(CAST(SUM(CAST(user_value AS DECIMAL(20,6))) AS DOUBLE) /
+                 (SELECT CAST(SUM(CAST(user_value AS DECIMAL(20,6))) AS DOUBLE)
+                  FROM per_user), 6) AS value_share
+    FROM ranked GROUP BY decile
+    """,
+    tags=("events", "window", "analytics"),
+)
+def q147_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of purchase value: users bucketed into deciles
+    by their total spend (largest first), with each decile's value share —
+    the 80/20 readout behind whale-risk and sampling-weight decisions.
+
+    Exactness: per-user sums are decimal (order-independent, engine
+    -identical); NTILE runs over a total order (value desc, user_id) so
+    bucket boundaries are deterministic; decile sums re-lift to decimal so
+    group addition order cannot move the rounded cents, and the share
+    divides identical doubles. The NTILE window is global but runs over the per-user
+    AGGREGATE (one row per purchaser, q78's posture), not raw events —
+    at 100 TB the heavy lifting stays in the keyed pre-aggregation."""
+    from pyspark.sql import Window
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("user_value"))
+    )
+    total = per_user.agg(
+        F.sum(F.col("user_value").cast("decimal(20,6)")).cast("double").alias("tot")
+    )
+    w = Window.orderBy(F.desc("user_value"), F.asc("user_id"))
+    return (
+        per_user.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(F.col("user_value").cast("decimal(20,6)")).cast("double"), 2
+            ).alias("decile_value"),
+            F.sum(F.col("user_value").cast("decimal(20,6)")).cast("double").alias("_dv"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "decile_value",
+            F.round(F.col("_dv") / F.col("tot"), 6).alias("value_share"),
+        )
+    )
