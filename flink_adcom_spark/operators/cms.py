@@ -70,7 +70,14 @@ def heavy_hitter_audit(
     """Shared gate tail (q127/q131/q139): exact top-k keys — per group when
     group_cols is set — N from hash row 0 of the (group's) sketch, probe
     estimates, and the two CMS contract booleans (no_undercount;
-    overcount <= bound_factor * N of that group)."""
+    overcount <= bound_factor * N of that group).
+
+    NULL keys or group values are dropped up front: an equi-join never
+    matches NULL, so a NULL group would silently vanish from the Spark side
+    while a SQL oracle's window keeps it — callers' oracles must filter the
+    same way (WHERE key IS NOT NULL AND group IS NOT NULL)."""
+    for col in (key, *group_cols):
+        ev = ev.filter(F.col(col).isNotNull())
     total = (
         sketch.filter(F.col("j") == 0)
         .groupBy(*group_cols)

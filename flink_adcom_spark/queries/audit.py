@@ -22,7 +22,9 @@ def _table_audit(df: DataFrame, name: str, key: str, anomaly) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col(key)).alias("n_distinct_keys"),
         F.sum(F.col(key).isNull().cast("long")).alias("n_null_keys"),
-        F.sum(anomaly.cast("long")).alias("n_anomalies"),
+        # WHEN/OTHERWISE mirrors the oracle's CASE: an all-NULL anomaly
+        # expression must report 0, not NULL
+        F.sum(F.when(anomaly, 1).otherwise(0)).alias("n_anomalies"),
     )
 
 
@@ -169,9 +171,11 @@ def q142_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge join, which is exactly the plan the real queries pay — the
     audit costs what one join query costs, per edge."""
 
-    def edge(child: DataFrame, parent: DataFrame, cond, name: str) -> DataFrame:
+    def edge(child: DataFrame, parent: DataFrame, cond, name: str,
+             hint_broadcast: bool = True) -> DataFrame:
         pk = parent.columns[0]
-        return child.join(F.broadcast(parent), cond, "left").agg(
+        p = F.broadcast(parent) if hint_broadcast else parent
+        return child.join(p, cond, "left").agg(
             F.lit(name).alias("fk"),
             F.count(F.lit(1)).alias("n_child"),
             F.sum(F.col(pk).isNull().cast("long")).alias("n_orphans"),
@@ -185,8 +189,12 @@ def q142_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
     return (
+        # no broadcast hint on orders: a hard hint would override AQE and
+        # ship a 100 TB-scale parent to every executor; the docstring's
+        # sort-merge degradation only happens if AQE is left to choose
         edge(li, orders.select("o_orderkey"),
-             F.col("l_orderkey") == F.col("o_orderkey"), "lineitem->orders")
+             F.col("l_orderkey") == F.col("o_orderkey"), "lineitem->orders",
+             hint_broadcast=False)
         .unionAll(edge(orders.select("o_custkey"), cust,
                        F.col("o_custkey") == F.col("c_custkey"), "orders->customer"))
         .unionAll(edge(emb, docs,
@@ -209,7 +217,11 @@ ANOM_WINDOW, ANOM_Z = 7, 3.0
     stats AS (
       SELECT day, cnt,
              CAST(SUM(cnt) OVER w AS BIGINT) AS s1,
-             CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS s2,
+             -- DECIMAL square: cnt*cnt overflows int64 near 3e9 events/day
+             -- (Spark would wrap silently, DuckDB would raise); decimal is
+             -- exact and order-independent like the integer sums
+             CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+                  OVER w AS DOUBLE) AS s2,
              CAST(COUNT(*) OVER w AS BIGINT) AS n
       FROM days
       WINDOW w AS (ORDER BY day ROWS BETWEEN {ANOM_WINDOW} PRECEDING
@@ -220,7 +232,7 @@ ANOM_WINDOW, ANOM_Z = 7, 3.0
            n >= 3 AND
            abs(cnt - CAST(s1 AS DOUBLE) / n) * sqrt(CAST(n - 1 AS DOUBLE))
              > {ANOM_Z} * sqrt(greatest(
-                 CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n, 0.0))
+                 s2 - CAST(s1 AS DOUBLE) * s1 / n, 0.0))
              AS is_anomaly
     FROM stats WHERE n >= 1
     """,
@@ -232,9 +244,10 @@ def q143_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation exceeds 3 trailing standard deviations is flagged — the
     monitor that catches an ingest double-run or a silent upstream drop.
 
-    Engine exactness: the trailing baseline is built from INTEGER window
-    sums (count, sum, sum-of-squares — exact in both engines and immune to
-    frame accumulation order); the z-comparison is rearranged to avoid
+    Engine exactness: the trailing baseline is built from exact window
+    sums (integer count/sum; DECIMAL sum-of-squares so the square cannot
+    overflow int64 at 100 TB daily volumes — both immune to frame
+    accumulation order); the z-comparison is rearranged to avoid
     division (|cnt - mean| * sqrt(n-1) > z * sqrt(n*var-ish form)), so both
     engines compare identical doubles and no epsilon is needed.
 
@@ -253,12 +266,14 @@ def q143_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "cnt",
         F.sum("cnt").over(w).cast("bigint").alias("s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("bigint").alias("s2"),
+        F.sum(
+            F.col("cnt").cast("decimal(19,0)") * F.col("cnt").cast("decimal(19,0)")
+        ).over(w).cast("double").alias("s2"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
     ).filter(F.col("n") >= 1)
     mean = F.col("s1").cast("double") / F.col("n")
     var_term = F.greatest(
-        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"),
+        F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"),
         F.lit(0.0),
     )
     return stats.select(

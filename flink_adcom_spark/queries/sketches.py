@@ -221,7 +221,8 @@ CMS_BOUND_FACTOR = 2 * 2.718281828459045 / CMS_WIDTH
     f"""
     SELECT user_id, COUNT(*) AS exact_cnt,
            TRUE AS no_undercount, TRUE AS within_bound
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
     ORDER BY exact_cnt DESC, user_id LIMIT {CMS_TOPK}
     """,
     tags=("events", "sketch", "heavy-hitters"),
@@ -268,7 +269,9 @@ GROUPED_CMS_TOPK = 5
       SELECT event_type, user_id, COUNT(*) AS exact_cnt,
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY COUNT(*) DESC, user_id) AS rnk
-      FROM events GROUP BY event_type, user_id
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY event_type, user_id
     ) t WHERE rnk <= {GROUPED_CMS_TOPK}
     """,
     tags=("events", "sketch", "heavy-hitters", "grouped"),
@@ -353,7 +356,9 @@ def q141_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(out.cast("long")).alias("n_outliers"),
+            # WHEN/OTHERWISE mirrors the oracle's CASE: an all-NULL value
+            # group must report 0 outliers, not NULL
+            F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
             F.round(F.first("med"), 6).alias("median_value"),
             F.round(F.first("mad"), 6).alias("mad_value"),
         )

@@ -319,7 +319,7 @@ def q118_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q131_stream_cms_rollup",
     "SELECT user_id, COUNT(*) AS exact_cnt, "
     "TRUE AS merge_exact, TRUE AS no_undercount, TRUE AS within_bound "
-    "FROM events GROUP BY user_id "
+    "FROM events WHERE user_id IS NOT NULL GROUP BY user_id "
     "ORDER BY exact_cnt DESC, user_id LIMIT 20",
     tags=("streaming", "sketch", "heavy-hitters", "materialize"),
 )

@@ -269,6 +269,9 @@ def q36_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _documents(spark, sf_dir)
+        # guard: slice() throws on negative length for < 2 tokens, where the
+        # oracle's list slicing just returns empty — filter symmetrically
+        .filter(n >= 2)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
@@ -1270,6 +1273,8 @@ def q136_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = (
         _documents(spark, sf_dir)
+        # same < 2-token slice guard as q36 (oracle slicing is already safe)
+        .filter(n >= 2)
         .select("doc_id", F.explode(bigrams).alias("bigram"))
         .withColumn("w1", F.split("bigram", " ").getItem(0))
     )
