@@ -29,6 +29,13 @@ CASES = [
     "q133_exact_k_per_lang",
     "q126_tpch_q21_waiting_suppliers",
     "q134_chunked_pack",
+    "q135_bitext_mining",
+    "q136_bigram_logprob",
+    "q139_cms_heavy_hitters_by_type",
+    "q141_robust_outliers",
+    "q143_daily_anomaly",
+    "q144_dup_rate_by_source",
+    "q147_value_concentration",
 ]
 
 
