@@ -1298,3 +1298,124 @@ def q136_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(lp), 6).alias("avg_bigram_logprob"),
         )
     )
+
+
+# --- multi-signal quality fusion ----------------------------------------------
+FUSE_CUTS = [i / 100.0 for i in range(1, 100)]  # percentile grid, 99 cuts
+FUSE_KEEP = 0.5
+_FUSE_CUTS_SQL = "[" + ", ".join(str(p) for p in FUSE_CUTS) + "]"
+
+
+@query(
+    "q148_signal_fusion",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*) AS uniq_ratio
+      FROM w GROUP BY doc_id
+    ),
+    cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
+    lm AS (
+      SELECT doc_id, ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS lp
+      FROM w JOIN cnt USING (word) CROSS JOIN tot GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT p.doc_id, CAST(p.n_tokens AS DOUBLE) AS s_len,
+             p.uniq_ratio AS s_uniq, lm.lp AS s_lm
+      FROM per_doc p JOIN lm USING (doc_id)
+    ),
+    cuts AS (
+      SELECT quantile_cont(s_len, {_FUSE_CUTS_SQL}) AS c_len,
+             quantile_cont(s_uniq, {_FUSE_CUTS_SQL}) AS c_uniq,
+             quantile_cont(s_lm, {_FUSE_CUTS_SQL}) AS c_lm
+      FROM sigs
+    ),
+    ranked AS (
+      SELECT doc_id,
+             len(list_filter(c_len, c -> c <= s_len)) AS r_len,
+             len(list_filter(c_uniq, c -> c <= s_uniq)) AS r_uniq,
+             len(list_filter(c_lm, c -> c <= s_lm)) AS r_lm
+      FROM sigs CROSS JOIN cuts
+    )
+    SELECT doc_id, CAST(r_len AS INT) AS r_len, CAST(r_uniq AS INT) AS r_uniq,
+           CAST(r_lm AS INT) AS r_lm,
+           ROUND((r_len + r_uniq + r_lm) / 297.0, 6) AS fused,
+           ROUND((r_len + r_uniq + r_lm) / 297.0, 6) >= {FUSE_KEEP} AS keep
+    FROM ranked
+    """,
+    tags=("text", "quality", "fusion", "pipeline"),
+)
+def q148_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based multi-signal quality fusion: three heterogeneous signals
+    (length, unique-token ratio, unigram LM score) are each normalized to a
+    percentile rank and averaged — the standard way to combine signals with
+    incomparable scales into one keep decision (a raw z-score blend would
+    let one heavy-tailed signal dominate).
+
+    The scale pattern is the point: there is NO global rank window.
+    Each signal's empirical CDF is summarized as a 99-cut percentile grid
+    (one small aggregate), the grid is BROADCAST, and every document
+    computes its own rank scan-side by counting cuts below its value (a
+    higher-order-function fold over the 99-element array) — rank
+    normalization at scan throughput. At 100 TB the exact grid becomes
+    percentile_approx or a sampled CDF; everything downstream is unchanged.
+
+    Exactness: grids are interpolated percentiles of identical doubles
+    (q72 equivalence, array form); cut comparisons and integer rank sums
+    are exact; fused = ranks/297 divides identical integers."""
+    wrds = _documents(spark, sf_dir).select(
+        "doc_id", F.explode(words_col()).alias("word")
+    )
+    per_doc = wrds.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.count_distinct("word").cast("double") / F.count(F.lit(1))).alias(
+            "uniq_ratio"
+        ),
+    )
+    cnt = wrds.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("t"))
+    lm = (
+        wrds.join(F.broadcast(cnt), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 6).alias("lp"))
+    )
+    sigs = per_doc.join(lm, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("s_len"),
+        F.col("uniq_ratio").alias("s_uniq"),
+        F.col("lp").alias("s_lm"),
+    )
+    ps = F.array(*[F.lit(p) for p in FUSE_CUTS])
+    cuts = sigs.agg(
+        F.percentile("s_len", ps).alias("c_len"),
+        F.percentile("s_uniq", ps).alias("c_uniq"),
+        F.percentile("s_lm", ps).alias("c_lm"),
+    )
+
+    def rank(cut_col: str, sig_col: str):
+        return F.aggregate(
+            F.col(cut_col),
+            F.lit(0),
+            lambda acc, c: acc + (c <= F.col(sig_col)).cast("int"),
+        )
+
+    fused = F.round(
+        (F.col("r_len") + F.col("r_uniq") + F.col("r_lm")) / 297.0, 6
+    )
+    return (
+        sigs.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            rank("c_len", "s_len").cast("int").alias("r_len"),
+            rank("c_uniq", "s_uniq").cast("int").alias("r_uniq"),
+            rank("c_lm", "s_lm").cast("int").alias("r_lm"),
+        )
+        .select(
+            "doc_id", "r_len", "r_uniq", "r_lm",
+            fused.alias("fused"),
+            (fused >= FUSE_KEEP).alias("keep"),
+        )
+    )
