@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # current data, and (d) 13 r3-green entries that are either modified this
 # round (q45/q46/q47 components probe-trim, q49 split-hash mask alignment)
 # or bench headliners owed a fresh row (q41/q42/q44/q50/q54).
-# Queries q121-q147 (TPC-H completion, CMS family, chunking/PII prep, DSIR
+# Queries q121-q148 (TPC-H completion, CMS family, chunking/PII prep, DSIR
 # weights, temperature/exact-k sampling, bitext mining, bigram LM, audits) were registered AFTER this gate froze:
 # mirror-verified (sf0.001) and driver-simulated (sf0.01) this round, they
 # rotate into the r6 gate.
