@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from flink_adcom_spark.plans import explain
 from flink_adcom_spark.registry import get
 
@@ -176,3 +178,47 @@ def test_join_degrades_to_sort_merge_without_broadcast(spark, sf_dir):
                 spark.conf.set(k, v)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q121_tpch_q2_min_cost_supplier",
+        "q124_tpch_q16_supplier_count",
+        "q126_tpch_q21_waiting_suppliers",
+        "q135_bitext_mining",
+        "q142_referential_integrity",
+        "q145_ship_latency_quantiles",
+    ],
+)
+def test_new_joins_survive_broadcast_disable(spark, sf_dir, name):
+    """Join-strategy independence for the round-5 join queries: with both
+    broadcast thresholds at -1 (what AQE decides when every dimension has
+    outgrown the threshold at 100 TB), the result set must be identical.
+    Explicitly-hinted broadcasts still apply; the point is that correctness
+    never depends on which physical join the planner picked."""
+    from flink_adcom_spark.registry import get
+
+    def rows():
+        return sorted(map(tuple, get(name).build(spark, sf_dir).collect()))
+
+    want = rows()
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        got = rows()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want
+    assert want, f"{name}: empty result proves nothing"
