@@ -129,6 +129,29 @@ _ROUND4_GATE = frozenset(
         "q08_tpch_q1",
     ]
 )
+# DRAFT for the round-6 rotation (leave _GATE on ROUND5 until the r5 gate is
+# recorded): (a) the 28 continuation queries q121-q148 — implemented,
+# mirror-verified, and sf0.01 driver-simulated in r5 but never externally
+# recorded; (b) fill the remaining slots with the oldest-green entries at
+# that point (see COVERAGE.md §gate for the accounting) plus anchor q08.
+_ROUND6_GATE_DRAFT = frozenset(
+    [
+        "q121_tpch_q2_min_cost_supplier", "q122_tpch_q11_important_parts",
+        "q123_tpch_q12_late_priority", "q124_tpch_q16_supplier_count",
+        "q125_tpch_q20_excess_shippers", "q126_tpch_q21_waiting_suppliers",
+        "q127_cms_heavy_hitters", "q128_token_chunks",
+        "q129_pii_scrub_audit", "q130_importance_weights",
+        "q131_stream_cms_rollup", "q132_temperature_mixture",
+        "q133_exact_k_per_lang", "q134_chunked_pack",
+        "q135_bitext_mining", "q136_bigram_logprob",
+        "q137_quality_expectations", "q138_day_completeness",
+        "q139_cms_heavy_hitters_by_type", "q140_covisitation_pairs",
+        "q141_robust_outliers", "q142_referential_integrity",
+        "q143_daily_anomaly", "q144_dup_rate_by_source",
+        "q145_ship_latency_quantiles", "q146_hourly_seasonality",
+        "q147_value_concentration", "q148_signal_fusion",
+    ]
+)
 _GATE = _ROUND5_GATE
 
 

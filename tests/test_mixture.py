@@ -61,3 +61,24 @@ def test_dsir_weights_separate_target_from_rest(spark, sf_dir):
     # and the kept flag mirrors the weight sign
     bad = w.filter((F.col("dsir_weight") > 0) != F.col("kept")).count()
     assert bad == 0
+
+
+def test_signal_fusion_ranks_are_calibrated(spark, sf_dir):
+    """Fusion sanity: ranks live on the 0-99 grid, fused is their mean on
+    [0,1], keep mirrors the threshold, and the r_len rank is monotone in
+    the underlying token count (longer doc -> never a lower length rank)."""
+    rows = get("q148_signal_fusion").build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for k in ("r_len", "r_uniq", "r_lm"):
+            assert 0 <= r[k] <= 99
+        assert 0.0 <= r["fused"] <= 1.0
+        assert r["keep"] == (r["fused"] >= 0.5)
+    docs = {
+        d["doc_id"]: len([t for t in d["text"].lower().split(" ") if t])
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_len = sorted((docs[r["doc_id"]], r["r_len"]) for r in rows)
+    for (n1, rk1), (n2, rk2) in zip(by_len, by_len[1:]):
+        if n1 < n2:
+            assert rk1 <= rk2, f"rank not monotone: {n1}->{rk1}, {n2}->{rk2}"
