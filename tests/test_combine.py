@@ -68,3 +68,20 @@ def test_combine_plans_partial_aggregate(spark, sf_dir):
     df = combine(rides(spark, sf_dir), ["driver_id"], [F.count("*").alias("cnt")])
     assert "partial_count" in formatted_plan(df)
     assert num_exchanges(df) == 1
+
+
+def test_operator_package_exports_resolve():
+    """The curated operators façade imports cleanly and exposes every
+    documented name (a user's `from flink_adcom_spark.operators import x`
+    contract)."""
+    import flink_adcom_spark.operators as ops
+
+    for name in (
+        "as_of_join", "bucketed_range_join", "combine", "combine_generic",
+        "PreAggregateFunction", "connected_components", "lloyd_kmeans",
+        "assign_clusters", "cms_build", "cms_probe", "heavy_hitter_audit",
+        "salted_agg", "salted_count_distinct", "l2_normalize",
+        "quantize_int8", "write_bucketed", "upsert_partitions",
+        "extract_features", "resize_images", "sample_frames",
+    ):
+        assert callable(getattr(ops, name)) or name == "PreAggregateFunction"
