@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (b) the 20 events-derived queries whose only green row predates the data
 # regeneration, (c) q91 (registered after the r2/r3 gate froze, never
 # driver-checked), plus 7 stable non-events anchors. The FULL registry
-# (122 queries) remains verified by the in-repo mirror
+# (150 queries by end of round 5) remains verified by the in-repo mirror
 # (tests/test_oracle_parity.py) at sf0.001 and the driver simulation in
 # .claude/skills/verify at sf0.01.
 # Round 5 rotates to (a) the 12 queries registered after the r4 gate froze

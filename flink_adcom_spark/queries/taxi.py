@@ -199,7 +199,12 @@ def q07_top10_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("taxi", "topn", "window"),
 )
 def q07b_topn_per_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 longest rides per driver."""
+    """Top-3 longest rides per driver (reference A8's bounded-array fold,
+    window-rank form). The per-driver rank window shuffles once on
+    driver_id — fine here because driver cardinality is high and balanced;
+    for few/hot keys the salted two-level fold (q82/q133) is the scale
+    form. Ties cannot occur (distances are unique per driver by the trig
+    lattice), and ride_id breaks them deterministically anyway."""
     w = Window.partitionBy("driver_id").orderBy(F.desc("distance_km"), F.asc("ride_id"))
     return (
         rides(spark, sf_dir)
@@ -222,7 +227,11 @@ def q07b_topn_per_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("taxi", "agg", "global"),
 )
 def q11_global_avg_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global AVG(distance_km) over all rides."""
+    """Global AVG(distance_km) over all rides (reference A7). The reference
+    pre-shards the single global key by rand(0..9) to parallelize its
+    combiner (AveragePreAggregate.java:59-299); Spark's partial aggregation
+    already computes one (sum, count) per partition before a 1-row shuffle,
+    so the random-key trick is subsumed by the engine."""
     return rides(spark, sf_dir).agg(F.round(F.avg("distance_km"), 4).alias("avg_distance_km"))
 
 

@@ -156,7 +156,11 @@ def q09_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "agg"),
 )
 def q09b_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-order discounted revenue."""
+    """Per-order discounted revenue (the Q6 revenue expression keyed by
+    order instead of globally; the order-keyed variant of the reference's
+    lineitem aggregations). One l_orderkey shuffle of exact-decimal partial
+    sums; at 100 TB the output is |orders|-sized, which is why bench
+    materializes it with count() rather than collect()."""
     return (
         _lineitem(spark, sf_dir)
         .groupBy("l_orderkey")
