@@ -44,4 +44,9 @@ from .storage import (  # noqa: F401
     write_bucketed,
     write_partitioned,
 )
-from .vectors import dequantize_int8, l2_normalize, quantize_int8  # noqa: F401
+from .vectors import (  # noqa: F401
+    cosine_scores_arrow,
+    dequantize_int8,
+    l2_normalize,
+    quantize_int8,
+)

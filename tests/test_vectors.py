@@ -68,3 +68,43 @@ def test_quantized_cosine_close_to_exact(spark, sf_dir):
     for i in range(0, 40, 7):
         for j in range(1, 40, 11):
             assert abs(cos(vs[i], vs[j]) - cos(qs[i], qs[j])) < 0.02
+
+
+def test_arrow_cosine_matches_hof_path(spark, sf_dir):
+    """The Arrow/BLAS brute-force scorer agrees with the codegen HOF dot
+    product to float tolerance on every (corpus, query) pair — same math,
+    different accumulation order — so either path can back a reranker."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.operators.vectors import cosine_scores_arrow
+    from flink_adcom_spark.queries.similarity import _dot, _emb
+
+    e = _emb(spark, sf_dir)
+    queries = [
+        (r["vec_id"], r["v"])
+        for r in e.filter(F.col("vec_id") < 5).select("vec_id", "v").collect()
+    ]
+    arrow = {
+        (r["vec_id"], r["q_id"]): r["cosine"]
+        for r in cosine_scores_arrow(e, queries).collect()
+    }
+    q = spark.createDataFrame(
+        [(i, v) for i, v in queries], "q_id long, qv array<double>"
+    ).withColumn(
+        "qn", F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    hof = {
+        (r["vec_id"], r["q_id"]): r["cosine"]
+        for r in e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "q_id",
+            (_dot("v", "qv") / (F.col("nrm") * F.col("qn"))).alias("cosine"),
+        )
+        .collect()
+    }
+    assert set(arrow) == set(hof) and arrow
+    for k, a in arrow.items():
+        assert math.isclose(a, hof[k], rel_tol=1e-9, abs_tol=1e-12), k
