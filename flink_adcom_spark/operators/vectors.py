@@ -53,18 +53,24 @@ def cosine_scores_arrow(
     queries: list[tuple[int, list[float]]],
     vec_col: str = "v",
     id_col: str = "vec_id",
+    per_partition_topk: int | None = None,
 ) -> DataFrame:
     """Arrow-batched brute-force cosine scoring: the vectorized-Pandas-UDF
-    alternative to the zip_with/aggregate HOF dot product (q50).
+    alternative to the zip_with/aggregate HOF dot product (q50); queries
+    broadcast via closure, corpus streamed, no shuffle.
 
-    The HOF path stays inside whole-stage codegen and wins for short
-    vectors; this path ships each partition to Python ONCE as Arrow
-    batches and scores it against the whole query matrix with one BLAS
-    matmul — the winner once vectors are wide (hundreds of dims) or the
-    query set is large, because per-element codegen folds scale as
-    O(d * |Q|) expression nodes while the matmul is a single dense kernel.
-    Same shape as production rerankers: queries broadcast via closure,
-    corpus streamed, no shuffle.
+    MEASURED (local[8], 20k rows, d=512): whole-stage-codegen HOF folds
+    beat this path at every size tried — 0.42s vs 0.59s at |Q|=256, 1.49s
+    vs 1.64s at |Q|=2048 all-pairs, and the per_partition_topk variant
+    (emit only each partition's local top-k per query via np.argpartition,
+    output partitions*k*|Q| rows instead of n*|Q|) was slower still at
+    this scale (7.6s) because the per-batch list->ndarray conversion, not
+    the transfer, dominates. The evidence-based guidance is therefore the
+    one the rest of this repo already follows: JVM HOF expressions are the
+    DEFAULT for vector math; this function is the TEMPLATE for scorers
+    that cannot be expressed as expressions at all (a real reranker model,
+    a compiled kernel), where the Arrow batching is the only way in, and
+    per_partition_topk keeps such a scorer's output bounded.
 
     Note: numpy's pairwise summation accumulates in a different order than
     the HOF fold, so scores agree only to float tolerance (~1e-12) — this
@@ -85,14 +91,30 @@ def cosine_scores_arrow(
             ids = pdf[id_col].to_numpy()
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             nrm = np.sqrt((mat * mat).sum(axis=1))
-            cos = (mat @ q_mat.T) / np.outer(nrm, q_norm)
+            denom = np.outer(nrm, q_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0.0, (mat @ q_mat.T) / denom, 0.0)
             n, m = cos.shape
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(ids, m),
-                    "q_id": np.tile(q_ids, n),
-                    "cosine": cos.ravel(),
-                }
-            )
+            if per_partition_topk is not None and per_partition_topk < n:
+                k = per_partition_topk
+                # local top-k rows per query column, unordered (argpartition)
+                sel = np.argpartition(-cos, k - 1, axis=0)[:k]  # (k, m)
+                rows = sel.ravel(order="F")  # column-major: k rows per query
+                cols = np.repeat(np.arange(m), k)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids[rows],
+                        "q_id": q_ids[cols],
+                        "cosine": cos[rows, cols],
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(ids, m),
+                        "q_id": np.tile(q_ids, n),
+                        "cosine": cos.ravel(),
+                    }
+                )
 
     return corpus.select(id_col, vec_col).mapInPandas(score, schema)

@@ -108,3 +108,31 @@ def test_arrow_cosine_matches_hof_path(spark, sf_dir):
     assert set(arrow) == set(hof) and arrow
     for k, a in arrow.items():
         assert math.isclose(a, hof[k], rel_tol=1e-9, abs_tol=1e-12), k
+
+
+def test_arrow_topk_reduction_preserves_top1(spark, sf_dir):
+    """per_partition_topk must never lose a global winner: the top-1 per
+    query from the reduced output equals the top-1 from all pairs (local
+    top-k per partition always contains the global top-k for k' <= k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.operators.vectors import cosine_scores_arrow
+    from flink_adcom_spark.queries.similarity import _emb
+
+    e = _emb(spark, sf_dir)
+    queries = [
+        (r["vec_id"], r["v"])
+        for r in e.filter(F.col("vec_id") < 6).select("vec_id", "v").collect()
+    ]
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+    def top1(df):
+        return {
+            (r["q_id"], r["vec_id"])
+            for r in df.withColumn("r", F.row_number().over(w)).filter("r=1").collect()
+        }
+
+    assert top1(cosine_scores_arrow(e, queries)) == top1(
+        cosine_scores_arrow(e, queries, per_partition_topk=3)
+    )
