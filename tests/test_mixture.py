@@ -82,3 +82,55 @@ def test_signal_fusion_ranks_are_calibrated(spark, sf_dir):
     for (n1, rk1), (n2, rk2) in zip(by_len, by_len[1:]):
         if n1 < n2:
             assert rk1 <= rk2, f"rank not monotone: {n1}->{rk1}, {n2}->{rk2}"
+
+
+def test_temperature_targets_match_python_reference(spark):
+    """The q132 target/threshold integer math (isqrt via floor(sqrt(c*1e6)),
+    integer divisions) pinned against a pure-Python reference on randomized
+    count tables — the engine-parity oracle proves Spark==DuckDB; this
+    proves both match the intended arithmetic."""
+    import math
+    import random
+
+    from flink_adcom_spark.queries.text import BALANCE_RES, KEEP_BUDGET_DIV
+
+    rng = random.Random(7)
+    for _ in range(5):
+        counts = {f"l{i}": rng.randint(1, 10_000_000) for i in range(rng.randint(2, 8))}
+        n = sum(counts.values())
+        sq = {l: math.isqrt(c * 1_000_000) for l, c in counts.items()}
+        sum_sq = sum(sq.values())
+        want = {
+            l: min(
+                counts[l],
+                math.floor(float(n // KEEP_BUDGET_DIV) * (float(sq[l]) / float(sum_sq))),
+            )
+            for l in counts
+        }
+        want_thresh = {l: (want[l] * BALANCE_RES) // counts[l] for l in counts}
+
+        df = spark.createDataFrame(list(counts.items()), "lang string, c long")
+        from pyspark.sql import functions as F
+
+        s = df.withColumn(
+            "sq", F.floor(F.sqrt((F.col("c") * 1000000).cast("double"))).cast("bigint")
+        )
+        tot = s.agg(F.sum("c").alias("n"), F.sum("sq").alias("sum_sq"))
+        got = {
+            r["lang"]: (r["target"], r["thresh"])
+            for r in s.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "target",
+                F.least(
+                    F.col("c"),
+                    F.floor(
+                        F.expr(f"CAST(n DIV {KEEP_BUDGET_DIV} AS DOUBLE)")
+                        * (F.col("sq").cast("double") / F.col("sum_sq").cast("double"))
+                    ).cast("bigint"),
+                ),
+            )
+            .withColumn("thresh", F.expr(f"(target * {BALANCE_RES}) DIV c"))
+            .collect()
+        }
+        for l in counts:
+            assert got[l] == (want[l], want_thresh[l]), (l, counts)
