@@ -78,43 +78,74 @@ def cosine_scores_arrow(
     import numpy as np
     import pandas as pd
 
+    if not queries:
+        raise ValueError("queries must be non-empty")
+
     q_ids = np.array([i for i, _ in queries], dtype=np.int64)
     q_mat = np.array([v for _, v in queries], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
 
     schema = f"{id_col} long, q_id long, cosine double"
 
-    def score(batches):
+    def _cos(pdf):
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        denom = np.outer(nrm, q_norm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return ids, np.where(denom > 0.0, (mat @ q_mat.T) / denom, 0.0)
+
+    def score_all(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy()
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            nrm = np.sqrt((mat * mat).sum(axis=1))
-            denom = np.outer(nrm, q_norm)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom > 0.0, (mat @ q_mat.T) / denom, 0.0)
+            ids, cos = _cos(pdf)
             n, m = cos.shape
-            if per_partition_topk is not None and per_partition_topk < n:
-                k = per_partition_topk
-                # local top-k rows per query column, unordered (argpartition)
-                sel = np.argpartition(-cos, k - 1, axis=0)[:k]  # (k, m)
-                rows = sel.ravel(order="F")  # column-major: k rows per query
-                cols = np.repeat(np.arange(m), k)
-                yield pd.DataFrame(
-                    {
-                        id_col: ids[rows],
-                        "q_id": q_ids[cols],
-                        "cosine": cos[rows, cols],
-                    }
-                )
-            else:
-                yield pd.DataFrame(
-                    {
-                        id_col: np.repeat(ids, m),
-                        "q_id": np.tile(q_ids, n),
-                        "cosine": cos.ravel(),
-                    }
-                )
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, m),
+                    "q_id": np.tile(q_ids, n),
+                    "cosine": cos.ravel(),
+                }
+            )
 
-    return corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    def score_topk(batches):
+        # TRUE per-partition reduction: every Arrow batch folds into a
+        # per-query (k, |Q|) candidate pool, yielded ONCE at partition end
+        # — output is k * |Q| rows per partition regardless of batch count.
+        # Each fold selects with (cosine desc, id asc) lexsort, so a tie
+        # group at the k boundary keeps its lowest ids deterministically —
+        # matching the (F.desc(cosine), F.asc(id)) convention downstream
+        # rankers use, even for exact-duplicate-vector corpora.
+        k = per_partition_topk
+        m = len(q_ids)
+        pool_cos = np.empty((0, m), dtype=np.float64)
+        pool_ids = np.empty((0, m), dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, cos = _cos(pdf)
+            all_cos = np.vstack([pool_cos, cos])
+            all_ids = np.vstack([pool_ids, np.repeat(ids[:, None], m, axis=1)])
+            kk = min(k, all_cos.shape[0])
+            new_cos = np.empty((kk, m), dtype=np.float64)
+            new_ids = np.empty((kk, m), dtype=np.int64)
+            for j in range(m):
+                order = np.lexsort((all_ids[:, j], -all_cos[:, j]))[:kk]
+                new_cos[:, j] = all_cos[order, j]
+                new_ids[:, j] = all_ids[order, j]
+            pool_cos, pool_ids = new_cos, new_ids
+        if pool_cos.shape[0] == 0:
+            return
+        kk = pool_cos.shape[0]
+        cols = np.repeat(np.arange(m), kk)
+        yield pd.DataFrame(
+            {
+                id_col: pool_ids.ravel(order="F"),
+                "q_id": q_ids[cols],
+                "cosine": pool_cos.ravel(order="F"),
+            }
+        )
+
+    fn = score_all if per_partition_topk is None else score_topk
+    return corpus.select(id_col, vec_col).mapInPandas(fn, schema)

@@ -1076,6 +1076,32 @@ def q130_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 KEEP_BUDGET_DIV = 2
 
 
+def temperature_targets(cnt):
+    """(lang, c) -> (lang, thresh): the q132 target/threshold law as a
+    reusable transformation — isqrt shares via floor(sqrt(c*1e6)), budget *
+    share in exactly-rounded double, integer threshold. One definition,
+    used by the gated query AND the Python-reference pin test."""
+    s = cnt.withColumn(
+        "sq",
+        F.floor(F.sqrt((F.col("c") * 1000000).cast("double"))).cast("bigint"),
+    )
+    tot = s.agg(F.sum("c").alias("n"), F.sum("sq").alias("sum_sq"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.least(
+                F.col("c"),
+                F.floor(
+                    F.expr(f"CAST(n DIV {KEEP_BUDGET_DIV} AS DOUBLE)")
+                    * (F.col("sq").cast("double") / F.col("sum_sq").cast("double"))
+                ).cast("bigint"),
+            ),
+        )
+        .withColumn("thresh", F.expr(f"(target * {BALANCE_RES}) DIV c"))
+    )
+
+
 @query(
     "q132_temperature_mixture",
     f"""
@@ -1123,28 +1149,7 @@ def q132_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-rates, scan-side hash filter; no rank window, no extra shuffle."""
     docs = _documents(spark, sf_dir).select("doc_id", "lang")
     cnt = docs.groupBy("lang").agg(F.count("*").alias("c"))
-    s = cnt.withColumn(
-        "sq",
-        F.floor(F.sqrt((F.col("c") * 1000000).cast("double"))).cast("bigint"),
-    )
-    tot = s.agg(
-        F.sum("c").alias("n"), F.sum("sq").alias("sum_sq")
-    )
-    tgt = (
-        s.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "target",
-            F.least(
-                F.col("c"),
-                F.floor(
-                    F.expr(f"CAST(n DIV {KEEP_BUDGET_DIV} AS DOUBLE)")
-                    * (F.col("sq").cast("double") / F.col("sum_sq").cast("double"))
-                ).cast("bigint"),
-            ),
-        )
-        .withColumn("thresh", F.expr(f"(target * {BALANCE_RES}) DIV c"))
-        .select("lang", "thresh")
-    )
+    tgt = temperature_targets(cnt).select("lang", "thresh")
     return (
         docs.join(F.broadcast(tgt), "lang")
         .filter(

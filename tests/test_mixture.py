@@ -109,28 +109,12 @@ def test_temperature_targets_match_python_reference(spark):
         }
         want_thresh = {l: (want[l] * BALANCE_RES) // counts[l] for l in counts}
 
-        df = spark.createDataFrame(list(counts.items()), "lang string, c long")
-        from pyspark.sql import functions as F
+        from flink_adcom_spark.queries.text import temperature_targets
 
-        s = df.withColumn(
-            "sq", F.floor(F.sqrt((F.col("c") * 1000000).cast("double"))).cast("bigint")
-        )
-        tot = s.agg(F.sum("c").alias("n"), F.sum("sq").alias("sum_sq"))
+        df = spark.createDataFrame(list(counts.items()), "lang string, c long")
         got = {
             r["lang"]: (r["target"], r["thresh"])
-            for r in s.crossJoin(F.broadcast(tot))
-            .withColumn(
-                "target",
-                F.least(
-                    F.col("c"),
-                    F.floor(
-                        F.expr(f"CAST(n DIV {KEEP_BUDGET_DIV} AS DOUBLE)")
-                        * (F.col("sq").cast("double") / F.col("sum_sq").cast("double"))
-                    ).cast("bigint"),
-                ),
-            )
-            .withColumn("thresh", F.expr(f"(target * {BALANCE_RES}) DIV c"))
-            .collect()
+            for r in temperature_targets(df).collect()
         }
         for l in counts:
             assert got[l] == (want[l], want_thresh[l]), (l, counts)

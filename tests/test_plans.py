@@ -144,6 +144,30 @@ def test_dedup_clusters_inherit_banded_edges(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _broadcast_disabled(spark):
+    """Set both broadcast thresholds to -1 and restore them afterwards —
+    the one place the conf juggling lives for every degradation test."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_join_degrades_to_sort_merge_without_broadcast(spark, sf_dir):
     """With broadcast disabled (both planning-time and AQE thresholds), the
     un-hinted joins in q14 must fall back to shuffle joins — the 100 TB
@@ -157,25 +181,10 @@ def test_join_degrades_to_sort_merge_without_broadcast(spark, sf_dir):
         return sorted(map(tuple, df.collect()))
 
     want = rows()
-    old = {
-        k: spark.conf.get(k, None)
-        for k in (
-            "spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.adaptive.autoBroadcastJoinThreshold",
-        )
-    }
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    with _broadcast_disabled(spark):
         df = get("q14_revenue_by_nation").build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         got = sorted(map(tuple, df.collect()))
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
     assert got == want
 
@@ -197,28 +206,11 @@ def test_new_joins_survive_broadcast_disable(spark, sf_dir, name):
     outgrown the threshold at 100 TB), the result set must be identical.
     Explicitly-hinted broadcasts still apply; the point is that correctness
     never depends on which physical join the planner picked."""
-    from flink_adcom_spark.registry import get
-
     def rows():
         return sorted(map(tuple, get(name).build(spark, sf_dir).collect()))
 
     want = rows()
-    old = {
-        k: spark.conf.get(k, None)
-        for k in (
-            "spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.adaptive.autoBroadcastJoinThreshold",
-        )
-    }
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    with _broadcast_disabled(spark):
         got = rows()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     assert got == want
     assert want, f"{name}: empty result proves nothing"

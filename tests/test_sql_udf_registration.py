@@ -41,7 +41,9 @@ def test_registered_sql_udf_matches_expression_form(spark, sf_dir):
 
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .limit(500)
+        # deterministic subset: an unordered limit can pick different rows
+        # across the two executions below
+        .filter(F.col("event_id") < 500)
         .select(
             F.col("event_id"),
             (F.lit(-74.0) + (F.col("event_id") % 100) / 350.0).alias("lon"),

@@ -136,3 +136,28 @@ def test_arrow_topk_reduction_preserves_top1(spark, sf_dir):
     assert top1(cosine_scores_arrow(e, queries)) == top1(
         cosine_scores_arrow(e, queries, per_partition_topk=3)
     )
+
+
+def test_arrow_topk_keeps_lowest_ids_under_ties(spark):
+    """Exact-duplicate vectors tied at the k boundary: the reduced path must
+    keep the LOWEST ids (the deterministic winner convention), not an
+    arbitrary tie subset — and must fold correctly across multiple batches
+    (one partition, forced tiny Arrow batches)."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.operators.vectors import cosine_scores_arrow
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        # ten identical vectors (ids 0..9) + one distinct, single partition
+        rows = [(i, [1.0, 0.0]) for i in range(10)] + [(99, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>").coalesce(1)
+        out = cosine_scores_arrow(df, [(0, [1.0, 0.0])], per_partition_topk=4)
+        got = sorted(r["vec_id"] for r in out.filter(F.col("cosine") > 0.99).collect())
+        assert got == [0, 1, 2, 3], got
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
