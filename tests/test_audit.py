@@ -7,8 +7,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import functions as F
-
 from flink_adcom_spark.registry import get
 
 
