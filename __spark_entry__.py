@@ -129,13 +129,27 @@ _ROUND4_GATE = frozenset(
         "q08_tpch_q1",
     ]
 )
-# DRAFT for the round-6 rotation (leave _GATE on ROUND5 until the r5 gate is
-# recorded): (a) the 28 continuation queries q121-q148 — implemented,
-# mirror-verified, and sf0.01 driver-simulated in r5 but never externally
-# recorded; (b) fill the remaining slots with the oldest-green entries at
-# that point (see COVERAGE.md §gate for the accounting) plus anchor q08.
-_ROUND6_GATE_DRAFT = frozenset(
+# Round-6 rotation: ALL 39 queries that have never received an external
+# driver green row (q109, q111-q120 registered before the r5 gate froze but
+# squeezed out; q121-q148 registered after it froze) — this converts the full
+# 150-query registry to externally verified — plus 11 anchors: the queries
+# MODIFIED this round (q45 swapped to the O(log n) two-phase component
+# contraction, and q46/q47 which compose it; q128/q129/q134/q135/q142/q147
+# are modified AND in the 39), the flagship q08, the r5 bench-regression
+# watchlist q92/q93 re-greened under the fresh plans, and the oldest-green
+# r4-era entries (q01/q57/q80/q86/q91) per the COVERAGE.md §gate policy:
+# never-checked first, then oldest-green.
+_ROUND6_GATE = frozenset(
+    # (a) never driver-checked: pre-r5-gate stragglers
     [
+        "q109_quantized_rescore_knn", "q111_span_dedup", "q112_semdedup_keep",
+        "q113_retention_cohorts", "q114_quality_gate", "q115_tpch_q9_profit",
+        "q116_stream_enrich_segments", "q117_bpe_pair_counts",
+        "q118_bucketed_join_stats", "q119_index_assign_batch",
+        "q120_lsh_quality_audit",
+    ]
+    # (a cont.) never driver-checked: registered after the r5 gate froze
+    + [
         "q121_tpch_q2_min_cost_supplier", "q122_tpch_q11_important_parts",
         "q123_tpch_q12_late_priority", "q124_tpch_q16_supplier_count",
         "q125_tpch_q20_excess_shippers", "q126_tpch_q21_waiting_suppliers",
@@ -151,8 +165,16 @@ _ROUND6_GATE_DRAFT = frozenset(
         "q145_ship_latency_quantiles", "q146_hourly_seasonality",
         "q147_value_concentration", "q148_signal_fusion",
     ]
+    # (b) modified this round (two-phase components) + anchors
+    + [
+        "q45_dedup_clusters", "q46_dedup_keep_list",
+        "q47_dedup_canonical_quality", "q08_tpch_q1",
+        "q92_tpch_q17_small_qty", "q93_tpch_q18_large_orders",
+        "q01_ride_count", "q57_kmeans", "q80_media_features",
+        "q86_sequence_pack", "q91_stream_update_fold",
+    ]
 )
-_GATE = _ROUND5_GATE
+_GATE = _ROUND6_GATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

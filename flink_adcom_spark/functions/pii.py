@@ -17,10 +17,25 @@ from pyspark.sql import functions as F
 
 # Pattern table: (name, regex, replacement token). Order matters — emails are
 # redacted before bare domains/IPs so an address never half-survives.
+#
+# Precision notes (accepted false positives, since RE2 has no lookaround):
+# - phone requires a full 10-digit NANP shape with -/. separators or a
+#   parenthesized area code, so numeric ranges like "100-2000" and bare
+#   7-digit strings no longer redact;
+# - ipv4 octets are clamped to 0-255 (999.999.0.1 no longer matches), but a
+#   dotted version string whose components are all <= 255 (e.g. "1.2.3.4")
+#   still redacts as an IP — distinguishing it needs context the regex
+#   dialect can't express. Measured on prose corpora this shape is rare;
+#   the trade is documented rather than silently accepted.
+_IPV4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("phone", r"\b\d{3}-\d{4}\b", "[PHONE]"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (
+        "phone",
+        r"(\(\d{3}\)[-. ]?\d{3}[-.]\d{4}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b)",
+        "[PHONE]",
+    ),
+    ("ipv4", rf"\b{_IPV4_OCTET}(\.{_IPV4_OCTET}){{3}}\b", "[IP]"),
 ]
 
 

@@ -195,8 +195,12 @@ def q142_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge(li, orders.select("o_orderkey"),
              F.col("l_orderkey") == F.col("o_orderkey"), "lineitem->orders",
              hint_broadcast=False)
+        # customer scales with SF like orders — same posture, let AQE pick;
+        # the hard hint stays only on genuinely fixed-size dims (nation,
+        # documents-as-dimension)
         .unionAll(edge(orders.select("o_custkey"), cust,
-                       F.col("o_custkey") == F.col("c_custkey"), "orders->customer"))
+                       F.col("o_custkey") == F.col("c_custkey"), "orders->customer",
+                       hint_broadcast=False))
         .unionAll(edge(emb, docs,
                        F.col("vec_id") == F.col("doc_id"), "embeddings->documents"))
         .unionAll(edge(supp, nation,

@@ -504,12 +504,16 @@ def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     retains.
 
     The oracle computes the same components with a recursive-CTE transitive
-    closure — viable at oracle scale, O(component^2); the Spark loop is the
-    scale path (O(diameter) shuffle rounds, lineage-checkpointed)."""
-    from ..operators.components import connected_components
+    closure — viable at oracle scale, O(component^2); the Spark side uses the
+    O(log n)-round two-phase star contraction (Kiveris et al.), lineage-
+    checkpointed per round, so even a pathological high-diameter chain (which
+    the O(diameter) label-propagation loop provably cannot finish — see the
+    600-vertex-path case in tests/test_components.py) converges in ~log n
+    shuffle rounds."""
+    from ..operators.components import connected_components_twophase
 
     pairs = q44_simhash_neardup(spark, sf_dir)
-    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+    return connected_components_twophase(pairs, src="doc_a", dst="doc_b").select(
         F.col("v").alias("doc_id"), "cluster_id"
     )
 

@@ -789,9 +789,14 @@ def q146_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q147_value_concentration",
     """
     WITH per_user AS (
+      -- user_id IS NOT NULL symmetric with the Spark builder: the NTILE
+      -- tie-break (user_value DESC, user_id ASC) would otherwise place a
+      -- NULL-user group differently per engine (Spark ASC = NULLS FIRST,
+      -- DuckDB ASC = NULLS LAST)
       SELECT user_id,
              CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS user_value
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY user_id
     ),
     ranked AS (
       SELECT user_value,
@@ -827,7 +832,10 @@ def q147_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per_user = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        # user_id non-null symmetric with the oracle: engine-default NULL
+        # ordering differs (Spark NULLS FIRST vs DuckDB NULLS LAST on ASC)
+        # and would move a NULL-user group across a decile boundary
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("user_value"))
     )

@@ -36,9 +36,13 @@ CHUNK_OVERLAP = CHUNK_TOKENS - CHUNK_STRIDE
 # two gated consumers (q128, q134) can never disagree about what a chunk is.
 _CHUNKS_SQL = f"""
     toks AS (
+      -- text IS NOT NULL symmetric with the Spark builder: Spark's
+      -- size(NULL) = -1 would otherwise emit one phantom chunk row
+      -- (n_tokens = -1) per NULL document while range(NULL) unnests to
+      -- zero rows here
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     chunks AS (
       SELECT doc_id,
@@ -79,8 +83,10 @@ def q128_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     size is input size * (1 + overlap/stride). Downstream packing (q86/q87)
     starts from exactly this relation."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", toks.alias("t")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # symmetric with the oracle CTE
+        .select("doc_id", toks.alias("t"))
     )
     starts = F.sequence(
         F.lit(0),
@@ -109,6 +115,7 @@ def q128_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANT = (
     "SELECT doc_id, source, text || ' contact u' || CAST(doc_id AS VARCHAR)"
     " || '@example.com or ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-'"
+    " || CAST(100 + doc_id % 900 AS VARCHAR) || '-'"
     " || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' at 10.0.'"
     " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
     " AS text FROM documents"
@@ -160,6 +167,8 @@ def q129_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" contact u"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com or "),
+            (100 + F.col("doc_id") % 900).cast("string"),
+            F.lit("-"),
             (100 + F.col("doc_id") % 900).cast("string"),
             F.lit("-"),
             (1000 + F.col("doc_id") % 9000).cast("string"),

@@ -975,14 +975,28 @@ BITEXT_SRC_LANG = "en"
 @query(
     "q135_bitext_mining",
     f"""
-    WITH x AS ({_X_SQL}),
+    WITH bp AS ({_BITS_SQL}),
+    eb AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket
+           FROM embeddings CROSS JOIN bp),
+    x AS ({_X_SQL}),
     n AS ({_N_SQL}),
     lng AS (SELECT doc_id, lang FROM documents),
-    p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, SUM(a.val * b.val) AS dot
-          FROM x a
-          JOIN lng la ON la.doc_id = a.vec_id AND la.lang = '{BITEXT_SRC_LANG}'
-          JOIN x b ON a.i = b.i
-          JOIN lng lb ON lb.doc_id = b.vec_id AND lb.lang <> '{BITEXT_SRC_LANG}'
+    pr AS (SELECT s.vec_id AS src_id,
+                  CAST(CASE WHEN g.i = 0 THEN s.bucket
+                            ELSE xor(s.bucket, 1 << (g.i - 1)) END AS INT) AS probe
+           FROM eb s
+           JOIN lng la ON la.doc_id = s.vec_id AND la.lang = '{BITEXT_SRC_LANG}'
+           CROSS JOIN bp
+           CROSS JOIN range(0, {LSH_MAX_BITS + 1}) AS g(i)
+           WHERE g.i <= bp.bits),
+    cp AS (SELECT p.src_id, c.vec_id AS match_id
+           FROM pr p
+           JOIN eb c ON c.bucket = p.probe
+           JOIN lng lb ON lb.doc_id = c.vec_id AND lb.lang <> '{BITEXT_SRC_LANG}'),
+    p AS (SELECT cp.src_id AS q_id, cp.match_id AS n_id, SUM(a.val * b.val) AS dot
+          FROM cp
+          JOIN x a ON a.vec_id = cp.src_id
+          JOIN x b ON b.vec_id = cp.match_id AND a.i = b.i
           GROUP BY 1, 2),
     c AS (SELECT q_id, n_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
           FROM p JOIN n na ON p.q_id = na.vec_id JOIN n nb ON p.n_id = nb.vec_id),
@@ -1004,24 +1018,41 @@ def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     OTHER-language neighbor by embedding cosine — the parallel-corpus
     harvesting step of multilingual pipelines — plus the margin (gap to the
     runner-up match) that mining actually thresholds on: a high-cosine pair
-    whose margin is near zero is a hub vector, not a translation. Language comes from the aligned documents row
-    (vec_id = doc_id in the fixture); the cross-language constraint is two
-    broadcast dimension joins AROUND the similarity join.
+    whose margin is near zero is a hub vector, not a translation. Language
+    comes from the aligned documents row (vec_id = doc_id in the fixture);
+    the cross-language constraint is two broadcast dimension joins AROUND
+    the similarity join.
 
-    This exact form is the correctness baseline (same posture as q50): the
-    source side is the broadcast probe set, the candidate scan is one pass
-    with the dot product in codegen, and rank-1 selection is a per-source
-    window over candidate hits. The scale path swaps the all-pairs probe
-    for q51's sign-LSH buckets or q54's IVF cells — the language-constraint
-    joins and the rank-1 tail are unchanged."""
-    e = _emb(spark, sf_dir)
+    Candidate generation is MULTI-PROBE sign-LSH (q51's corpus-size-derived
+    bucketing): each source probes its own bucket plus every hamming-1
+    neighbor bucket (one sign flipped) — bits+1 probes, all distinct, so no
+    pair dedup is needed. The similarity join is therefore an equi-join on
+    bucket id, not a crossJoin: pair volume is O(|src| * (bits+1) *
+    target_occupancy), linear in corpus size with a log factor, vs the
+    previous |src|x|cand| all-pairs plan (SCALING.md showed 7.3x growth for
+    10x data). The oracle applies the IDENTICAL probe restriction (xor bit
+    flips unrolled to LSH_MAX_BITS, gated on i <= bits), so rank-1/margin
+    agree by construction. The language-constraint joins and the rank-1 +
+    margin tail are unchanged from the exact form."""
+    e0 = _emb(spark, sf_dir)
+    bits = _n_bucket_bits(e0.count())
+    e = e0.withColumn("bucket", _bucket_col(bits))
     lng = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    probes = F.array(
+        F.col("bucket").cast("int"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("int") for i in range(bits)],
+    )
     src = (
         e.join(
             F.broadcast(lng.filter(F.col("lang") == BITEXT_SRC_LANG)),
             e.vec_id == F.col("doc_id"),
         )
-        .select(F.col("vec_id").alias("src_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        .select(
+            F.col("vec_id").alias("src_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(probes).alias("probe"),
+        )
     )
     cand = (
         e.join(
@@ -1033,12 +1064,12 @@ def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("match_lang"),
             F.col("v").alias("dv"),
             F.col("nrm").alias("dn"),
+            F.col("bucket").cast("int").alias("cbucket"),
         )
     )
     cos = F.round(_dot("qv", "dv") / (F.col("qn") * F.col("dn")), 6)
     pairs = (
-        F.broadcast(src)
-        .crossJoin(cand)
+        src.join(cand, F.col("probe") == F.col("cbucket"))
         .withColumn("cosine", cos)
         .select("src_id", "match_id", "match_lang", "cosine")
     )

@@ -87,9 +87,14 @@ def test_pii_redaction_on_real_patterns(spark):
     df = spark.createDataFrame(
         [
             (1, "reach me at jane.doe+spam@mail.example.org today"),
-            (2, "call 555-0199 or visit 192.168.1.254 now"),
+            (2, "call 555-019-9044 or visit 192.168.1.254 now"),
             (3, "no pii here at all"),
             (4, "two mails: a@b.co and x_y%z@sub.domain.io"),
+            # negatives the tightened patterns must NOT redact: numeric
+            # range, bare 7-digit number, out-of-range octets
+            (5, "range 100-2000, ext 555-0199, bad ip 999.1.1.300"),
+            # parenthesized area-code phone form
+            (6, "dial (212) 555-0199 today"),
         ],
         "id long, text string",
     )
@@ -109,6 +114,10 @@ def test_pii_redaction_on_real_patterns(spark):
     assert (by_id[3]["ne"], by_id[3]["np"], by_id[3]["ni"]) == (0, 0, 0)
     assert by_id[4]["clean"] == "two mails: [EMAIL] and [EMAIL]"
     assert by_id[4]["ne"] == 2
+    assert by_id[5]["clean"] == "range 100-2000, ext 555-0199, bad ip 999.1.1.300"
+    assert (by_id[5]["ne"], by_id[5]["np"], by_id[5]["ni"]) == (0, 0, 0)
+    assert by_id[6]["clean"] == "dial [PHONE] today"
+    assert by_id[6]["np"] == 1
 
 
 def test_pii_audit_residual_zero(spark, sf_dir):
