@@ -163,8 +163,15 @@ def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0
     rate, the adaptive controller reaches the same throughput with FEWER,
     BIGGER micro-batches than a fixed small trigger — every avoided batch is
     an avoided scheduler round + sink/state commit (the reference's "fewer
-    records cross the network per input record", Spark face). Reported:
-    batch counts, processed rows, bundle ratio, final adaptive interval."""
+    records cross the network per input record", Spark face).
+
+    BOTH adaptation modes are measured and reported separately: `paced`
+    (SelfPacedAdaptiveRunner — no-restart, interval enforced inside
+    foreachBatch, the reference's live-timer-swap parity path) and `restart`
+    (AdaptiveQueryRunner — stop/restart from checkpoint on each interval
+    change). `bundle_adaptive_*` keys are kept as aliases of the paced run
+    for round-over-round comparability (r5 recorded the paced runner under
+    that name)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -174,25 +181,35 @@ def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0
         VariableRateFeeder,
         variable_words_stream,
     )
-    from flink_adcom_spark.streaming.adaptive import SelfPacedAdaptiveRunner
+    from flink_adcom_spark.streaming.adaptive import (
+        AdaptiveQueryRunner,
+        SelfPacedAdaptiveRunner,
+    )
     from flink_adcom_spark.streaming.controller import BandController
 
-    def run(adaptive: bool) -> tuple[int, int, int]:
+    def feed() -> tuple[str, "VariableRateFeeder", list]:
         tmp = tempfile.mkdtemp(prefix="bundle_")
         rf = DataRateFile(os.path.join(tmp, "rate.txt"), default_rate=offer_rps)
         rf.write_rate(offer_rps)
         feeder = VariableRateFeeder(os.path.join(tmp, "spool"), rf, tick_s=0.25).start()
         stats = [0, 0]  # batches, rows
+        return tmp, feeder, stats
 
+    def make_proc(stats):
         def proc(bdf, _bid):
             stats[0] += 1
             stats[1] += bdf.groupBy("word").count().agg(F.sum("count")).collect()[0][0] or 0
 
+        return proc
+
+    def run_fixed_or_paced(adaptive: bool) -> tuple[int, int, int]:
+        tmp, feeder, stats = feed()
         runner = SelfPacedAdaptiveRunner(
             controller=BandController(interval_ms=50),
             decision_period_s=1.5,
             hist_window_s=4.0,
         )
+        proc = make_proc(stats)
         fb = runner.paced(proc) if adaptive else proc
         w = variable_words_stream(spark, os.path.join(tmp, "spool")).writeStream.foreachBatch(fb)
         if not adaptive:
@@ -203,15 +220,48 @@ def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0
         feeder.stop()
         return stats[0], stats[1], runner.controller.interval_ms
 
-    sb, sr, _ = run(adaptive=False)
-    ab, ar, interval = run(adaptive=True)
+    def run_restart() -> tuple[int, int, int, int]:
+        tmp, feeder, stats = feed()
+        proc = make_proc(stats)
+
+        def start_query(trigger_ms: int, ckpt: str):
+            return (
+                variable_words_stream(spark, os.path.join(tmp, "spool"))
+                .writeStream.foreachBatch(proc)
+                .trigger(processingTime=f"{trigger_ms} milliseconds")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        runner = AdaptiveQueryRunner(
+            start_query,
+            controller=BandController(interval_ms=50),
+            decision_period_s=1.5,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        rep = runner.run_for(run_s)
+        feeder.stop()
+        return stats[0], stats[1], runner.controller.interval_ms, rep.restarts
+
+    sb, sr, _ = run_fixed_or_paced(adaptive=False)
+    pb, pr, p_interval = run_fixed_or_paced(adaptive=True)
+    rb, rr, r_interval, restarts = run_restart()
     return {
         "bundle_static_batches": sb,
-        "bundle_adaptive_batches": ab,
         "bundle_static_rows": sr,
-        "bundle_adaptive_rows": ar,
-        "bundle_ratio": round(sb / max(1, ab), 2),
-        "bundle_adaptive_final_interval_ms": interval,
+        "bundle_paced_batches": pb,
+        "bundle_paced_rows": pr,
+        "bundle_paced_final_interval_ms": p_interval,
+        "bundle_restart_batches": rb,
+        "bundle_restart_rows": rr,
+        "bundle_restart_final_interval_ms": r_interval,
+        "bundle_restart_restarts": restarts,
+        "bundle_ratio": round(sb / max(1, pb), 2),
+        "bundle_restart_ratio": round(sb / max(1, rb), 2),
+        # aliases: r5 recorded the paced runner under these names
+        "bundle_adaptive_batches": pb,
+        "bundle_adaptive_rows": pr,
+        "bundle_adaptive_final_interval_ms": p_interval,
     }
 
 

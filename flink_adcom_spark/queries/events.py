@@ -707,20 +707,27 @@ def q113_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- co-visitation pairs ------------------------------------------------------
 COVISIT_EVENT, COVISIT_MAX_WINDOW, COVISIT_MIN_SHARED = "purchase", 200, 2
 
-
-@query(
-    "q140_covisitation_pairs",
-    f"""
-    WITH act AS (
+# Shared oracle CTE: the co-visitation edge relation. Defined ONCE so the two
+# consumers (q140 pairs, q150 PageRank) can never disagree about what an
+# edge is (the _CHUNKS_SQL pattern from queries/prep.py).
+_COVISIT_EDGES_SQL = f"""act AS (
       SELECT DISTINCT date_trunc('hour', ts) AS w, user_id
       FROM events WHERE event_type = '{COVISIT_EVENT}'
     ),
     ok AS (SELECT w FROM act GROUP BY w HAVING COUNT(*) <= {COVISIT_MAX_WINDOW}),
     a2 AS (SELECT act.w, act.user_id FROM act JOIN ok USING (w)),
-    p AS (SELECT x.user_id AS u1, y.user_id AS u2, COUNT(*) AS shared_hours
+    covisit_p AS (SELECT x.user_id AS u1, y.user_id AS u2, COUNT(*) AS shared_hours
           FROM a2 x JOIN a2 y ON x.w = y.w AND x.user_id < y.user_id
-          GROUP BY 1, 2)
-    SELECT u1, u2, shared_hours FROM p WHERE shared_hours >= {COVISIT_MIN_SHARED}
+          GROUP BY 1, 2),
+    covisit_edges AS (SELECT u1, u2, shared_hours FROM covisit_p
+                      WHERE shared_hours >= {COVISIT_MIN_SHARED})"""
+
+
+@query(
+    "q140_covisitation_pairs",
+    f"""
+    WITH {_COVISIT_EDGES_SQL}
+    SELECT u1, u2, shared_hours FROM covisit_edges
     """,
     tags=("events", "join", "graph", "pipeline"),
 )
@@ -861,3 +868,90 @@ def q147_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_dv") / F.col("tot"), 6).alias("value_share"),
         )
     )
+
+
+# --- PageRank over the co-visitation graph ------------------------------------
+PAGERANK_D, PAGERANK_JUMP, PAGERANK_ITERS = 0.85, 0.15, 3
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled weighted-PageRank power-iteration step (oracle side)."""
+    return f"""{cur} AS (
+      SELECT s.dst AS v,
+             CAST('{PAGERANK_JUMP!r}' AS DOUBLE) / nv.n
+               + CAST('{PAGERANK_D!r}' AS DOUBLE)
+                 * SUM(r.rank * s.w / ws.wsum) AS rank
+      FROM sym s
+      JOIN ws ON ws.src = s.src
+      JOIN {prev} r ON r.v = s.src
+      CROSS JOIN nv
+      GROUP BY s.dst, nv.n)"""
+
+
+@query(
+    "q150_covisit_pagerank",
+    f"""
+    WITH {_COVISIT_EDGES_SQL},
+    sym AS (SELECT u1 AS src, u2 AS dst, shared_hours AS w FROM covisit_edges
+            UNION ALL
+            SELECT u2, u1, shared_hours FROM covisit_edges),
+    ws AS (SELECT src, SUM(w) AS wsum FROM sym GROUP BY src),
+    nv AS (SELECT COUNT(*) AS n FROM ws),
+    r0 AS (SELECT src AS v, CAST(1.0 AS DOUBLE) / nv.n AS rank
+           FROM ws CROSS JOIN nv),
+    {_pagerank_iter_sql('r0', 'r1')},
+    {_pagerank_iter_sql('r1', 'r2')},
+    {_pagerank_iter_sql('r2', 'r3')}
+    SELECT v AS user_id, ROUND(rank, 6) AS pagerank FROM r3
+    """,
+    tags=("events", "graph", "iterative", "pipeline"),
+)
+def q150_covisit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over q140's co-visitation graph (damping 0.85,
+    3 power iterations, edge weight = shared hours) — the link-analysis
+    centrality a pipeline uses to rank users/domains by graph influence
+    (the same computation ranks domains in a crawl's hyperlink graph when
+    curating a pretraining corpus).
+
+    Engine/oracle parity: the graph is undirected (symmetrized edge list),
+    so every vertex has outgoing weight and there are NO dangling nodes;
+    the iteration count is fixed, both engines evaluate the identical
+    expression tree per edge, and the final ranks are rounded to 6 decimals
+    (the q50 cosine discipline — double-sum order noise is ~1e-16, far
+    below the rounding grid).
+
+    Scale shape (the q57/kmeans loop topology): per iteration = one
+    edge-scan joined to the current rank vector (both partitioned by src —
+    at scale, co-partition the edge list and rank vector on src so the
+    per-iteration join is shuffle-free) and one groupBy(dst) with map-side
+    partial sums; the rank vector is O(|V|), never collected to the driver.
+    Only the vertex COUNT (one scalar) ever leaves the cluster. Iterations
+    here are unrolled 3 deep — at production depth, localCheckpoint per
+    round exactly as operators/components.py does."""
+    edges = q140_covisitation_pairs(spark, sf_dir)
+    sym = edges.select(
+        F.col("u1").alias("src"), F.col("u2").alias("dst"),
+        F.col("shared_hours").alias("w"),
+    ).unionByName(
+        edges.select(
+            F.col("u2").alias("src"), F.col("u1").alias("dst"),
+            F.col("shared_hours").alias("w"),
+        )
+    )
+    ws = sym.groupBy("src").agg(F.sum("w").alias("wsum"))
+    n = ws.count()
+    r = ws.select(F.col("src").alias("v"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            sym.join(ws, "src")
+            .join(r, F.col("src") == F.col("v"))
+            .select("dst", (F.col("rank") * F.col("w") / F.col("wsum")).alias("c"))
+        )
+        r = (
+            contrib.groupBy("dst")
+            .agg(
+                (F.lit(PAGERANK_JUMP / n) + F.lit(PAGERANK_D) * F.sum("c")).alias("rank")
+            )
+            .select(F.col("dst").alias("v"), "rank")
+        )
+    return r.select(F.col("v").alias("user_id"), F.round("rank", 6).alias("pagerank"))

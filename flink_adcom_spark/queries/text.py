@@ -1424,3 +1424,70 @@ def q148_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (fused >= FUSE_KEEP).alias("keep"),
         )
     )
+
+
+# --- per-source document caps -------------------------------------------------
+SOURCE_CAP = 10
+
+
+@query(
+    "q149_source_caps",
+    f"""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars FROM r WHERE rn <= {SOURCE_CAP}
+    """,
+    tags=("documents", "sampling", "pipeline"),
+)
+def q149_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (the C4/Gopher "domain caps" step): keep at
+    most SOURCE_CAP docs per source, preferring longer documents
+    (n_chars DESC, doc_id tie-break) — the guard that stops one crawler
+    feed from dominating the training mixture. Ranking is integer-exact
+    (no doubles anywhere), so both engines agree bit-for-bit.
+
+    Scale shape — same discipline as q133: the oracle's rank window would
+    shuffle the whole corpus partitioned by `source` (catastrophic when one
+    domain IS 30% of the crawl); the engine runs the salted two-level
+    bounded-array fold instead: stage 1 keeps a sorted top-K array per
+    (source, salt-of-{{EXACT_K_SALTS}}) inside the aggregation buffer —
+    a hot source spreads over 64 tasks — and stage 2 rank-merges only the
+    64*K survivors per source. Reference posture: the bounded-array A8
+    fold (TopNDistancePreAggregate), applied to corpus curation."""
+    docs = _documents(spark, sf_dir).select(
+        "source", "doc_id", "n_chars",
+        # struct sort is ascending per field: negate n_chars so the
+        # bounded array keeps the LONGEST docs first
+        (-F.col("n_chars")).alias("neg_chars"),
+    )
+    from pyspark.sql import Window
+
+    salted = docs.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(EXACT_K_SALTS))
+    )
+    stage1 = (
+        salted.groupBy("source", "salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("neg_chars", "doc_id"))),
+                1,
+                SOURCE_CAP,
+            ).alias("cand")
+        )
+        .select("source", F.explode("cand").alias("c"))
+        .select(
+            "source",
+            F.col("c.neg_chars").alias("neg_chars"),
+            F.col("c.doc_id").alias("doc_id"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("neg_chars", "doc_id")
+    return (
+        stage1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("source", "doc_id", (-F.col("neg_chars")).alias("n_chars"))
+    )

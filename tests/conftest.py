@@ -37,3 +37,10 @@ def duck():
         )
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "mqtt: integration tests that need a live MQTT broker (pytest -m mqtt)",
+    )

@@ -214,3 +214,26 @@ def test_new_joins_survive_broadcast_disable(spark, sf_dir, name):
         got = rows()
     assert got == want
     assert want, f"{name}: empty result proves nothing"
+
+
+@pytest.mark.parametrize(
+    "name,min_bhj",
+    [
+        # r5 bench watchlist (q92/q99 drifted +20% r4->r5): pin the join
+        # strategies the timing baseline was recorded against, so a silent
+        # broadcast-threshold flip shows up as a test failure instead of an
+        # unexplained bench regression. Exact counts are SF-dependent (the
+        # SF-scaled sides flip between broadcast and shuffle with data
+        # size), so the pin is a floor: every fixed-size dimension must
+        # broadcast, and nothing may plan a nested-loop join.
+        ("q92_tpch_q17_small_qty", 2),
+        ("q93_tpch_q18_large_orders", 2),
+        ("q99_tpch_q8_market_share", 7),
+    ],
+)
+def test_watchlist_join_strategy_pinned(spark, sf_dir, name, min_bhj):
+    df = get(name).build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= min_bhj, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
