@@ -139,8 +139,9 @@ _ROUND4_GATE = frozenset(
 # watchlist q92/q93 re-greened under the fresh plans, and the oldest-green
 # r4-era entries (q01/q57/q80/q86/q91) per the COVERAGE.md §gate policy:
 # never-checked first, then oldest-green.
-# Registered after this gate froze (mirror-verified, rotate into r7):
-# q149_source_caps, q150_covisit_pagerank.
+# Registered after this gate froze (mirror-verified + sf0.01 driver-
+# simulated, rotate into r7): q149_source_caps, q150_covisit_pagerank,
+# q151_covisit_communities, q152_weighted_sample.
 _ROUND6_GATE = frozenset(
     # (a) never driver-checked: pre-r5-gate stragglers
     [

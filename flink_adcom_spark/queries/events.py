@@ -964,3 +964,115 @@ def q150_covisit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("v"), "rank")
         )
     return r.select(F.col("v").alias("user_id"), F.round("rank", 6).alias("pagerank"))
+
+
+# --- community detection over the co-visitation graph -------------------------
+# Communities bond on a STRICTER tie than q140's edge rule (>= 3 shared hours
+# vs >= 2): at the edge threshold the graph collapses into one giant
+# component (2016 single-hour pairs at sf0.01 vs 24 triple-hour pairs), and
+# a community assignment that puts everyone in one group carries no signal.
+COMMUNITY_MIN_SHARED = 3
+
+
+@query(
+    "q151_covisit_communities",
+    f"""
+    WITH RECURSIVE {_COVISIT_EDGES_SQL},
+    strong AS (SELECT u1, u2 FROM covisit_edges
+               WHERE shared_hours >= {COMMUNITY_MIN_SHARED}),
+    sym AS (SELECT u1 AS a, u2 AS b FROM strong
+            UNION SELECT u2, u1 FROM strong),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cc AS (SELECT a AS user_id, LEAST(a, MIN(b)) AS community_id
+           FROM reach GROUP BY a)
+    SELECT community_id,
+           COUNT(*) AS n_users,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM cc GROUP BY community_id
+    """,
+    tags=("events", "graph", "components", "pipeline"),
+)
+def q151_covisit_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-visitation graph: connected components
+    (community_id = smallest member) rolled up to per-community size and id
+    range — the cohort structure behind coordinated-behavior audits and
+    group-level sampling caps (cap a COMMUNITY's training contribution, not
+    just a user's). q45's component machinery applied to the interaction
+    graph instead of the near-dup graph.
+
+    Scale shape: edges come from q140's capped window join, restricted to
+    strong ties (>= COMMUNITY_MIN_SHARED shared hours — see the module
+    constant for why); components run the O(log n)-round two-phase star
+    contraction (operators/components.py) — bounded rounds on any graph
+    shape, lineage-checkpointed; the oracle states the same fixpoint as a
+    recursive-CTE transitive closure (viable at oracle scale only). The
+    rollup is one small groupBy on community_id."""
+    from ..operators.components import connected_components_twophase
+
+    edges = q140_covisitation_pairs(spark, sf_dir).filter(
+        F.col("shared_hours") >= COMMUNITY_MIN_SHARED
+    )
+    cc = connected_components_twophase(edges, src="u1", dst="u2")
+    return (
+        cc.groupBy(F.col("cluster_id").alias("community_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("v").alias("min_user"),
+            F.max("v").alias("max_user"),
+        )
+    )
+
+
+# --- integer-exact weighted sampling ------------------------------------------
+WSAMPLE_K = 100  # expected sample size
+WSAMPLE_M = 1 << 20  # hash grid (20 bits: k*w*M and h*W both stay << 2^63)
+WSAMPLE_MULT = 2654435761  # Knuth multiplicative constant (q38 discipline)
+
+
+@query(
+    "q152_weighted_sample",
+    f"""
+    WITH w AS (SELECT doc_id, source, n_chars AS wt,
+                      ((doc_id % 2147483648) * {WSAMPLE_MULT}) % 4294967296
+                        % {WSAMPLE_M} AS h
+               FROM documents),
+    tot AS (SELECT SUM(wt) AS wsum FROM w)
+    SELECT doc_id, source, CAST(wt AS BIGINT) AS wt
+    FROM w CROSS JOIN tot
+    WHERE h * wsum < {WSAMPLE_K} * wt * {WSAMPLE_M}
+    """,
+    tags=("documents", "sampling", "pipeline"),
+)
+def q152_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted Bernoulli (Poisson) sample: each document is kept
+    with inclusion probability ~ min(1, K * w / W) where w = n_chars and
+    W = total corpus weight — the weight-proportional sampler a mixture
+    builder uses when documents should be drawn by importance (length,
+    quality, DSIR weight) instead of uniformly (q38). Expected sample size
+    is WSAMPLE_K; the decision is the PURE-INTEGER comparison
+    h * W < K * w * M (no doubles, no ln anywhere), so both engines keep
+    bit-identical doc sets and the sample is reproducible across runs,
+    engines, and partitionings — the q132 integer-exactness discipline.
+
+    Scale shape: one scan computes per-doc (w, h); the only global state is
+    the scalar W (one map-side-combined SUM broadcast back via a scalar
+    cross join); the keep decision is scan-side with zero additional
+    shuffles. Weights here are integer n_chars; a real deployment plugs in
+    any integer-scaled importance score (e.g. q130's DSIR weights scaled by
+    1e6 and floored) without changing the shape."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("wt"),
+        (((F.col("doc_id") % 2147483648) * WSAMPLE_MULT) % 4294967296
+         % WSAMPLE_M).alias("h"),
+    )
+    tot = docs.agg(F.sum("wt").alias("wsum"))
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .filter(F.col("h") * F.col("wsum") < WSAMPLE_K * F.col("wt") * WSAMPLE_M)
+        .select("doc_id", "source", F.col("wt").cast("bigint").alias("wt"))
+    )
