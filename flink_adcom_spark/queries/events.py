@@ -905,6 +905,7 @@ def _pagerank_iter_sql(prev: str, cur: str) -> str:
     SELECT v AS user_id, ROUND(rank, 6) AS pagerank FROM r3
     """,
     tags=("events", "graph", "iterative", "pipeline"),
+    bench=True,  # headline since r6: tracks the iterative graph-loop cost
 )
 def q150_covisit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over q140's co-visitation graph (damping 0.85,

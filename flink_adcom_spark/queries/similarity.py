@@ -1012,6 +1012,7 @@ BITEXT_SRC_LANG = "en"
     WHERE rnk = 1
     """,
     tags=("similarity", "knn", "crosslingual", "pipeline"),
+    bench=True,  # headline since r6: tracks the multi-probe LSH plan
 )
 def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext mining: for every source-language document, its single best
