@@ -66,6 +66,15 @@ def as_of_join(
     if left_ts in on or right_ts in on:
         raise ValueError("timestamp column cannot be a join key")
 
+    # ANSI equi-join semantics: NULL join keys never match. Spark's window
+    # partitioning groups NULL keys into one partition (NULL "equals" NULL
+    # there), so without this filter a NULL-keyed left row would carry a
+    # NULL-keyed right row's payload — DuckDB's native ASOF JOIN (the
+    # oracle) correctly leaves it unmatched. Dropping NULL-keyed RIGHT rows
+    # makes every NULL-keyed left row unmatched, which is exactly the SQL
+    # result.
+    right = right.na.drop(subset=on)
+
     # Tag order decides same-timestamp inclusivity: the right row must sort on
     # the CARRY side of the left row — before it for a backward carry (last
     # over preceding rows), after it for a forward carry (first over

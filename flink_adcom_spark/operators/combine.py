@@ -101,6 +101,12 @@ def combine_generic(
     import pandas as pd
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL hardening: Arrow hands a NULL-keyed group to pandas as NaN,
+        # and NaN != NaN, so raw to_dict rows would open a NEW buffer entry
+        # per row (one bogus single-row "group" each) instead of folding the
+        # NULL group once. Normalize missing values to None, which compares
+        # equal to itself, before the fold sees them.
+        pdf = pdf.astype(object).where(pd.notnull(pdf), None)
         buffer: dict[Any, Any] = {}
         for row in pdf.to_dict("records"):
             k = fn.key_of(row)

@@ -38,7 +38,12 @@ FEATURE_SCHEMA = (
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents fixture: the text bytes stand in
-    for an encoded payload (deterministic, so tests are stable)."""
+    for an encoded payload (deterministic, so tests are stable). Rows with a
+    NULL payload are dropped at ingestion — an undecodable media row has no
+    place downstream, and NULL content would otherwise crash the codec
+    stages (and diverge from the oracles, which restate byte arithmetic
+    over non-null text)."""
+    docs = docs.filter(F.col("text").isNotNull())
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")

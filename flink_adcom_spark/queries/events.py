@@ -364,7 +364,10 @@ def q76_purchase_error_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_type, value,
                  NTILE(10) OVER (PARTITION BY event_type
                                  ORDER BY value, event_id) AS decile
-          FROM events) t
+          -- value IS NOT NULL symmetric with the Spark builder: engine
+          -- default NULL ordering differs (Spark ASC = NULLS FIRST, DuckDB
+          -- ASC = NULLS LAST), which would shift every decile boundary
+          FROM events WHERE value IS NOT NULL) t
     GROUP BY event_type, decile
     """,
     tags=("window", "agg"),
@@ -378,6 +381,7 @@ def q78_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
         _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())  # symmetric with the oracle
         .select("event_type", "value", F.ntile(10).over(w).alias("decile"))
         .groupBy("event_type", "decile")
         .agg(
@@ -643,11 +647,18 @@ RETENTION_DAYS = 7  # day-offsets tracked per cohort
 @query(
     "q113_retention_cohorts",
     f"""
-    WITH firsts AS (
-      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    WITH ev AS (
+      -- user_id IS NOT NULL symmetric with the Spark builder: Spark's
+      -- groupBy would treat the NULL user as one cohort member while the
+      -- USING join / COUNT(DISTINCT) here silently drop it
+      SELECT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    firsts AS (
+      SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id
     ),
     active AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      SELECT DISTINCT user_id, d FROM ev
     ),
     sizes AS (
       SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
@@ -684,7 +695,11 @@ def q113_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     days x offsets aggregated rows (no second branch recomputing the
     event shuffle, no join). No window over the whole log, no per-day
     scans, no second pass over events."""
-    ev = _events(spark, sf_dir).select("user_id", F.col("ts").cast("date").alias("d"))
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())  # symmetric with the oracle CTE
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+    )
     per_user = ev.groupBy("user_id").agg(
         F.min("d").alias("cohort_day"), F.collect_set("d").alias("days")
     )

@@ -58,7 +58,7 @@ def _assert_ascii_fixture(docs: DataFrame) -> None:
                      THEN ascii(left(text, 1)) ELSE 0 END AS DOUBLE) AS feat_first,
            CAST(CASE WHEN octet_length(encode(text)) > 0
                      THEN ascii(right(text, 1)) ELSE 0 END AS DOUBLE) AS feat_last
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal",),
 )
@@ -95,7 +95,7 @@ def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH vids AS (
       SELECT doc_id AS media_id, octet_length(encode(text)) AS n
-      FROM documents WHERE doc_id % 3 = 2
+      FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
     )
     SELECT media_id, CAST(k AS INT) AS frame_idx,
            CAST(k * 64 AS BIGINT) AS frame_offset
@@ -150,7 +150,7 @@ def q82_generic_topn_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH img AS (
       SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
              ascii(left(text, 1)) AS b0, ascii(right(text, 1)) AS b1
-      FROM documents WHERE doc_id % 3 = 0
+      FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
     )
     SELECT media_id,
            CAST(CASE WHEN n = 0 THEN 0 ELSE 64 + b0 % 192 END AS INT) AS width,

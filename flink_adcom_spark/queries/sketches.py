@@ -75,7 +75,10 @@ def q70_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile_cont(value, 0.95) AS exact_p95, "
     "quantile_cont(value, 0.99) AS exact_p99, "
     "TRUE AS p50_in_bound, TRUE AS p95_in_bound, TRUE AS p99_in_bound "
-    "FROM events GROUP BY event_type",
+    # value IS NOT NULL symmetric with the Spark builder: quantile_cont
+    # skips NULLs implicitly, but the builder's re-rank COUNT(*) would
+    # otherwise count NULL-value rows into the rank target
+    "FROM events WHERE value IS NOT NULL GROUP BY event_type",
     tags=("events", "sketch", "quantile"),
 )
 def q71_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +98,13 @@ def q71_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the unbounded-scale path — the exact twin and the re-rank pass are
     the verification harness."""
     ps = [0.5, 0.95, 0.99]
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # symmetric with the oracle: the re-rank pass's COUNT(*) must count
+        # exactly the rows the percentile functions rank
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
     agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", ps, 10000).alias("apx"),
         F.percentile("value", F.array(*[F.lit(p) for p in ps])).alias("ex"),

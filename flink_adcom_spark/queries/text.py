@@ -347,7 +347,8 @@ def q39_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q37_repetition_ratio",
     f"""
-    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+                  WHERE text IS NOT NULL),
     wc AS (SELECT doc_id, word, COUNT(*) AS c FROM wrds GROUP BY doc_id, word),
     agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                    CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
@@ -395,6 +396,9 @@ def q37_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(ws).cast("long")
     return (
         _documents(spark, sf_dir)
+        # text IS NOT NULL symmetric with the oracle's unnest (which drops
+        # NULL-text docs entirely); a NULL doc has no repetition signal
+        .filter(F.col("text").isNotNull())
         .select(
             "doc_id",
             n_tokens.alias("n_tokens"),
