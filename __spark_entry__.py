@@ -141,7 +141,7 @@ _ROUND4_GATE = frozenset(
 # never-checked first, then oldest-green.
 # Registered after this gate froze (mirror-verified + sf0.01 driver-
 # simulated, rotate into r7): q149_source_caps, q150_covisit_pagerank,
-# q151_covisit_communities, q152_weighted_sample.
+# q151_covisit_communities, q152_weighted_sample, q153_inverted_index.
 _ROUND6_GATE = frozenset(
     # (a) never driver-checked: pre-r5-gate stragglers
     [

@@ -1495,3 +1495,64 @@ def q149_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("source", "doc_id", (-F.col("neg_chars")).alias("n_chars"))
     )
+
+
+# --- capped inverted index ----------------------------------------------------
+POSTING_CAP = 5
+
+
+@query(
+    "q153_inverted_index",
+    f"""
+    WITH wrds AS (
+      SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM wrds GROUP BY word),
+    r AS (SELECT word, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id) AS rnk
+          FROM wrds)
+    SELECT r.word, r.doc_id, CAST(r.rnk AS INT) AS posting_rank, df.df
+    FROM r JOIN df USING (word) WHERE r.rnk <= {POSTING_CAP}
+    """,
+    tags=("text", "index", "pipeline"),
+)
+def q153_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted-index build: for every term, its document frequency
+    and the first POSTING_CAP postings (smallest doc_id — deterministic) —
+    the search-index construction primitive behind corpus exploration and
+    contamination lookups (q48 probes exactly this relation ad hoc).
+
+    Skew discipline: term DF is Zipfian (stopwords touch most documents),
+    so the top-P selection runs the salted two-level bounded-array fold
+    (q133/q149): stage 1 keeps a sorted P-array per (word, salt-of-64) in
+    the aggregation buffer — a stopword's postings spread over 64 tasks —
+    and stage 2 rank-merges 64*P survivors per word. The DF count is an
+    ordinary map-side-combined aggregate; its join back to the postings is
+    co-keyed on word, so Catalyst reuses the partitioning. The oracle
+    states the same result with a plain rank window (oracle-scale only)."""
+    pairs = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(words_col()).alias("word"))
+        .distinct()
+    )
+    df_counts = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    salted = pairs.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(EXACT_K_SALTS))
+    )
+    stage1 = (
+        salted.groupBy("word", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTING_CAP).alias("cand"))
+        .select("word", F.explode("cand").alias("doc_id"))
+    )
+    w = Window.partitionBy("word").orderBy("doc_id")
+    top = (
+        stage1.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= POSTING_CAP)
+    )
+    return top.join(df_counts, "word").select(
+        "word", "doc_id", F.col("rnk").alias("posting_rank"), "df"
+    )
