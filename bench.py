@@ -196,7 +196,16 @@ def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0
         return tmp, feeder, stats
 
     def make_proc(stats):
-        def proc(bdf, _bid):
+        seen: set[int] = set()
+
+        def proc(bdf, bid):
+            # dedupe replayed epochs: after an adaptive restart, foreachBatch
+            # may re-run the last uncommitted batch (at-least-once semantics)
+            # — counting it twice would bias bundle_restart_* against the
+            # paced run by a replay artifact, not real scheduler cost
+            if bid in seen:
+                return
+            seen.add(bid)
             stats[0] += 1
             stats[1] += bdf.groupBy("word").count().agg(F.sum("count")).collect()[0][0] or 0
 

@@ -46,9 +46,11 @@ def as_of_join(
     columns (caller renames beforehand to avoid collisions — asserted; to
     surface the matched right timestamp, duplicate it under another name).
     Unmatched left rows keep nulls (left-join semantics). `tolerance_s`
-    nulls matches older than the given lookback window. Genuinely-null right
-    payload values are carried over by older rows (ignorenulls carry) —
-    pre-coalesce sentinel values if that distinction matters.
+    nulls matches older than the given lookback window. The matched right
+    row's payload is returned verbatim, including genuinely-NULL fields
+    (struct carry — exact ASOF semantics, matching DuckDB's native
+    ASOF JOIN); rows with NULL join keys or a NULL timestamp on the right
+    side never match, per ANSI predicate semantics.
 
     Tie rule: a right row AT the left row's timestamp matches in either
     direction. Among equal right timestamps the winner is
@@ -66,14 +68,16 @@ def as_of_join(
     if left_ts in on or right_ts in on:
         raise ValueError("timestamp column cannot be a join key")
 
-    # ANSI equi-join semantics: NULL join keys never match. Spark's window
-    # partitioning groups NULL keys into one partition (NULL "equals" NULL
-    # there), so without this filter a NULL-keyed left row would carry a
-    # NULL-keyed right row's payload — DuckDB's native ASOF JOIN (the
-    # oracle) correctly leaves it unmatched. Dropping NULL-keyed RIGHT rows
-    # makes every NULL-keyed left row unmatched, which is exactly the SQL
-    # result.
-    right = right.na.drop(subset=on)
+    # ANSI join semantics: NULL join keys never match, and a NULL-timestamp
+    # right row can never satisfy the r.ts <= l.ts (or >=) asof predicate.
+    # Spark's window partitioning groups NULL keys into one partition (NULL
+    # "equals" NULL there) and sorts NULL timestamps FIRST — so without this
+    # filter a NULL-keyed left row would carry a NULL-keyed right row's
+    # payload, and a NULL-ts right row would be carried into every later
+    # left row. DuckDB's native ASOF JOIN (the oracle) leaves both
+    # unmatched. Dropping them from the RIGHT side makes the window result
+    # exactly the SQL result.
+    right = right.na.drop(subset=[*on, right_ts])
 
     # Tag order decides same-timestamp inclusivity: the right row must sort on
     # the CARRY side of the left row — before it for a backward carry (last
@@ -104,7 +108,23 @@ def as_of_join(
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    carried = [carry(F.col(c)).alias(c) for c in right_payload]
+    # Carry the matched right row as ONE struct, not per-column: a struct
+    # built on a right row is non-null even when every FIELD is null, so
+    # ignorenulls skips only the interleaved left rows — the matched row's
+    # genuinely-NULL payload comes through as NULL (exact ASOF semantics;
+    # DuckDB's native ASOF JOIN, the oracle, returns the matched row's
+    # fields verbatim). A per-column carry would let an older right row's
+    # value leak through a NULL field of the matched row.
+    if right_payload:
+        pstruct = F.when(
+            F.col(_SIDE) == right_tag,
+            F.struct(*[F.col(c) for c in right_payload]),
+        )
+        unioned = unioned.withColumn("__asof_payload", pstruct)
+        carried_struct = carry(F.col("__asof_payload"))
+        carried = [carried_struct[c].alias(c) for c in right_payload]
+    else:
+        carried = []
     carried_ts = carry(F.when(F.col(_SIDE) == right_tag, F.col(_TS)))
 
     out = (

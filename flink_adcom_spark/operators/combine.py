@@ -104,9 +104,16 @@ def combine_generic(
         # NULL hardening: Arrow hands a NULL-keyed group to pandas as NaN,
         # and NaN != NaN, so raw to_dict rows would open a NEW buffer entry
         # per row (one bogus single-row "group" each) instead of folding the
-        # NULL group once. Normalize missing values to None, which compares
-        # equal to itself, before the fold sees them.
-        pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+        # NULL group once. Normalize missing values to None — which compares
+        # equal to itself — in the KEY columns only: payload columns keep
+        # pandas' native representation so fold functions see the same value
+        # contract as before (and the non-key columns skip the astype(object)
+        # copy).
+        key_cols = [k for k in keys if k in pdf.columns]
+        if key_cols:
+            kf = pdf[key_cols].astype(object)
+            pdf = pdf.copy()
+            pdf[key_cols] = kf.where(pd.notnull(kf), None)
         buffer: dict[Any, Any] = {}
         for row in pdf.to_dict("records"):
             k = fn.key_of(row)

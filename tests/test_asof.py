@@ -105,3 +105,34 @@ def test_asof_forward_plan_has_single_exchange(spark):
     left, right = _frames(spark)
     joined = as_of_join(left, right, on=["k"], direction="forward")
     assert explain.num_exchanges(joined) == 1, explain.formatted_plan(joined)
+
+
+def test_asof_null_semantics_match_sql(spark):
+    """ANSI semantics pinned against DuckDB's native ASOF JOIN: NULL join
+    keys never match, NULL-timestamp right rows never match, and the
+    matched row's genuinely-NULL payload comes back as NULL (struct carry)
+    instead of leaking an older right row's value."""
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "x"), (None, t(10), "nullkey")],
+        "k long, ts timestamp, l string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(8), 7.0),     # older, non-null payload
+            (1, t(9), None),    # the match for 10:00 — payload genuinely NULL
+            (1, None, 99.0),    # NULL ts: must never match
+            (None, t(9), 55.0), # NULL key: must never match
+        ],
+        "k long, ts timestamp, r double",
+    )
+    got = {
+        r["l"]: r["r"]
+        for r in as_of_join(left, right, on=["k"]).collect()
+    }
+    # matched row (09:00) has NULL payload -> NULL, NOT the 08:00 row's 7.0
+    assert got["x"] is None
+    # NULL-keyed left row matches nothing (not the NULL-keyed right row)
+    assert got["nullkey"] is None

@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from flink_adcom_spark.queries.events import (
     COMMUNITY_MIN_SHARED,
-    PAGERANK_ITERS,
     q140_covisitation_pairs,
 )
 from flink_adcom_spark.queries.text import SOURCE_CAP

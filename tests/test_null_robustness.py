@@ -17,14 +17,14 @@ engine-default NULL ordering/count drift in q37/q71/q78/q113.
 
 from __future__ import annotations
 
-import math
 import os
-from decimal import Decimal
 
 import duckdb
 import pytest
 
 from flink_adcom_spark.registry import get
+
+from _parity import duck_sorted_rows, spark_sorted_rows
 
 SRC = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -69,7 +69,9 @@ def null_dir(tmp_path_factory):
         f"""COPY (SELECT event_id, ts,
                  CASE WHEN event_id % 40 = 0 THEN NULL ELSE user_id END AS user_id,
                  event_type,
-                 CASE WHEN event_id % 60 = 7 THEN NULL ELSE value END AS value,
+                 CASE WHEN event_id % 60 = 7
+                        OR (event_type = 'purchase' AND event_id % 15 = 1)
+                      THEN NULL ELSE value END AS value,
                  props
                  FROM '{SRC}/events.parquet')
             TO '{dst}/events.parquet' (FORMAT PARQUET)"""
@@ -91,33 +93,11 @@ def null_duck(null_dir):
     con.close()
 
 
-def _norm(v):
-    if v is None:
-        return None
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
-
-
-def _rows(recs):
-    return sorted((tuple(_norm(x) for x in r) for r in recs), key=repr)
-
-
 @pytest.mark.parametrize("name", QUERIES)
 def test_parity_with_planted_nulls(name, spark, null_dir, null_duck):
     spec = get(name)
-    sdf = spec.build(spark, null_dir)
-    cols = sorted(sdf.columns)
-    srows = _rows([tuple(r[c] for c in cols) for r in sdf.collect()])
-
-    rel = null_duck.sql(spec.oracle)
-    dall = list(rel.columns)
-    order = sorted(range(len(dall)), key=lambda i: dall[i])
-    drows = _rows([tuple(r[i] for i in order) for r in rel.fetchall()])
+    _, srows = spark_sorted_rows(spec.build(spark, null_dir))
+    _, drows = duck_sorted_rows(null_duck.sql(spec.oracle))
 
     assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
     mism = [(a, b) for a, b in zip(srows, drows) if a != b]
