@@ -67,8 +67,11 @@ def q10_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q30_token_stats",
     f"SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens, "
     "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars, "
-    f"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_WORDS_SQL})) AS avg_token_len "
-    "FROM documents",
+    # empty documents: NULL, stated on BOTH engines (Spark ANSI mode throws
+    # on /0; engine defaults for double/0 differ)
+    f"(CASE WHEN len({_WORDS_SQL}) = 0 THEN NULL "
+    f" ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_WORDS_SQL}) END)"
+    " AS avg_token_len FROM documents",
     tags=("text",),
 )
 def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +83,9 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_word_chars"),
-        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        # empty doc -> NULL (symmetric with the oracle CASE; plain / would
+        # throw DIVIDE_BY_ZERO under Spark's default ANSI mode)
+        F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).alias("avg_token_len"),
     )
 
 
@@ -92,8 +97,11 @@ _STOP_IN = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
     "q31_quality_score",
     f"""SELECT doc_id,
         CAST(len(list_filter({_WORDS_SQL}, x -> x IN {_STOP_IN})) AS BIGINT) AS n_stopwords,
-        (CAST(len(list_filter({_WORDS_SQL}, x -> x IN {_STOP_IN})) AS DOUBLE)
-           / len({_WORDS_SQL})) AS stop_ratio,
+        -- empty documents: NULL ratio, stated on BOTH engines (Spark ANSI
+        -- mode throws on /0)
+        (CASE WHEN len({_WORDS_SQL}) = 0 THEN NULL
+              ELSE CAST(len(list_filter({_WORDS_SQL}, x -> x IN {_STOP_IN})) AS DOUBLE)
+                   / len({_WORDS_SQL}) END) AS stop_ratio,
         CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS is_short
         FROM documents""",
     tags=("text",),
@@ -108,7 +116,8 @@ def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _documents(spark, sf_dir).select(
         "doc_id",
         n_stop.alias("n_stopwords"),
-        (n_stop.cast("double") / F.size(w)).alias("stop_ratio"),
+        # empty doc -> NULL (symmetric with the oracle CASE)
+        F.when(F.size(w) > 0, n_stop.cast("double") / F.size(w)).alias("stop_ratio"),
         F.when(F.col("n_chars") < 100, 1).otherwise(0).alias("is_short"),
     )
 
@@ -396,9 +405,10 @@ def q37_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(ws).cast("long")
     return (
         _documents(spark, sf_dir)
-        # text IS NOT NULL symmetric with the oracle's unnest (which drops
-        # NULL-text docs entirely); a NULL doc has no repetition signal
-        .filter(F.col("text").isNotNull())
+        # symmetric with the oracle's unnest, which emits nothing for a
+        # NULL-text OR token-less document: neither has a repetition signal
+        # (and a 0-token row would divide by zero under ANSI mode)
+        .filter(F.col("text").isNotNull() & (F.size(words_col()) > 0))
         .select(
             "doc_id",
             n_tokens.alias("n_tokens"),
@@ -1336,9 +1346,16 @@ _FUSE_CUTS_SQL = "[" + ", ".join(str(p) for p in FUSE_CUTS) + "]"
       FROM per_doc p JOIN lm USING (doc_id)
     ),
     cuts AS (
-      SELECT quantile_cont(s_len, {_FUSE_CUTS_SQL}) AS c_len,
-             quantile_cont(s_uniq, {_FUSE_CUTS_SQL}) AS c_uniq,
-             quantile_cont(s_lm, {_FUSE_CUTS_SQL}) AS c_lm
+      -- cut grids quantized to 6 decimals on BOTH engines: the interpolated
+      -- percentile arithmetic can differ in the last ulp between engines,
+      -- and an unrounded cut that ties a (rounded) signal value exactly
+      -- would flip a `c <= s` count by one
+      SELECT list_transform(quantile_cont(s_len, {_FUSE_CUTS_SQL}),
+                            c -> round(c, 6)) AS c_len,
+             list_transform(quantile_cont(s_uniq, {_FUSE_CUTS_SQL}),
+                            c -> round(c, 6)) AS c_uniq,
+             list_transform(quantile_cont(s_lm, {_FUSE_CUTS_SQL}),
+                            c -> round(c, 6)) AS c_lm
       FROM sigs
     ),
     ranked AS (
@@ -1398,10 +1415,11 @@ def q148_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lp").alias("s_lm"),
     )
     ps = F.array(*[F.lit(p) for p in FUSE_CUTS])
+    q6 = lambda col: F.transform(F.percentile(col, ps), lambda c: F.round(c, 6))  # noqa: E731
     cuts = sigs.agg(
-        F.percentile("s_len", ps).alias("c_len"),
-        F.percentile("s_uniq", ps).alias("c_uniq"),
-        F.percentile("s_lm", ps).alias("c_lm"),
+        q6("s_len").alias("c_len"),
+        q6("s_uniq").alias("c_uniq"),
+        q6("s_lm").alias("c_lm"),
     )
 
     def rank(cut_col: str, sig_col: str):

@@ -1,0 +1,97 @@
+"""Engine-parity under boundary-value data: empty/whitespace-only documents,
+zero values, negative values.
+
+Companion to tests/test_null_robustness.py (same rationale: the driver
+regenerates fixtures between rounds, and today's data contains none of these
+shapes). The round-6 sweep this suite descends from found four divergences,
+all fixed: q30/q31/q37 threw DIVIDE_BY_ZERO under Spark's default ANSI mode
+for token-less documents (now an explicit NULL/drop, stated on both
+engines), and q148's unrounded percentile-cut grid could tie a rounded
+signal value exactly, flipping a rank count by one between engines (both
+grids now quantized to 6 decimals).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from _parity import duck_sorted_rows, spark_sorted_rows
+from flink_adcom_spark.registry import get
+
+SRC = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# The four queries that diverged before the boundary hardening, plus
+# sentinels covering ratio/division, percentile, decimal-sum, and sampling
+# idioms over the planted shapes.
+QUERIES = [
+    "q30_token_stats",
+    "q31_quality_score",
+    "q37_repetition_ratio",
+    "q148_signal_fusion",
+    # sentinels
+    "q128_token_chunks",
+    "q147_value_concentration",
+    "q71_value_percentiles",
+    "q78_value_deciles",
+    "q20_tumbling_hourly",
+    "q40_exact_dedup",
+    "q114_quality_gate",
+    "q152_weighted_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("edgedata")
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0 THEN ''
+                      WHEN doc_id % 50 = 25 THEN '   '
+                      ELSE text END AS text,
+                 lang, source,
+                 CASE WHEN doc_id % 50 = 0 THEN 0
+                      WHEN doc_id % 50 = 25 THEN 3
+                      ELSE n_chars END AS n_chars
+                 FROM '{SRC}/documents.parquet')
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT event_id, ts, user_id, event_type,
+                 CASE WHEN event_id % 60 = 7 THEN 0.0
+                      WHEN event_id % 45 = 3 THEN -value
+                      ELSE value END AS value,
+                 props
+                 FROM '{SRC}/events.parquet')
+            TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in TABLES:
+        p = os.path.join(dst, f"{t}.parquet")
+        if not os.path.exists(p):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), p)
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{edge_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_parity_with_boundary_values(name, spark, edge_dir, edge_duck):
+    spec = get(name)
+    _, srows = spark_sorted_rows(spec.build(spark, edge_dir))
+    _, drows = duck_sorted_rows(edge_duck.sql(spec.oracle))
+
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
+    mism = [(a, b) for a, b in zip(srows, drows) if a != b]
+    assert not mism, f"{name}: {len(mism)} row mismatches; first: {mism[:2]}"
