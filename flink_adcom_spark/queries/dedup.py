@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
-from .text import words_col, _WORDS_SQL
+from .text import _FOLD_TEXT_SQL, _WORDS_SQL, fold_col, words_col
 
 SHINGLE_K = 3  # words per shingle
 JACCARD_THRESHOLD = 0.05
@@ -60,7 +60,7 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q40_exact_dedup",
     "SELECT fp, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies "
-    "FROM (SELECT doc_id, md5(lower(text)) AS fp FROM documents) t GROUP BY fp",
+    f"FROM (SELECT doc_id, md5({_FOLD_TEXT_SQL}) AS fp FROM documents) t GROUP BY fp",
     tags=("dedup", "agg"),
     bench=True,
 )
@@ -70,7 +70,7 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is returned so the oracle checks the whole partition function."""
     return (
         _documents(spark, sf_dir)
-        .select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))
+        .select("doc_id", F.md5(fold_col()).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
     )
@@ -122,7 +122,7 @@ def shingle_docs(
     for `.distinct()` when downstream only needs each doc's shingle SET."""
     k_words = r"\\S+ " * (SHINGLE_K - 1) + r"\\S+"
     pat = f"'(?=({k_words}))(\\\\S+)'"
-    arr = F.expr(f"regexp_extract_all(lower(text), {pat}, 1)")
+    arr = F.expr(f"regexp_extract_all({_FOLD_TEXT_SQL}, {pat}, 1)")
     if distinct_per_doc:
         arr = F.array_distinct(arr)
     return _documents(spark, sf_dir).select("doc_id", F.explode(arr).alias("sh"))

@@ -31,15 +31,33 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# --- deterministic case folding -----------------------------------------------
+# ASCII-only fold, identical by construction on both engines. Full Unicode
+# lower() is ENGINE-DEPENDENT (Spark's ICU mapping turns Turkish dotted
+# capital I into "i" + combining dot while DuckDB drops the dot; Greek final
+# sigma, sharp-s expansion etc. differ similarly), which a round-6 probe
+# showed diverging 10 text queries on planted Unicode. Pipelines that need
+# real Unicode casefolding apply ICU normalization at ingestion; the engine's
+# tokenization contract is deliberately the locale-independent C fold.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_FOLD_TEXT_SQL = f"translate(text, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+def fold_col(text: str = "text") -> Column:
+    """ASCII-folded text column (the Spark twin of _FOLD_TEXT_SQL)."""
+    return F.translate(F.col(text), _ASCII_UPPER, _ASCII_LOWER)
+
+
 def words_col(text: str = "text") -> Column:
     """Non-empty lowercase whitespace tokens (reference tokenizer P11 —
     WordCountPreAggregate.java:219-233 — splits on \\W+ and lowercases; the
     synthetic corpus is single-space-delimited so a space split is exact and
     portable to the oracle)."""
-    return F.filter(F.split(F.lower(F.col(text)), " "), lambda x: x != "")
+    return F.filter(F.split(fold_col(text), " "), lambda x: x != "")
 
 
-_WORDS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_WORDS_SQL = f"list_filter(string_split({_FOLD_TEXT_SQL}, ' '), x -> x <> '')"
 
 
 # --- Q10: word count ---------------------------------------------------------
@@ -175,14 +193,14 @@ def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- document fingerprinting ----------------------------------------------------
 @query(
     "q33_fingerprint",
-    "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    f"SELECT doc_id, md5({_FOLD_TEXT_SQL}) AS fp FROM documents",
     tags=("text", "dedup"),
 )
 def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical content fingerprint: md5 over normalized text. md5 is
     byte-identical across engines, so the fingerprint doubles as the
     exact-dedup key (see q40)."""
-    return _documents(spark, sf_dir).select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))
+    return _documents(spark, sf_dir).select("doc_id", F.md5(fold_col()).alias("fp"))
 
 
 # --- BPE-ish regex tokenization -----------------------------------------------
@@ -193,7 +211,7 @@ _TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 @query(
     "q34_regex_token_count",
-    f"SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS BIGINT)"
+    f"SELECT doc_id, CAST(len(regexp_extract_all({_FOLD_TEXT_SQL}, '{_TOKEN_PATTERN}')) AS BIGINT)"
     " AS n_bpe_tokens FROM documents",
     tags=("text",),
 )
@@ -203,7 +221,7 @@ def q34_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical pattern."""
     return _documents(spark, sf_dir).select(
         "doc_id",
-        F.expr(f"CAST(size(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}', 0)) AS BIGINT)").alias(
+        F.expr(f"CAST(size(regexp_extract_all({_FOLD_TEXT_SQL}, '{_TOKEN_PATTERN}', 0)) AS BIGINT)").alias(
             "n_bpe_tokens"
         ),
     )
