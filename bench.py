@@ -196,18 +196,19 @@ def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0
         return tmp, feeder, stats
 
     def make_proc(stats):
-        seen: set[int] = set()
+        # per-batch row counts keyed by epoch id, totals read off at the
+        # end: a checkpoint-replayed epoch (at-least-once foreachBatch after
+        # an adaptive restart) OVERWRITES its own entry instead of double-
+        # counting, and an epoch interrupted mid-count is simply re-recorded
+        # on replay — no seen-set ordering hazard either way
+        per_batch: dict[int, int] = {}
 
         def proc(bdf, bid):
-            # dedupe replayed epochs: after an adaptive restart, foreachBatch
-            # may re-run the last uncommitted batch (at-least-once semantics)
-            # — counting it twice would bias bundle_restart_* against the
-            # paced run by a replay artifact, not real scheduler cost
-            if bid in seen:
-                return
-            seen.add(bid)
-            stats[0] += 1
-            stats[1] += bdf.groupBy("word").count().agg(F.sum("count")).collect()[0][0] or 0
+            per_batch[bid] = (
+                bdf.groupBy("word").count().agg(F.sum("count")).collect()[0][0] or 0
+            )
+            stats[0] = len(per_batch)
+            stats[1] = sum(per_batch.values())
 
         return proc
 

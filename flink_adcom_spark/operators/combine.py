@@ -101,19 +101,15 @@ def combine_generic(
     import pandas as pd
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # NULL hardening: Arrow hands a NULL-keyed group to pandas as NaN,
-        # and NaN != NaN, so raw to_dict rows would open a NEW buffer entry
-        # per row (one bogus single-row "group" each) instead of folding the
-        # NULL group once. Normalize missing values to None — which compares
-        # equal to itself — in the KEY columns only: payload columns keep
-        # pandas' native representation so fold functions see the same value
-        # contract as before (and the non-key columns skip the astype(object)
-        # copy).
-        key_cols = [k for k in keys if k in pdf.columns]
-        if key_cols:
-            kf = pdf[key_cols].astype(object)
-            pdf = pdf.copy()
-            pdf[key_cols] = kf.where(pd.notnull(kf), None)
+        # NULL contract: every missing value reaches the fold as None, never
+        # NaN/NaT. Two reasons: (a) Arrow hands a NULL-keyed group to pandas
+        # as NaN, and NaN != NaN, so raw to_dict rows would open a NEW buffer
+        # entry per row (one bogus single-row "group" each) instead of
+        # folding the NULL group once; (b) NaN payloads silently poison
+        # order-dependent arithmetic (max(1.0, nan)=1.0 but max(nan, 1.0)=
+        # nan), whereas None forces the fold to DECIDE its NULL semantics —
+        # the bundled folds below skip None inputs, matching SQL aggregates.
+        pdf = pdf.astype(object).where(pd.notnull(pdf), None)
         buffer: dict[Any, Any] = {}
         for row in pdf.to_dict("records"):
             k = fn.key_of(row)
@@ -155,7 +151,10 @@ class TopNDistancePreAggregate(PreAggregateFunction):
 
     def add_input(self, value, row):
         arr = [] if value is None else value
-        arr.append(float(row[self.value]))
+        v = row[self.value]
+        if v is None:  # SQL semantics: a NULL distance is not a distance
+            return arr
+        arr.append(float(v))
         arr.sort(reverse=True)
         return arr[: self.n]
 
@@ -176,9 +175,13 @@ class MaxPreAggregate(PreAggregateFunction):
 
     def add_input(self, value, row):
         v = row[self.value]
+        if v is None:  # SQL MAX ignores NULL inputs
+            return value
         return v if value is None else max(value, v)
 
     def collect(self, buffer):
+        # an all-NULL group keeps a None accumulator -> max_val NULL, the
+        # SQL MAX result for that group
         for k, v in buffer.items():
             yield {"key": k, "max_val": v}
 
@@ -196,9 +199,18 @@ class AvgPreAggregate(PreAggregateFunction):
         return row[self.key]
 
     def add_input(self, value, row):
+        v = row[self.value]
+        if v is None:  # SQL AVG ignores NULL inputs
+            return value
         s, c = value if value is not None else (0.0, 0)
-        return (s + float(row[self.value]), c + 1)
+        return (s + float(v), c + 1)
 
     def collect(self, buffer):
-        for k, (s, c) in buffer.items():
-            yield {"key": k, "avg_val": s / c, "cnt": c}
+        # an all-NULL group keeps a None accumulator -> avg NULL / count 0,
+        # the SQL AVG/COUNT(col) result for that group
+        for k, acc in buffer.items():
+            if acc is None:
+                yield {"key": k, "avg_val": None, "cnt": 0}
+            else:
+                s, c = acc
+                yield {"key": k, "avg_val": s / c, "cnt": c}

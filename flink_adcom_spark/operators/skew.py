@@ -71,3 +71,45 @@ def salted_count_distinct(
         .agg(F.countDistinct(distinct_col).alias("__partial_nd"))
     )
     return partial.groupBy(*keys).agg(F.sum("__partial_nd").alias("n_distinct"))
+
+
+def salted_top_k(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    k: int,
+    salts: int = 64,
+    salt_on: str = "doc_id",
+) -> DataFrame:
+    """Exact per-key top-k by ascending (order_cols) lexicographic order,
+    without a skewed-key rank window — the shared fold behind q133 (exact-k
+    sampling), q149 (per-source caps), and q153 (posting lists).
+
+    Stage 1 aggregates a sorted k-prefix per (key, salt): the salt spreads a
+    hot key over `salts` tasks, so the collect_list buffer holds at most
+    group_size/salts rows per task (NOT an O(k) accumulator — the list is
+    truncated AFTER the in-buffer sort; what the salting bounds is the
+    per-task memory and the stage-2 input, which is the hard salts*k rows
+    per key). Stage 2 rank-merges the survivors with an ordinary
+    row_number window over a salts*k-per-key relation.
+
+    Returns keys + order_cols + `rnk` (1-based, <= k).
+    """
+    salt = F.pmod(F.xxhash64(salt_on), F.lit(salts))
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(*[F.col(c) for c in order_cols]))),
+                1,
+                k,
+            ).alias("__cand")
+        )
+        .select(*keys, F.explode("__cand").alias("__c"))
+        .select(*keys, *[F.col(f"__c.{c}").alias(c) for c in order_cols])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return stage1.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

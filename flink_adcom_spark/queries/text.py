@@ -1226,32 +1226,16 @@ def q133_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hot languages spread over 64 tasks — stage 2 rank-merges only the
     64*k survivors per language, a few-thousand-row window. Same pattern as
     the reference's bounded-array A8 fold (q07b/q82), applied to sampling."""
+    from ..operators.skew import salted_top_k
+
     docs = _documents(spark, sf_dir).select(
         "lang",
         "doc_id",
         (((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296).alias("h"),
     )
-    from pyspark.sql import Window
-
-    salted = docs.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(EXACT_K_SALTS)))
-    stage1 = (
-        salted.groupBy("lang", "salt")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
-                1,
-                EXACT_K,
-            ).alias("cand")
-        )
-        .select("lang", F.explode("cand").alias("c"))
-        .select("lang", F.col("c.h").alias("h"), F.col("c.doc_id").alias("doc_id"))
-    )
-    w = Window.partitionBy("lang").orderBy("h", "doc_id")
-    return (
-        stage1.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= EXACT_K)
-        .select("lang", "doc_id")
-    )
+    return salted_top_k(
+        docs, ["lang"], ["h", "doc_id"], EXACT_K, EXACT_K_SALTS
+    ).select("lang", "doc_id")
 
 
 # --- bigram LM scoring --------------------------------------------------------
@@ -1492,45 +1476,22 @@ def q149_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — same discipline as q133: the oracle's rank window would
     shuffle the whole corpus partitioned by `source` (catastrophic when one
-    domain IS 30% of the crawl); the engine runs the salted two-level
-    bounded-array fold instead: stage 1 keeps a sorted top-K array per
-    (source, salt-of-{{EXACT_K_SALTS}}) inside the aggregation buffer —
-    a hot source spreads over 64 tasks — and stage 2 rank-merges only the
-    64*K survivors per source. Reference posture: the bounded-array A8
-    fold (TopNDistancePreAggregate), applied to corpus curation."""
+    domain IS 30% of the crawl); the engine runs the shared salted two-level
+    fold (operators/skew.py::salted_top_k): a hot source spreads over 64
+    aggregation tasks (per-task buffer is group/64, truncated to K after
+    the in-buffer sort), and stage 2 rank-merges only the 64*K survivors
+    per source."""
+    from ..operators.skew import salted_top_k
+
     docs = _documents(spark, sf_dir).select(
-        "source", "doc_id", "n_chars",
-        # struct sort is ascending per field: negate n_chars so the
-        # bounded array keeps the LONGEST docs first
+        "source", "doc_id",
+        # struct sort is ascending per field: negate n_chars so the fold
+        # keeps the LONGEST docs first
         (-F.col("n_chars")).alias("neg_chars"),
     )
-    from pyspark.sql import Window
-
-    salted = docs.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(EXACT_K_SALTS))
-    )
-    stage1 = (
-        salted.groupBy("source", "salt")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("neg_chars", "doc_id"))),
-                1,
-                SOURCE_CAP,
-            ).alias("cand")
-        )
-        .select("source", F.explode("cand").alias("c"))
-        .select(
-            "source",
-            F.col("c.neg_chars").alias("neg_chars"),
-            F.col("c.doc_id").alias("doc_id"),
-        )
-    )
-    w = Window.partitionBy("source").orderBy("neg_chars", "doc_id")
-    return (
-        stage1.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= SOURCE_CAP)
-        .select("source", "doc_id", (-F.col("neg_chars")).alias("n_chars"))
-    )
+    return salted_top_k(
+        docs, ["source"], ["neg_chars", "doc_id"], SOURCE_CAP, EXACT_K_SALTS
+    ).select("source", "doc_id", (-F.col("neg_chars")).alias("n_chars"))
 
 
 # --- capped inverted index ----------------------------------------------------
@@ -1560,10 +1521,11 @@ def q153_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination lookups (q48 probes exactly this relation ad hoc).
 
     Skew discipline: term DF is Zipfian (stopwords touch most documents),
-    so the top-P selection runs the salted two-level bounded-array fold
-    (q133/q149): stage 1 keeps a sorted P-array per (word, salt-of-64) in
-    the aggregation buffer — a stopword's postings spread over 64 tasks —
-    and stage 2 rank-merges 64*P survivors per word. The DF count is an
+    so the top-P selection runs the shared salted two-level fold
+    (operators/skew.py::salted_top_k): a stopword's postings spread over 64
+    aggregation tasks (per-task buffer is DF/64 — what the salting bounds
+    is per-task memory and the stage-2 input, not an O(P) accumulator) and
+    stage 2 rank-merges the 64*P survivors per word. The DF count is an
     ordinary map-side-combined aggregate; its join back to the postings is
     co-keyed on word, so Catalyst reuses the partitioning. The oracle
     states the same result with a plain rank window (oracle-scale only)."""
@@ -1573,22 +1535,10 @@ def q153_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(words_col()).alias("word"))
         .distinct()
     )
-    df_counts = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql import Window
+    from ..operators.skew import salted_top_k
 
-    salted = pairs.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(EXACT_K_SALTS))
-    )
-    stage1 = (
-        salted.groupBy("word", "salt")
-        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTING_CAP).alias("cand"))
-        .select("word", F.explode("cand").alias("doc_id"))
-    )
-    w = Window.partitionBy("word").orderBy("doc_id")
-    top = (
-        stage1.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= POSTING_CAP)
-    )
+    df_counts = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    top = salted_top_k(pairs, ["word"], ["doc_id"], POSTING_CAP, EXACT_K_SALTS)
     return top.join(df_counts, "word").select(
-        "word", "doc_id", F.col("rnk").alias("posting_rank"), "df"
+        "word", "doc_id", F.col("rnk").cast("int").alias("posting_rank"), "df"
     )

@@ -13,16 +13,10 @@ grids now quantized to 6 decimals).
 
 from __future__ import annotations
 
-import os
-
-import duckdb
 import pytest
 
-from _parity import duck_sorted_rows, spark_sorted_rows
+from _parity import assert_engine_parity, make_fixture_dir, open_views
 from flink_adcom_spark.registry import get
-
-SRC = "/root/testdata/sf0.001"
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # The four queries that diverged before the boundary hardening, plus
 # sentinels covering ratio/division, percentile, decimal-sum, and sampling
@@ -43,55 +37,35 @@ QUERIES = [
     "q152_weighted_sample",
 ]
 
+_TABLE_SQL = {
+    "documents": """SELECT doc_id,
+        CASE WHEN doc_id % 50 = 0 THEN ''
+             WHEN doc_id % 50 = 25 THEN '   '
+             ELSE text END AS text,
+        lang, source,
+        CASE WHEN doc_id % 50 = 0 THEN 0
+             WHEN doc_id % 50 = 25 THEN 3
+             ELSE n_chars END AS n_chars FROM '{src}'""",
+    "events": """SELECT event_id, ts, user_id, event_type,
+        CASE WHEN event_id % 60 = 7 THEN 0.0
+             WHEN event_id % 45 = 3 THEN -value
+             ELSE value END AS value,
+        props FROM '{src}'""",
+}
+
 
 @pytest.fixture(scope="module")
 def edge_dir(tmp_path_factory):
-    dst = tmp_path_factory.mktemp("edgedata")
-    con = duckdb.connect()
-    con.sql(
-        f"""COPY (SELECT doc_id,
-                 CASE WHEN doc_id % 50 = 0 THEN ''
-                      WHEN doc_id % 50 = 25 THEN '   '
-                      ELSE text END AS text,
-                 lang, source,
-                 CASE WHEN doc_id % 50 = 0 THEN 0
-                      WHEN doc_id % 50 = 25 THEN 3
-                      ELSE n_chars END AS n_chars
-                 FROM '{SRC}/documents.parquet')
-            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
-    )
-    con.sql(
-        f"""COPY (SELECT event_id, ts, user_id, event_type,
-                 CASE WHEN event_id % 60 = 7 THEN 0.0
-                      WHEN event_id % 45 = 3 THEN -value
-                      ELSE value END AS value,
-                 props
-                 FROM '{SRC}/events.parquet')
-            TO '{dst}/events.parquet' (FORMAT PARQUET)"""
-    )
-    con.close()
-    for t in TABLES:
-        p = os.path.join(dst, f"{t}.parquet")
-        if not os.path.exists(p):
-            os.symlink(os.path.join(SRC, f"{t}.parquet"), p)
-    return str(dst)
+    return make_fixture_dir(tmp_path_factory, "edgedata", _TABLE_SQL)
 
 
 @pytest.fixture(scope="module")
 def edge_duck(edge_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{edge_dir}/{t}.parquet'")
+    con = open_views(edge_dir)
     yield con
     con.close()
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_parity_with_boundary_values(name, spark, edge_dir, edge_duck):
-    spec = get(name)
-    _, srows = spark_sorted_rows(spec.build(spark, edge_dir))
-    _, drows = duck_sorted_rows(edge_duck.sql(spec.oracle))
-
-    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
-    mism = [(a, b) for a, b in zip(srows, drows) if a != b]
-    assert not mism, f"{name}: {len(mism)} row mismatches; first: {mism[:2]}"
+    assert_engine_parity(get(name), spark, edge_dir, edge_duck, name)

@@ -13,16 +13,10 @@ casefolding is an ingestion-time ICU concern, stated in the fold's docs.
 
 from __future__ import annotations
 
-import os
-
-import duckdb
 import pytest
 
-from _parity import duck_sorted_rows, spark_sorted_rows
+from _parity import assert_engine_parity, make_fixture_dir, open_views
 from flink_adcom_spark.registry import get
-
-SRC = "/root/testdata/sf0.001"
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # The ten queries that diverged before the ASCII-fold change, plus the other
 # text-family members whose tokenization flows through the shared fold.
@@ -45,45 +39,29 @@ QUERIES = [
     "q148_signal_fusion",
 ]
 
+_TABLE_SQL = {
+    "documents": """SELECT doc_id,
+        CASE WHEN doc_id % 50 = 0
+             THEN 'Größe STRASSE café naïve İstanbul ﬁne 東京 données ' || text
+             WHEN doc_id % 50 = 25
+             THEN 'ΣΙΣΥΦΟΣ σίσυφος ÅNGSTRÖM é' || chr(769) || ' 🚀 ' || text
+             ELSE text END AS text,
+        lang, source, n_chars FROM '{src}'""",
+}
+
 
 @pytest.fixture(scope="module")
 def uni_dir(tmp_path_factory):
-    dst = tmp_path_factory.mktemp("unidata")
-    con = duckdb.connect()
-    con.sql(
-        f"""COPY (SELECT doc_id,
-                 CASE WHEN doc_id % 50 = 0
-                      THEN 'Größe STRASSE café naïve İstanbul ﬁne 東京 données ' || text
-                      WHEN doc_id % 50 = 25
-                      THEN 'ΣΙΣΥΦΟΣ σίσυφος ÅNGSTRÖM é' || chr(769) || ' 🚀 ' || text
-                      ELSE text END AS text,
-                 lang, source, n_chars
-                 FROM '{SRC}/documents.parquet')
-            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
-    )
-    con.close()
-    for t in TABLES:
-        p = os.path.join(dst, f"{t}.parquet")
-        if not os.path.exists(p):
-            os.symlink(os.path.join(SRC, f"{t}.parquet"), p)
-    return str(dst)
+    return make_fixture_dir(tmp_path_factory, "unidata", _TABLE_SQL)
 
 
 @pytest.fixture(scope="module")
 def uni_duck(uni_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{uni_dir}/{t}.parquet'")
+    con = open_views(uni_dir)
     yield con
     con.close()
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_parity_with_unicode_text(name, spark, uni_dir, uni_duck):
-    spec = get(name)
-    _, srows = spark_sorted_rows(spec.build(spark, uni_dir))
-    _, drows = duck_sorted_rows(uni_duck.sql(spec.oracle))
-
-    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
-    mism = [(a, b) for a, b in zip(srows, drows) if a != b]
-    assert not mism, f"{name}: {len(mism)} row mismatches; first: {mism[:2]}"
+    assert_engine_parity(get(name), spark, uni_dir, uni_duck, name)
