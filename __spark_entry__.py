@@ -142,6 +142,17 @@ _ROUND4_GATE = frozenset(
 # Registered after this gate froze (mirror-verified + sf0.01 driver-
 # simulated, rotate into r7): q149_source_caps, q150_covisit_pagerank,
 # q151_covisit_communities, q152_weighted_sample, q153_inverted_index.
+# DRAFT for the round-7 rotation (leave _GATE on ROUND6 until the r6 gate is
+# recorded), per the COVERAGE.md §gate policy: (a) the 5 never-checked
+# additions above; (b) the queries MODIFIED in r6 after the gate froze —
+# the robustness campaign touched q26/q97 (asof NULL semantics), q82 (fold
+# NULL contract), q30/q31/q37 (empty-doc division), q148 (quantized cut
+# grids), q71/q78/q113 (NULL filters), q80/q81/q95 (media NULL ingestion),
+# and the ASCII fold touched every tokenization consumer (q10/q33/q34/q36/
+# q40-q47/q35/q42/q77/q100/q114/q117/q128/q130/q132/q133/q134/q136/q144/
+# q148/q149/q153 — re-green the tokenization anchors q10/q33/q40/q41/q43);
+# (c) fill remaining slots with the oldest-green r4-era entries
+# (q02-q07b/q11-q13/q20-q28 cohort).
 _ROUND6_GATE = frozenset(
     # (a) never driver-checked: pre-r5-gate stragglers
     [
