@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Full-registry adversarial parity sweep: run EVERY oracle-bearing query on
+Spark and DuckDB over fixture copies with planted adversarial shapes, and
+report any divergence.
+
+Three axes (same plants as the permanent suites, which only run curated
+subsets for speed — this tool is the exhaustive version that FOUND the
+round-6 bugs):
+  nulls     — NULL text/lang/user_id/value (incl. guaranteed purchase NULLs)
+  boundary  — empty/whitespace docs, zero/negative values
+  unicode   — accents, CJK, case-mapping landmines, combining marks, emoji
+
+Run: python tools/robustness_sweep.py [nulls|boundary|unicode|all] [query...]
+Exit code 0 = clean; 1 = divergences (printed). ~6 min per axis for the full
+registry on 8 cpus.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+from _parity import duck_sorted_rows, spark_sorted_rows  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+AXES: dict[str, dict[str, str]] = {
+    "nulls": {
+        "documents": """SELECT doc_id,
+            CASE WHEN doc_id % 50 = 0 THEN NULL ELSE text END AS text,
+            CASE WHEN doc_id % 70 = 3 THEN NULL ELSE lang END AS lang,
+            source, n_chars FROM '{src}'""",
+        "events": """SELECT event_id, ts,
+            CASE WHEN event_id % 40 = 0 THEN NULL ELSE user_id END AS user_id,
+            event_type,
+            CASE WHEN event_id % 60 = 7
+                   OR (event_type = 'purchase' AND event_id % 15 = 1)
+                 THEN NULL ELSE value END AS value,
+            props FROM '{src}'""",
+    },
+    "boundary": {
+        "documents": """SELECT doc_id,
+            CASE WHEN doc_id % 50 = 0 THEN ''
+                 WHEN doc_id % 50 = 25 THEN '   ' ELSE text END AS text,
+            lang, source,
+            CASE WHEN doc_id % 50 = 0 THEN 0
+                 WHEN doc_id % 50 = 25 THEN 3 ELSE n_chars END AS n_chars
+            FROM '{src}'""",
+        "events": """SELECT event_id, ts, user_id, event_type,
+            CASE WHEN event_id % 60 = 7 THEN 0.0
+                 WHEN event_id % 45 = 3 THEN -value ELSE value END AS value,
+            props FROM '{src}'""",
+    },
+    "unicode": {
+        "documents": """SELECT doc_id,
+            CASE WHEN doc_id % 50 = 0
+                 THEN 'Größe STRASSE café naïve İstanbul ﬁne 東京 données ' || text
+                 WHEN doc_id % 50 = 25
+                 THEN 'ΣΙΣΥΦΟΣ σίσυφος ÅNGSTRÖM é' || chr(769) || ' 🚀 ' || text
+                 ELSE text END AS text,
+            lang, source, n_chars FROM '{src}'""",
+    },
+}
+
+
+def build_fixture(axis: str) -> str:
+    import duckdb
+
+    dst = tempfile.mkdtemp(prefix=f"sweep_{axis}_")
+    con = duckdb.connect()
+    for table, body in AXES[axis].items():
+        con.sql(
+            f"COPY ({body.format(src=f'{SRC}/{table}.parquet')}) "
+            f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    for t in TABLES:
+        p = os.path.join(dst, f"{t}.parquet")
+        if not os.path.exists(p):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), p)
+    return dst
+
+
+def main() -> int:
+    import duckdb
+
+    from flink_adcom_spark import registry
+    from flink_adcom_spark.session import get_spark
+
+    args = sys.argv[1:]
+    axes = [a for a in args if a in AXES or a == "all"]
+    names = [a for a in args if a not in AXES and a != "all"]
+    if not axes:
+        axes = ["all"]
+    if axes == ["all"]:
+        axes = list(AXES)
+    specs = registry.all_specs()
+    if not names:
+        names = sorted(n for n, s in specs.items() if s.oracle)
+
+    spark = get_spark("robustness-sweep", cpus=8)
+    bad: list[tuple[str, str, str]] = []
+    for axis in axes:
+        fixture = build_fixture(axis)
+        dk = duckdb.connect()
+        for t in TABLES:
+            dk.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fixture}/{t}.parquet'")
+        for name in names:
+            spec = specs[name]
+            if spec.oracle is None:
+                continue
+            try:
+                _, srows = spark_sorted_rows(spec.build(spark, fixture))
+                _, drows = duck_sorted_rows(dk.sql(spec.oracle))
+                if srows != drows:
+                    diff = [(a, b) for a, b in zip(srows, drows) if a != b][:1]
+                    bad.append((axis, name, f"spark={len(srows)} duck={len(drows)} {diff}"))
+                    print(f"MISMATCH [{axis}] {name}: {bad[-1][2]}")
+            except Exception as e:  # noqa: BLE001
+                bad.append((axis, name, f"{type(e).__name__}: {e}"))
+                print(f"ERROR [{axis}] {name}: {str(e)[:200]}")
+        dk.close()
+        print(f"axis {axis}: {'CLEAN' if not [b for b in bad if b[0] == axis] else 'DIVERGENT'}")
+    print("RESULT:", "ALL CLEAN" if not bad else f"{len(bad)} divergent")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
