@@ -52,3 +52,42 @@ def test_aqe_splits_skewed_join_partition(spark, skew_confs):
     assert "isFinalPlan=true" in plan
     # OptimizeSkewedJoin marks the join and the skewed shuffle read
     assert "skew=true" in plan or "SkewJoin" in plan, plan[:4000]
+
+
+def test_salted_top_k_equals_rank_window(spark):
+    """The shared salted two-level fold (q133/q149/q153) must return exactly
+    the plain rank-window top-k, including under a hot key holding most of
+    the rows and under k larger than some groups."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.operators.skew import salted_top_k
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(2000):
+        key = "hot" if rng.random() < 0.7 else f"k{rng.randrange(8)}"
+        rows.append((key, i, rng.randrange(10_000)))
+    df = spark.createDataFrame(rows, "key string, doc_id long, score long")
+
+    got = sorted(
+        map(
+            tuple,
+            salted_top_k(df, ["key"], ["score", "doc_id"], 7, salts=16)
+            .select("key", "score", "doc_id", "rnk")
+            .collect(),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("score", "doc_id")
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 7)
+            .select("key", "score", "doc_id", "rnk")
+            .collect(),
+        )
+    )
+    assert got == want
