@@ -69,6 +69,18 @@ AXES: dict[str, dict[str, str]] = {
 }
 
 
+# Expected per-axis outcomes that are NOT divergences: q80/q95 carry a loud
+# ASCII-invariant guard (queries/media.py::_assert_ascii_fixture) that raises
+# BY DESIGN when the corpus stops being pure ASCII — their oracles restate
+# the fake codec's byte arithmetic via ascii(char), which only equals the
+# first/last UTF-8 byte on ASCII text. The guard firing is the designed
+# behavior (fail loud instead of silently diverging).
+EXPECTED_GUARD = {
+    "unicode": {"q80_media_features", "q95_media_resize"},
+}
+GUARD_MARKER = "no longer pure ASCII"
+
+
 def build_fixture(axis: str) -> str:
     import duckdb
 
@@ -123,6 +135,9 @@ def main() -> int:
                     bad.append((axis, name, f"spark={len(srows)} duck={len(drows)} {diff}"))
                     print(f"MISMATCH [{axis}] {name}: {bad[-1][2]}")
             except Exception as e:  # noqa: BLE001
+                if name in EXPECTED_GUARD.get(axis, set()) and GUARD_MARKER in str(e):
+                    print(f"GUARD [{axis}] {name}: ASCII invariant raised as designed")
+                    continue
                 bad.append((axis, name, f"{type(e).__name__}: {e}"))
                 print(f"ERROR [{axis}] {name}: {str(e)[:200]}")
         dk.close()
