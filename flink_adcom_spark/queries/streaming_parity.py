@@ -122,7 +122,10 @@ def q85_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q90_stream_dedup",
     """
-    SELECT event_id, ts, user_id, event_type, value FROM events
+    -- DISTINCT: the baseline must state the dedup semantics too, so the
+    -- comparison still holds if the SOURCE file itself carries exact
+    -- duplicate rows (ingestion replays) — a no-op on a dup-free fixture
+    SELECT DISTINCT event_id, ts, user_id, event_type, value FROM events
     """,
     tags=("streaming", "dedup"),
 )

@@ -3,14 +3,15 @@
 Spark and DuckDB over fixture copies with planted adversarial shapes, and
 report any divergence.
 
-Three axes (same plants as the permanent suites, which only run curated
-subsets for speed — this tool is the exhaustive version that FOUND the
-round-6 bugs):
+Four axes (the first three also have curated permanent suites; this tool is
+the exhaustive version that FOUND the round-6 bugs):
   nulls     — NULL text/lang/user_id/value (incl. guaranteed purchase NULLs)
   boundary  — empty/whitespace docs, zero/negative values
   unicode   — accents, CJK, case-mapping landmines, combining marks, emoji
+  dupes     — exact-duplicate rows (ingestion replays); known primary-key
+              contract divergences are annotated, see EXPECTED_CONTRACT
 
-Run: python tools/robustness_sweep.py [nulls|boundary|unicode|all] [query...]
+Run: python tools/robustness_sweep.py [nulls|boundary|unicode|dupes|all] [query...]
 Exit code 0 = clean; 1 = divergences (printed). ~6 min per axis for the full
 registry on 8 cpus.
 """
@@ -66,6 +67,17 @@ AXES: dict[str, dict[str, str]] = {
                  ELSE text END AS text,
             lang, source, n_chars FROM '{src}'""",
     },
+    # EXACT duplicate rows (identical in every column, including the id):
+    # ingestion replays and at-least-once sinks produce these. Rank windows
+    # tie-break on ids, so duplicated rows get arbitrary rank ASSIGNMENT —
+    # but identical rows make any assignment the same multiset; a divergence
+    # here means an operator depends on id uniqueness more deeply.
+    "dupes": {
+        "documents": """SELECT * FROM '{src}'
+            UNION ALL SELECT * FROM '{src}' WHERE doc_id % 40 = 2""",
+        "events": """SELECT * FROM '{src}'
+            UNION ALL SELECT * FROM '{src}' WHERE event_id % 40 = 2""",
+    },
 }
 
 
@@ -79,6 +91,22 @@ EXPECTED_GUARD = {
     "unicode": {"q80_media_features", "q95_media_resize"},
 }
 GUARD_MARKER = "no longer pure ASCII"
+
+# Known, documented divergences under a DATA-CONTRACT violation rather than
+# engine bugs: these queries' Spark and oracle formulations are equivalent
+# ONLY under the primary-key contract (unique doc_id/event_id/vec_id-joined
+# ids). Exact-duplicate ids make a doc-keyed GROUP BY double-count what a
+# per-row scan computes once (q37/q48), make a prefix-sum's total order
+# ambiguous between identical keys (q86/q134), and fan out dimension joins
+# (q56/q135). The contract is CHECKED, not assumed: q137's expectation audit
+# reports n_rows vs n_distinct_keys per table, which a 100 TB ingest asserts
+# before publishing — on the dupes fixture it reads 1025 vs 1000.
+EXPECTED_CONTRACT = {
+    "dupes": {
+        "q37_repetition_ratio", "q48_contamination", "q56_hybrid_search",
+        "q86_sequence_pack", "q134_chunked_pack", "q135_bitext_mining",
+    },
+}
 
 
 def build_fixture(axis: str) -> str:
@@ -131,6 +159,12 @@ def main() -> int:
                 _, srows = spark_sorted_rows(spec.build(spark, fixture))
                 _, drows = duck_sorted_rows(dk.sql(spec.oracle))
                 if srows != drows:
+                    if name in EXPECTED_CONTRACT.get(axis, set()):
+                        print(
+                            f"CONTRACT [{axis}] {name}: diverges only under "
+                            "the violated primary-key contract (see q137)"
+                        )
+                        continue
                     diff = [(a, b) for a, b in zip(srows, drows) if a != b][:1]
                     bad.append((axis, name, f"spark={len(srows)} duck={len(drows)} {diff}"))
                     print(f"MISMATCH [{axis}] {name}: {bad[-1][2]}")
