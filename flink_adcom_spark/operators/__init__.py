@@ -12,6 +12,7 @@ scale analysis and the reference citation:
         lloyd_kmeans, assign_clusters,          # coarse quantizer training
         cms_build, cms_probe,                   # count-min sketch
         salted_agg, salted_count_distinct,      # hot-key aggregation
+        salted_top_k,                           # exact per-key top-k fold
         l2_normalize, quantize_int8,            # vector prep
         write_bucketed, upsert_partitions,      # pay-the-shuffle-once layouts
     )
@@ -37,7 +38,12 @@ from .multimodal import (  # noqa: F401
     sample_frames,
 )
 from .rangejoin import bucketed_range_join  # noqa: F401
-from .skew import salted_agg, salted_count, salted_count_distinct  # noqa: F401
+from .skew import (  # noqa: F401
+    salted_agg,
+    salted_count,
+    salted_count_distinct,
+    salted_top_k,
+)
 from .storage import (  # noqa: F401
     bucketed_join,
     upsert_partitions,

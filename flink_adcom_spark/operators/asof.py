@@ -115,6 +115,14 @@ def as_of_join(
     # DuckDB's native ASOF JOIN, the oracle, returns the matched row's
     # fields verbatim). A per-column carry would let an older right row's
     # value leak through a NULL field of the matched row.
+    # ANSI: the asof predicate (r.ts <= l.ts or >=) is UNKNOWN for a NULL
+    # LEFT timestamp too — such left rows are returned UNMATCHED. Without
+    # this, Spark's NULLS-FIRST sort places a NULL-ts left row before every
+    # right row, and the forward carry (first over following rows) would
+    # hand it the partition's earliest right row; DuckDB's native ASOF JOIN
+    # (the oracle) returns NULL. The backward direction is only accidentally
+    # immune (nothing precedes a first-sorted row).
+    left_ts_null = F.col(_TS).isNull()
     if right_payload:
         pstruct = F.when(
             F.col(_SIDE) == right_tag,
@@ -122,10 +130,15 @@ def as_of_join(
         )
         unioned = unioned.withColumn("__asof_payload", pstruct)
         carried_struct = carry(F.col("__asof_payload"))
-        carried = [carried_struct[c].alias(c) for c in right_payload]
+        carried = [
+            F.when(left_ts_null, F.lit(None)).otherwise(carried_struct[c]).alias(c)
+            for c in right_payload
+        ]
     else:
         carried = []
-    carried_ts = carry(F.when(F.col(_SIDE) == right_tag, F.col(_TS)))
+    carried_ts = F.when(left_ts_null, F.lit(None)).otherwise(
+        carry(F.when(F.col(_SIDE) == right_tag, F.col(_TS)))
+    )
 
     out = (
         unioned.withColumn("__asof_match_ts", carried_ts)

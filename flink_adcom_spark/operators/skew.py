@@ -78,8 +78,8 @@ def salted_top_k(
     keys: Sequence[str],
     order_cols: Sequence[str],
     k: int,
+    salt_on: str,
     salts: int = 64,
-    salt_on: str = "doc_id",
 ) -> DataFrame:
     """Exact per-key top-k by ascending (order_cols) lexicographic order,
     without a skewed-key rank window — the shared fold behind q133 (exact-k
@@ -94,6 +94,12 @@ def salted_top_k(
     row_number window over a salts*k-per-key relation.
 
     Returns keys + order_cols + `rnk` (1-based, <= k).
+
+    Precondition: `salt_on` must be HIGH-CARDINALITY within each hot key —
+    the salt is xxhash64(salt_on) mod salts, so a low-cardinality salt
+    column re-concentrates the hot group in one buffer and the bound above
+    evaporates. A per-row id (doc_id, event_id) is the right choice; the
+    parameter is required rather than defaulted so the caller states it.
     """
     salt = F.pmod(F.xxhash64(salt_on), F.lit(salts))
     stage1 = (

@@ -1234,7 +1234,7 @@ def q133_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296).alias("h"),
     )
     return salted_top_k(
-        docs, ["lang"], ["h", "doc_id"], EXACT_K, EXACT_K_SALTS
+        docs, ["lang"], ["h", "doc_id"], EXACT_K, salt_on="doc_id", salts=EXACT_K_SALTS
     ).select("lang", "doc_id")
 
 
@@ -1490,7 +1490,8 @@ def q149_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("n_chars")).alias("neg_chars"),
     )
     return salted_top_k(
-        docs, ["source"], ["neg_chars", "doc_id"], SOURCE_CAP, EXACT_K_SALTS
+        docs, ["source"], ["neg_chars", "doc_id"], SOURCE_CAP, salt_on="doc_id",
+        salts=EXACT_K_SALTS,
     ).select("source", "doc_id", (-F.col("neg_chars")).alias("n_chars"))
 
 
@@ -1538,7 +1539,9 @@ def q153_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_top_k
 
     df_counts = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    top = salted_top_k(pairs, ["word"], ["doc_id"], POSTING_CAP, EXACT_K_SALTS)
+    top = salted_top_k(
+        pairs, ["word"], ["doc_id"], POSTING_CAP, salt_on="doc_id", salts=EXACT_K_SALTS
+    )
     return top.join(df_counts, "word").select(
         "word", "doc_id", F.col("rnk").cast("int").alias("posting_rank"), "df"
     )

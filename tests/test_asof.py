@@ -136,3 +136,31 @@ def test_asof_null_semantics_match_sql(spark):
     assert got["x"] is None
     # NULL-keyed left row matches nothing (not the NULL-keyed right row)
     assert got["nullkey"] is None
+
+
+def test_asof_null_left_timestamp_never_matches(spark):
+    """A NULL LEFT timestamp makes the asof predicate UNKNOWN: the row is
+    returned unmatched in BOTH directions (Spark's NULLS-FIRST sort would
+    otherwise hand a forward-direction NULL-ts left row the partition's
+    earliest right row)."""
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "ok"), (1, None, "nullts")],
+        "k long, ts timestamp, l string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(11), 7.0)], "k long, ts timestamp, r double"
+    )
+    fwd = {
+        r["l"]: r["r"]
+        for r in as_of_join(left, right, on=["k"], direction="forward").collect()
+    }
+    assert fwd["ok"] == 7.0
+    assert fwd["nullts"] is None
+    bwd = {
+        r["l"]: r["r"]
+        for r in as_of_join(left, right, on=["k"], direction="backward").collect()
+    }
+    assert bwd["nullts"] is None

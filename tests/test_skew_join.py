@@ -75,7 +75,7 @@ def test_salted_top_k_equals_rank_window(spark):
     got = sorted(
         map(
             tuple,
-            salted_top_k(df, ["key"], ["score", "doc_id"], 7, salts=16)
+            salted_top_k(df, ["key"], ["score", "doc_id"], 7, salt_on="doc_id", salts=16)
             .select("key", "score", "doc_id", "rnk")
             .collect(),
         )
