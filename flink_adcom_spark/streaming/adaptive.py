@@ -69,6 +69,13 @@ class AdaptiveQueryRunner:
         try:
             while time.monotonic() < deadline:
                 time.sleep(poll_s)
+                # cheap peek first: recentProgress round-trips the whole
+                # retained-progress buffer (up to 100 JSON documents) through
+                # py4j per call; lastProgress is one document, and if ITS
+                # batch has been seen, nothing new exists to fetch
+                last = query.lastProgress
+                if last is not None and last["batchId"] in seen_batches:
+                    continue
                 decision = None
                 for p in query.recentProgress:
                     bid = p["batchId"]
@@ -127,9 +134,8 @@ class SelfPacedAdaptiveRunner:
         sleep=time.sleep,
         hist_window_s: float | None = None,
     ):
-        from .controller import HISTOGRAM_WINDOW_S
-
         self.controller = controller or BandController()
+        kw = {} if hist_window_s is None else {"hist_window_s": hist_window_s}
         self.listener = TriggerControllerListener(
             self.controller,
             trigger_ms_getter=lambda: self.controller.interval_ms,
@@ -137,7 +143,7 @@ class SelfPacedAdaptiveRunner:
             clock=clock,  # one time source end-to-end, so an injected
             # simulation clock drives the decision cadence and the signal
             # histogram window too, not just the pacing sleeps
-            hist_window_s=HISTOGRAM_WINDOW_S if hist_window_s is None else hist_window_s,
+            **kw,  # None -> the listener's own HISTOGRAM_WINDOW_S default
         )
         self._clock = clock
         self._sleep = sleep

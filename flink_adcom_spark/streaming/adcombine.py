@@ -64,24 +64,56 @@ def ad_combine_stream(
     ser = serialize or (lambda v: json.dumps(v))
     de = deserialize or (lambda s: json.loads(s))
 
+    # The state row is (bundle, __flush_deadline): state_schema declares the
+    # SINGLE serialized-bundle field (enforced — a multi-field schema would
+    # desync from the fixed-width tuples written below and fail deep inside
+    # the Arrow worker with an opaque unpack error; pack composite bundles
+    # through serialize/deserialize instead), and the operator appends the
+    # flush deadline it maintains.
+    if "," in state_schema:
+        raise ValueError(
+            "state_schema declares exactly one serialized-bundle field; got "
+            f"{state_schema!r}. Pack composite bundles via serialize/deserialize."
+        )
+    full_state_schema = f"{state_schema}, __flush_deadline long"
+
     def fn(key, pdf_iter, state: GroupState):
+        import time as _time
+
         if state.hasTimedOut:
-            (bundle_s,) = state.get
+            bundle_s, _deadline = state.get
             state.remove()
             out = emit(key, de(bundle_s))
             yield pd.DataFrame(out)
             return
-        value = de(state.get[0]) if state.exists else None
+        # Spark CLEARS and re-arms the processing-time timeout on every data
+        # invocation for the key, so a continuously-hot key would never time
+        # out if the countdown restarted each batch. The deadline therefore
+        # lives IN STATE: it is fixed when the bundle opens, the timeout is
+        # re-armed only with the REMAINING time, and if the deadline has
+        # already passed when data arrives the bundle is flushed inline —
+        # the reference's timer fires every interval regardless of traffic
+        # (PreAggregateProcTimeStreamAbstractOperator.java:136-185).
+        now_ms = int(_time.time() * 1000)
+        if state.exists:
+            bundle_s, deadline = state.get
+            value = de(bundle_s)
+        else:
+            value, deadline = None, now_ms + interval_ms
         for pdf in pdf_iter:
             value = fold(value, pdf)
-        state.update((ser(value),))
-        state.setTimeoutDuration(interval_ms)
+        if now_ms >= deadline:
+            state.remove()
+            yield pd.DataFrame(emit(key, value))
+            return
+        state.update((ser(value), deadline))
+        state.setTimeoutDuration(max(1, deadline - now_ms))
         yield pd.DataFrame([])
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
         fn,
         outputStructType=output_schema,
-        stateStructType=state_schema,
+        stateStructType=full_state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

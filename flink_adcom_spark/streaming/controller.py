@@ -96,6 +96,11 @@ class SignalsHistogram:
         while self._samples and self._samples[0][0] < cutoff:
             self._samples.popleft()
 
+    def clear(self) -> None:
+        """Drop all samples — called after an interval change, because every
+        recorded utilization is denominated in the OLD interval."""
+        self._samples.clear()
+
     def summary(self) -> SignalsSummary | None:
         vals = [v for _, v in self._samples]
         if not vals:
@@ -203,6 +208,17 @@ class TriggerControllerListener:
             summary = self._hist.summary()
             decision = self.controller.decide([summary] if summary else [])
             self.decisions.append(decision)
+            if decision.changed:
+                # anti-windup: every sample in the window is a utilization
+                # computed against the OLD interval. When the decision period
+                # is shorter than the window (both runners decide every
+                # 0.5-3 s against a 120 s window), re-consuming them would
+                # step the same direction every period until the floor/
+                # ceiling — integral windup. The reference sidesteps this
+                # because its signal (outPoolUsage) is interval-independent
+                # and its decision period equals the window; here the window
+                # restarts with fresh evidence after each actuation.
+                self._hist.clear()
         if self._on_decision is not None:
             self._on_decision(decision)
         return decision

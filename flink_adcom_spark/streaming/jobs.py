@@ -106,12 +106,13 @@ def streaming_tpch_q1(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
     peek = (
         spark.read.option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir).schema
     )
-    li = (
-        spark.readStream.schema(peek)
-        .option("pathGlobFilter", "lineitem.parquet")
-        .parquet(sf_dir)
-    )
-    li = _normalize_to_declared(li, "lineitem")
+    reader = spark.readStream.schema(peek).option("pathGlobFilter", "lineitem.parquet")
+    # honor reader options like maxFilesPerTrigger, same contract as
+    # _events_stream (previously **kw was silently dropped)
+    for k, v in kw.items():
+        if v is not None:
+            reader = reader.option(k, v)
+    li = _normalize_to_declared(reader.parquet(sf_dir), "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(*_q1_aggs())
 
 
@@ -300,6 +301,59 @@ def streaming_ride_count_updates(
     )
 
 
+def _partition_merge_sink(
+    out_path: str,
+    build_delta,
+    combine,
+    applied_markers: bool = False,
+):
+    """Shared foreachBatch scaffold for the incremental materialize jobs:
+    build a (day-partitioned) delta from the batch, fold it into the touched
+    day partitions of the stored table, and rewrite ONLY those partitions
+    (dynamic partition overwrite).
+
+    - Existence is checked explicitly (not inferred from a read failure): a
+      transient IO error or corrupt footer must propagate and fail the batch
+      — treating it as "first batch" would overwrite the touched partitions
+      with delta-only rows and silently drop history.
+    - The delta and the merged relation are eagerly checkpointed before the
+      overwrite, because the merge READS the partitions it is about to
+      rewrite.
+    - applied_markers=True records a per-epoch marker under _applied/ (an
+      underscore-prefixed dir, invisible to parquet readers) and skips
+      epochs already applied: required when `combine` is NOT idempotent
+      (counter addition) and a checkpoint-replayed epoch would double-fold.
+      Union/replace-style combines are naturally idempotent and can skip
+      the marker round-trips.
+    """
+    from ..operators.storage import upsert_partitions
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        jvm = sess._jvm
+        jsc = sess._jsc
+        hadoop_path = jvm.org.apache.hadoop.fs.Path
+        fs = hadoop_path(out_path).getFileSystem(jsc.hadoopConfiguration())
+        if applied_markers:
+            marker = hadoop_path(f"{out_path}/_applied/epoch_{batch_id}")
+            if fs.exists(marker):
+                return  # replayed epoch, already folded in
+        delta = build_delta(batch_df).localCheckpoint(eager=True)
+        days = [r["day"] for r in delta.select("day").distinct().collect()]
+        if fs.exists(hadoop_path(out_path)):
+            existing = sess.read.parquet(out_path).filter(F.col("day").isin(days))
+            merged = combine(existing, delta).localCheckpoint(eager=True)
+        else:  # first batch: table does not exist yet
+            merged = delta
+        upsert_partitions(merged, out_path, ["day"])
+        if applied_markers:
+            fs.mkdirs(marker)  # AFTER the upsert: replay re-applies cleanly
+
+    return merge
+
+
 def streaming_daily_stats_materialize(
     spark: SparkSession, events_dir: str, out_path: str, checkpoint: str | None = None, **kw
 ) -> None:
@@ -313,8 +367,6 @@ def streaming_daily_stats_materialize(
     100 TB property. This is the durable-serving-table face of the
     reference's retract stream (SURVEY.md T4): same deltas, upserted into
     storage instead of printed."""
-    from ..operators.storage import upsert_partitions
-
     ev = _events_stream(spark, events_dir, **kw)
     agg = (
         ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
@@ -325,29 +377,14 @@ def streaming_daily_stats_materialize(
         )
     )
 
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sess = batch_df.sparkSession
-        delta = batch_df.localCheckpoint(eager=True)
-        days = [r["day"] for r in delta.select("day").distinct().collect()]
-        # Existence is checked explicitly (not inferred from a read failure):
-        # a transient IO error or corrupt footer must propagate and fail the
-        # batch — treating it as "first batch" would overwrite the touched
-        # day partitions with delta-only rows and silently drop history.
-        jvm = sess._jvm
-        jsc = sess._jsc
-        path = jvm.org.apache.hadoop.fs.Path(out_path)
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(path):
-            existing = sess.read.parquet(out_path).filter(F.col("day").isin(days))
-            # keep groups the delta does not supersede; materialize before
-            # overwriting the partitions being read
-            keep = existing.join(delta.select("day", "event_type"), ["day", "event_type"], "left_anti")
-            merged = keep.unionByName(delta).localCheckpoint(eager=True)
-        else:  # first batch: table does not exist yet
-            merged = delta
-        upsert_partitions(merged, out_path, ["day"])
+    def combine(existing: DataFrame, delta: DataFrame) -> DataFrame:
+        # replace-merge (idempotent): keep groups the delta does not supersede
+        keep = existing.join(
+            delta.select("day", "event_type"), ["day", "event_type"], "left_anti"
+        )
+        return keep.unionByName(delta)
+
+    merge = _partition_merge_sink(out_path, lambda b: b, combine)
 
     writer = agg.writeStream.outputMode("update").foreachBatch(merge)
     if checkpoint is not None:
@@ -362,7 +399,8 @@ def streaming_daily_stats_materialize(
 
 
 def streaming_sketch_rollup_materialize(
-    spark: SparkSession, events_dir: str, out_path: str, **kw
+    spark: SparkSession, events_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
 ) -> None:
     """Incrementally maintain a per-(day, event_type) HLL sketch table from
     the event stream: each micro-batch pre-aggregates its rows into
@@ -380,51 +418,45 @@ def streaming_sketch_rollup_materialize(
     KB-sized sketches, never O(history) — and because there is no streaming
     aggregation state, nothing grows with the key space; the serving table
     IS the state."""
-    from ..operators.storage import upsert_partitions
-
     ev = _events_stream(spark, events_dir, **kw)
 
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sess = batch_df.sparkSession
-        delta = (
-            batch_df.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
-            .agg(F.hll_sketch_agg("user_id").alias("sketch"))
-            .localCheckpoint(eager=True)
-        )
-        days = [r["day"] for r in delta.select("day").distinct().collect()]
-        jvm = sess._jvm
-        jsc = sess._jsc
-        path = jvm.org.apache.hadoop.fs.Path(out_path)
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(path):
-            existing = sess.read.parquet(out_path).filter(F.col("day").isin(days))
-            merged = (
-                existing.withColumnRenamed("sketch", "old_sketch")
-                .join(delta.withColumnRenamed("sketch", "new_sketch"),
-                      ["day", "event_type"], "full_outer")
-                .select(
-                    "day",
-                    "event_type",
-                    F.when(F.col("old_sketch").isNull(), F.col("new_sketch"))
-                    .when(F.col("new_sketch").isNull(), F.col("old_sketch"))
-                    .otherwise(F.hll_union("old_sketch", "new_sketch"))
-                    .alias("sketch"),
-                )
-                .localCheckpoint(eager=True)
-            )
-        else:
-            merged = delta
-        upsert_partitions(merged, out_path, ["day"])
+    def build_delta(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
 
-    q = ev.writeStream.outputMode("append").foreachBatch(merge).start()
-    q.processAllAvailable()
-    q.stop()
+    def combine(existing: DataFrame, delta: DataFrame) -> DataFrame:
+        # HLL union is IDEMPOTENT (register-wise max): folding the same
+        # delta twice is a no-op, so no applied-markers needed
+        return (
+            existing.withColumnRenamed("sketch", "old_sketch")
+            .join(delta.withColumnRenamed("sketch", "new_sketch"),
+                  ["day", "event_type"], "full_outer")
+            .select(
+                "day",
+                "event_type",
+                F.when(F.col("old_sketch").isNull(), F.col("new_sketch"))
+                .when(F.col("new_sketch").isNull(), F.col("old_sketch"))
+                .otherwise(F.hll_union("old_sketch", "new_sketch"))
+                .alias("sketch"),
+            )
+        )
+
+    writer = ev.writeStream.outputMode("append").foreachBatch(
+        _partition_merge_sink(out_path, build_delta, combine)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def streaming_cms_rollup_materialize(
-    spark: SparkSession, events_dir: str, out_path: str, **kw
+    spark: SparkSession, events_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
 ) -> None:
     """Incrementally maintain a per-day count-min sketch table from the
     event stream: each micro-batch builds BATCH-LOCAL (day, j, bkt, c)
@@ -439,48 +471,46 @@ def streaming_cms_rollup_materialize(
     gates that equality externally. Steady-state cost per batch: O(touched
     days x d x w) counter rows, never O(history) and never O(keys)."""
     from ..operators.cms import cms_build
-    from ..operators.storage import upsert_partitions
 
     ev = _events_stream(spark, events_dir, **kw)
 
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sess = batch_df.sparkSession
-        delta = cms_build(
+    def build_delta(batch_df: DataFrame) -> DataFrame:
+        return cms_build(
             batch_df.withColumn("day", F.col("ts").cast("date")),
             "user_id",
             group_cols=("day",),
-        ).localCheckpoint(eager=True)
-        days = [r["day"] for r in delta.select("day").distinct().collect()]
-        jvm = sess._jvm
-        jsc = sess._jsc
-        path = jvm.org.apache.hadoop.fs.Path(out_path)
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(path):
-            existing = sess.read.parquet(out_path).filter(F.col("day").isin(days))
-            merged = (
-                existing.withColumnRenamed("c", "old_c")
-                .join(
-                    delta.withColumnRenamed("c", "new_c"),
-                    ["day", "j", "bkt"],
-                    "full_outer",
-                )
-                .select(
-                    "day",
-                    "j",
-                    "bkt",
-                    (
-                        F.coalesce(F.col("old_c"), F.lit(0))
-                        + F.coalesce(F.col("new_c"), F.lit(0))
-                    ).alias("c"),
-                )
-                .localCheckpoint(eager=True)
-            )
-        else:
-            merged = delta
-        upsert_partitions(merged, out_path, ["day"])
+        )
 
-    q = ev.writeStream.outputMode("append").foreachBatch(merge).start()
-    q.processAllAvailable()
-    q.stop()
+    def combine(existing: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
+            existing.withColumnRenamed("c", "old_c")
+            .join(
+                delta.withColumnRenamed("c", "new_c"),
+                ["day", "j", "bkt"],
+                "full_outer",
+            )
+            .select(
+                "day",
+                "j",
+                "bkt",
+                (
+                    F.coalesce(F.col("old_c"), F.lit(0))
+                    + F.coalesce(F.col("new_c"), F.lit(0))
+                ).alias("c"),
+            )
+        )
+
+    # counter ADDITION is not idempotent: a checkpoint-replayed epoch would
+    # double every touched counter, so per-epoch applied-markers gate the
+    # fold (plus the optional checkpoint for restart-with-skip of committed
+    # epochs)
+    writer = ev.writeStream.outputMode("append").foreachBatch(
+        _partition_merge_sink(out_path, build_delta, combine, applied_markers=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -534,3 +534,55 @@ def test_streaming_cms_rollup_batching_invariant(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert two == four == batch
+
+
+def test_ad_combine_hot_key_flushes_mid_stream(spark, tmp_path):
+    """A key that receives rows in EVERY micro-batch must still flush every
+    interval: Spark clears and re-arms the processing-time timeout on each
+    data invocation, so without the in-state deadline the countdown restarts
+    per batch and a continuously-hot key never emits until the feed stops.
+    The rate source never pauses, so any mid-run output at all proves the
+    deadline path (the old code produced rows only after query teardown)."""
+    import time as _time
+
+    from flink_adcom_spark.sources.replay import words_stream
+    from flink_adcom_spark.streaming.adcombine import ad_combine_stream
+
+    stream = words_stream(spark, rows_per_second=2000).select("word")
+
+    def fold(value, pdf):
+        return (value or 0) + len(pdf)
+
+    def emit(key, value):
+        return [{"word": str(key[0]), "cnt_delta": int(value)}]
+
+    deltas = ad_combine_stream(
+        stream,
+        keys=["word"],
+        fold=fold,
+        emit=emit,
+        output_schema="word string, cnt_delta long",
+        interval_ms=500,
+    )
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    q = (
+        deltas.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hot"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        mid_run_rows = 0
+        deadline = _time.time() + 20
+        while _time.time() < deadline:
+            _time.sleep(1.0)
+            mid_run_rows = spark.sql(f"SELECT COUNT(*) c FROM {name}").collect()[0]["c"]
+            if mid_run_rows >= 2:
+                break
+        assert mid_run_rows >= 2, (
+            "no mid-stream flushes: hot-key bundles only drained at teardown"
+        )
+    finally:
+        q.stop()
