@@ -25,7 +25,12 @@ _KM_PER_MILE = "1.609344"
 
 
 def distance_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
-    """Distance expression as SQL text valid in both Spark SQL and DuckDB."""
+    """Distance expression as SQL text valid in both Spark SQL and DuckDB.
+
+    Arguments are parenthesized on interpolation, so compound expressions
+    (e.g. ``"lon_base - lon_off"``) keep their meaning instead of being
+    mangled by operator precedence inside ``radians(a - b)``."""
+    lat1, lon1, lat2, lon2 = (f"({c})" for c in (lat1, lon1, lat2, lon2))
     arg = (
         f"sin(radians({lat1})) * sin(radians({lat2})) + "
         f"cos(radians({lat1})) * cos(radians({lat2})) * cos(radians({lon1} - {lon2}))"

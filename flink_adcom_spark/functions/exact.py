@@ -36,9 +36,12 @@ def dec_sum(expr: Column | str, typ: str = MONEY) -> Column:
 
 
 def dec_avg(expr: Column | str, typ: str = MONEY) -> Column:
-    """Exact-sum average (sum/count), returned as double."""
+    """Exact-sum average with AVG's NULL semantics (sum / non-null count),
+    returned as double. COUNT(col), not COUNT(*): dividing by the row count
+    would silently deflate the average of any nullable column (SUM skips
+    NULLs, so the denominators must skip the same rows)."""
     c = F.col(expr) if isinstance(expr, str) else expr
-    return F.sum(c.cast(typ)).cast("double") / F.count(F.lit(1))
+    return F.sum(c.cast(typ)).cast("double") / F.count(c)
 
 
 def sql_dec_sum(expr: str, typ: str = MONEY) -> str:
@@ -46,7 +49,8 @@ def sql_dec_sum(expr: str, typ: str = MONEY) -> str:
 
 
 def sql_dec_avg(expr: str, typ: str = MONEY) -> str:
-    return f"(CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE) / COUNT(*))"
+    # COUNT(expr), not COUNT(*): AVG NULL semantics (see dec_avg)
+    return f"(CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE) / COUNT({expr}))"
 
 
 # -- decimal column factories for derived money expressions -------------------

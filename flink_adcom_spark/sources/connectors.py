@@ -47,6 +47,19 @@ def jdbc_table(spark: SparkSession, url: str, table: str, **options) -> DataFram
     driver = options.get("driver")
     if driver:
         _gate(spark, "jdbc", driver)
+    else:
+        # no explicit driver option: ask DriverManager whether ANY registered
+        # driver accepts the url, so the no-jar case still fails with ONE
+        # clear ConnectorUnavailable instead of a deep Py4J SQLException
+        # from reader.load()
+        try:
+            spark._jvm.java.sql.DriverManager.getDriver(url)
+        except Exception as e:  # noqa: BLE001
+            raise ConnectorUnavailable(
+                f"no JDBC driver on the classpath accepts url {url!r} — add "
+                "the driver jar via spark.jars/spark.jars.packages (e.g. "
+                "org.postgresql:postgresql) or pass driver=<class> explicitly"
+            ) from e
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():
         reader = reader.option(k, v)

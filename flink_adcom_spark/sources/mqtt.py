@@ -46,7 +46,9 @@ def mqtt_sink_writer(
 ):
     """foreachBatch function publishing each row's string form (the K1
     contract: one message per record, at-least-once — MqttDataSink.java:
-    15-112).
+    15-112). At-least-once is real: QoS 1 with wait_for_publish inside the
+    partition, so an unacknowledged message fails the task (and the batch
+    replays) instead of being silently dropped at QoS 0.
 
     Publishing happens EXECUTOR-SIDE via foreachPartition — one client
     connection per partition, rows never routed through the driver. (A sink
@@ -61,16 +63,40 @@ def mqtt_sink_writer(
         mqtt = _paho()
 
         def client_factory():
+            # paho-mqtt >= 2.0 requires the callback API version as the
+            # first argument (bare Client() raises ValueError there);
+            # 1.x has no CallbackAPIVersion attribute
+            if hasattr(mqtt, "CallbackAPIVersion"):
+                return mqtt.Client(mqtt.CallbackAPIVersion.VERSION2)
             return mqtt.Client()
 
     def publish(batch_df: DataFrame, epoch_id: int) -> None:
         def publish_partition(rows) -> None:
             client = client_factory()
             client.connect(host, port)
+            # at-least-once needs a network loop (paho queues outbound
+            # packets; without loop_start nothing is flushed until
+            # disconnect's implicit teardown, and broker rejections are
+            # silent) plus QoS 1 + wait_for_publish so a lost PUBACK keeps
+            # the batch from committing. Fakes without these surfaces
+            # degrade gracefully (hasattr guards).
+            if hasattr(client, "loop_start"):
+                client.loop_start()
             try:
+                infos = []
                 for row in rows:
-                    client.publish(topic, "|".join(str(v) for v in row))
+                    payload = "|".join(str(v) for v in row)
+                    try:
+                        info = client.publish(topic, payload, qos=1)
+                    except TypeError:  # fake client without a qos parameter
+                        info = client.publish(topic, payload)
+                    if hasattr(info, "wait_for_publish"):
+                        infos.append(info)
+                for info in infos:
+                    info.wait_for_publish(timeout=30)
             finally:
+                if hasattr(client, "loop_stop"):
+                    client.loop_stop()
                 client.disconnect()
 
         batch_df.foreachPartition(publish_partition)

@@ -35,19 +35,24 @@ WORDS_STREAM_SCHEMA = "ts timestamp, word string"
 class DataRateFile:
     """The control-file contract (DataRateListener.java:30-56 reads a long
     from /tmp/datarate.txt; there it is a nanosecond delay, here the
-    Spark-native unit rows/second). Missing/garbled file -> default rate,
-    matching the reference's fallback-to-current behavior."""
+    Spark-native unit rows/second). A missing/garbled read falls back to the
+    LAST SUCCESSFULLY READ rate (the reference's fallback-to-current
+    behavior — falling back to the constructor default would snap a ramped-
+    up experiment back to its starting rate on one torn read), and to
+    default_rate only before any successful read."""
 
     def __init__(self, path: str, default_rate: int = 1000):
         self.path = path
         self.default_rate = int(default_rate)
+        self._last = int(default_rate)
 
     def read_rate(self) -> int:
         try:
             with open(self.path) as f:
-                return max(0, int(f.read().strip()))
+                self._last = max(0, int(f.read().strip()))
         except (OSError, ValueError):
-            return self.default_rate
+            pass  # hold the current rate
+        return self._last
 
     def write_rate(self, rows_per_second: int) -> None:
         tmp = f"{self.path}.tmp"
@@ -86,6 +91,8 @@ class VariableRateFeeder:
         self._seq = 0
         self._row = 0
         self.rows_written = 0
+        self.error: BaseException | None = None  # set if the feeder died
+        self.prune_after_s = 120.0  # delete spool files older than this
 
     # -- feeder loop ----------------------------------------------------------
     def _write_tick(self, n_rows: int) -> None:
@@ -107,8 +114,30 @@ class VariableRateFeeder:
         self._seq += 1
         self._row += n_rows
         self.rows_written += n_rows
+        # bound the spool: one file per tick adds up (~9k/hour at the
+        # default tick), and the file source re-lists the directory every
+        # micro-batch — prune files old enough that every consumer has long
+        # since processed them
+        if self._seq % 50 == 0:
+            cutoff = time.time() - self.prune_after_s
+            for name in os.listdir(self.spool_dir):
+                if not name.startswith("tick-"):
+                    continue
+                path = os.path.join(self.spool_dir, name)
+                try:
+                    if os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                except OSError:
+                    pass  # concurrent cleanup; harmless
 
     def _run(self) -> None:
+        try:
+            self._run_inner()
+        except BaseException as e:  # noqa: BLE001 — surfaced via stop()
+            self.error = e
+            raise
+
+    def _run_inner(self) -> None:
         last_poll = 0.0
         rate = self.rate_file.read_rate()
         while not self._stop.is_set():
@@ -132,6 +161,12 @@ class VariableRateFeeder:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        if self.error is not None:
+            # a feeder that died mid-run silently starves the stream — the
+            # experiment must FAIL, not record a bogus zero-rate phase
+            raise RuntimeError(
+                f"rate feeder thread died mid-run: {self.error!r}"
+            ) from self.error
 
 
 def variable_words_stream(spark, spool_dir: str, max_files_per_trigger: int | None = None):

@@ -110,11 +110,15 @@ def test_mqtt_wire_roundtrip_against_live_broker(spark, sf_dir):
     received: list[str] = []
     done = threading.Event()
 
-    sub = mqtt.Client()
+    sub = (
+        mqtt.Client(mqtt.CallbackAPIVersion.VERSION2)
+        if hasattr(mqtt, "CallbackAPIVersion")
+        else mqtt.Client()
+    )
     sub.connect(host, port)
     sub.subscribe(topic)
 
-    def on_message(_client, _userdata, msg):
+    def on_message(_client, _userdata, msg, *_props):
         received.append(msg.payload.decode())
         if len(received) >= 5:
             done.set()
