@@ -45,17 +45,32 @@ def cms_probe(
     """Estimate each keys[key]'s frequency: broadcast the sketch onto the
     candidate keys and take the min over the d hash rows. With group_cols,
     each candidate probes ITS group's sketch. Preserves the other columns
-    of `keys`. LEFT join + coalesce(0): a key none of whose buckets were
-    ever touched estimates 0 (a never-seen key must come back as zero, not
+    of `keys` AND row multiplicity (a per-row id keys the regrouping, so a
+    probe row that legitimately appears twice yields two output rows — a
+    groupBy over the key columns would silently collapse them). Internal
+    working columns are __cms_-prefixed, so a keys frame already carrying
+    j/bkt columns (e.g. anything the CMS machinery itself produced) probes
+    cleanly. LEFT join + coalesce(0): a key none of whose buckets were ever
+    touched estimates 0 (a never-seen key must come back as zero, not
     vanish from the result)."""
-    probes = keys.select("*", F.explode(_js()).alias("j")).select(
-        "*", _bkt(key)
+    probes = (
+        keys.withColumn("__cms_rid", F.monotonically_increasing_id())
+        .select("*", F.explode(_js()).alias("__cms_j"))
+        .withColumn(
+            "__cms_bkt", F.pmod(F.xxhash64(key, "__cms_j"), F.lit(CMS_WIDTH))
+        )
     )
-    other = [c for c in keys.columns]
+    cond = (probes["__cms_j"] == sketch["j"]) & (probes["__cms_bkt"] == sketch["bkt"])
+    for g in group_cols:
+        cond = cond & (probes[g] == sketch[g])
+    joined = probes.join(F.broadcast(sketch), cond, "left")
     return (
-        probes.join(F.broadcast(sketch), [*group_cols, "j", "bkt"], "left")
-        .groupBy(*other)
-        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+        joined.groupBy("__cms_rid")
+        .agg(
+            F.min(F.coalesce(sketch["c"], F.lit(0))).alias("est"),
+            *[F.first(probes[c]).alias(c) for c in keys.columns],
+        )
+        .select(*keys.columns, "est")
     )
 
 

@@ -47,16 +47,29 @@ def connected_components(
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # dedup once before the loop: multi-band LSH joins emit the same
+        # pair once per matching band, and without this every one of the
+        # O(diameter) per-round joins carries the duplication factor
+        .distinct()
         .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
     ).localCheckpoint(eager=False)
 
-    # labels only ever DECREASE (least of self and neighbors), so the label
-    # sum strictly decreases until the fixpoint — an O(1)-row aggregate
-    # detects convergence without joining new labels against old ones.
-    prev_sum = None
+    # convergence = (count, xxhash64-checksum) fingerprint of the label
+    # assignment — an O(1)-row aggregate, TYPE-AGNOSTIC (the twophase
+    # sibling's scheme). The previous sum-based probe silently broke on
+    # string vertex ids: SUM over strings is NULL, which compared equal to
+    # the None sentinel and returned unconverged labels after one round.
+    def _fingerprint(lbl_df: DataFrame) -> tuple:
+        row = lbl_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(v, lbl))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_fp = None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.v)
@@ -74,10 +87,10 @@ def connected_components(
             # (materialize + probe fused), not two
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
+        cur_fp = _fingerprint(labels)
+        if cur_fp == prev_fp:
             return labels.select("v", F.col("lbl").alias("cluster_id"))
-        prev_sum = cur_sum
+        prev_fp = cur_fp
     raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
 
 

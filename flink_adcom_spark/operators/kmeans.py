@@ -20,24 +20,30 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _sq_dist(vec_col: str, centroid: list[float]) -> Column:
-    """Squared L2 distance between an array<double> column and a constant."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Add a `cluster` column: index of the nearest centroid (ties -> lowest
-    index, via array_position returning the first match)."""
-    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    index, via array_position returning the first match).
+
+    The centroid matrix enters the plan as ONE array<array<double>> literal
+    (a genuine broadcast-style constant) with the per-centroid distances
+    computed by HOFs over it — NOT as k*dim scalar literal nodes unrolled
+    into the expression tree, which at IVF scale (k=256, d=512 -> ~131k
+    nodes) would blow Catalyst analysis and codegen method-size limits.
+    Arithmetic is unchanged: per-centroid squared-distance fold in element
+    order, so assignments are bit-identical to the unrolled form."""
+    cmat = F.lit([[float(x) for x in c] for c in centroids])
+    dists = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
     cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return df.withColumn("cluster", cluster)
 
@@ -79,6 +85,13 @@ def lloyd_kmeans(
     df = df.select(id_col, vec_col).localCheckpoint(eager=False)
     init_rows = df.orderBy(id_col).limit(k).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    if not centroids:
+        raise ValueError("lloyd_kmeans: input has no rows")
+    if len(centroids) < k:
+        # fewer points than requested clusters: clamp (every point is its
+        # own centroid) instead of letting the empty-cluster fallback index
+        # past the init list
+        k = len(centroids)
     for _ in range(iters):
         assigned = assign_clusters(df, vec_col, centroids)
         new = _update_centroids(assigned, vec_col, k)

@@ -38,6 +38,7 @@ def bucketed_range_join(
     end: str = "end",
     on: list[str] | None = None,
     bucket_width_s: int = 3600,
+    max_span_buckets: int = 10_000,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with
     start <= point_ts < end (half-open), optionally also equi-matching the
@@ -50,6 +51,22 @@ def bucketed_range_join(
         raise ValueError(f"column collision: {sorted(clash)}; rename first")
 
     width_us = int(bucket_width_s) * 1_000_000
+    # fail fast on unbounded explode: ONE far-future sentinel end (the
+    # common open-interval encoding, e.g. 9999-12-31) would generate a
+    # ~70M-element sequence per row at the default width and OOM an
+    # executor. One cheap agg over the interval side guards the whole job;
+    # clip sentinel ends (or widen the buckets) before joining.
+    span = (
+        F.floor(F.unix_micros(F.col(end)) / width_us)
+        - F.floor(F.unix_micros(F.col(start)) / width_us)
+    )
+    worst = intervals.agg(F.max(span).alias("m")).collect()[0]["m"]
+    if worst is not None and worst + 1 > max_span_buckets:
+        raise ValueError(
+            f"an interval spans {worst + 1} buckets (> max_span_buckets="
+            f"{max_span_buckets}) at bucket_width_s={bucket_width_s}; clip "
+            "open-ended sentinel intervals or pass a larger bucket width"
+        )
     p = points.withColumn(_BUCKET, F.floor(F.unix_micros(F.col(point_ts)) / width_us).cast("long"))
     i = intervals.withColumn(
         _BUCKET,

@@ -59,24 +59,36 @@ def compact(
     Uses repartition (round-robin) for even sizes; runs per-partition-dir in
     production so only closed partitions rewrite."""
     import math
-    import os
 
-    total_bytes = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _dn, fns in os.walk(path)
-        for f in fns
-        if f.endswith(".parquet")
-    )
+    # size via the Hadoop FileSystem API, NOT os.walk: the path may be
+    # s3a://, hdfs://, or driver-remote — a local-filesystem walk would
+    # silently measure 0 bytes there and funnel the whole dataset through
+    # repartition(1)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     if out_path is None:
-        # cannot lazily read and overwrite the same path: write aside, swap
-        import shutil
-
-        tmp = path.rstrip("/") + "__compacting"
-        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.replace(tmp, path)
+        # cannot lazily read and overwrite the same path: write aside, then
+        # swap via two renames. The crash window leaves EITHER the original
+        # intact (before the first rename) OR the dataset parked at
+        # <path>__precompact + the compacted copy at <path>__compacting —
+        # recoverable by a rename, never destroyed (the previous
+        # rmtree-then-replace order had a window with NO copy at all).
+        # Readers racing the swap can still glimpse a missing path: at
+        # production scale do this per closed partition, or swap a
+        # metastore/table pointer instead of the directory.
+        tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+        old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp.toString())
+        if not fs.rename(hpath, old):
+            raise IOError(f"compact: could not park {path} at {old}")
+        if not fs.rename(tmp, hpath):
+            fs.rename(old, hpath)  # roll back
+            raise IOError(f"compact: could not move {tmp} into place; rolled back")
+        fs.delete(old, True)
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files

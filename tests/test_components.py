@@ -129,3 +129,22 @@ def test_twophase_handles_high_diameter_path(spark):
     assert {r["cluster_id"] for r in got} == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path, max_iter=10)
+
+
+def test_label_propagation_supports_string_vertex_ids(spark):
+    """The convergence probe must be type-agnostic: the old SUM(label) probe
+    returned NULL for string ids, which compared equal to the None sentinel
+    and silently stopped after one propagation round (a 3-hop chain then got
+    two cluster ids)."""
+    from flink_adcom_spark.operators.components import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    for fn in (connected_components, connected_components_twophase):
+        got = {r["v"]: r["cluster_id"] for r in fn(edges).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}, fn.__name__
