@@ -22,14 +22,59 @@ def simple_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _split_struct_fields(body: str) -> list[str]:
+    """Top-level field names of a struct<...> body: commas are split at
+    depth 0 only, so nested types (array<float>, struct<a:int,b:int>) keep
+    their fields intact instead of truncating the parse."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [f.split(":")[0].strip() for f in out if f.strip()]
+
+
+def _read_schema_body(plan: str, start: int) -> str | None:
+    """The balanced struct<...> body starting at plan[start] (the first '<'
+    after a ReadSchema marker) — a [^>]* regex would stop at the first '>'
+    INSIDE a nested type and silently drop every later column."""
+    depth = 0
+    for i in range(start, len(plan)):
+        if plan[i] == "<":
+            depth += 1
+        elif plan[i] == ">":
+            depth -= 1
+            if depth == 0:
+                return plan[start + 1 : i]
+    return None
+
+
 def scan_columns(df: DataFrame, table_hint: str = "") -> list[str]:
-    """Columns actually read from the (first matching) parquet scan —
-    the column-pruning contract."""
+    """Columns actually read from the (first matching) parquet scan — the
+    column-pruning contract. `table_hint` (optional) selects among multiple
+    scans by substring of the scan's Location/file path, not of the column
+    names (column names never contain the table name)."""
     plan = formatted_plan(df)
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
-        if not table_hint or any(table_hint in c for c in cols):
-            return cols
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        body = _read_schema_body(plan, m.end() - 1)
+        if body is None:
+            continue
+        if table_hint:
+            # the scan block around this ReadSchema line carries a
+            # `Location: ... [file:/...]` line naming the table path
+            block_start = plan.rfind("\n\n", 0, m.start())
+            block = plan[block_start if block_start != -1 else 0 : m.start()]
+            if table_hint not in block:
+                continue
+        return _split_struct_fields(body)
     return []
 
 

@@ -74,10 +74,26 @@ _LOADED = False
 
 
 def _load_all() -> None:
-    """Import every query module exactly once (imports run the decorators)."""
+    """Import every query module exactly once (imports run the decorators).
+
+    On a partial import failure the already-executed decorators are rolled
+    back: without this, the NEXT call would re-import the failed module
+    (Python evicts it from sys.modules) and die on 'duplicate query name',
+    burying the real error under a registry artifact."""
     global _LOADED
     if _LOADED:
         return
+    snapshot = dict(_REGISTRY)
+    try:
+        _load_modules()
+    except BaseException:
+        _REGISTRY.clear()
+        _REGISTRY.update(snapshot)
+        raise
+    _LOADED = True
+
+
+def _load_modules() -> None:
     from .queries import (  # noqa: F401
         audit,
         taxi,
@@ -93,5 +109,3 @@ def _load_all() -> None:
         prep,
         streaming_parity,
     )
-
-    _LOADED = True

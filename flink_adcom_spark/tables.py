@@ -149,8 +149,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
         # range, and the same ns->us truncation DuckDB applies on read.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     elif dt == "timestamp_ntz":
-        # session tz is pinned to UTC, so NTZ -> TZ is value-preserving and
-        # keeps one stable engine-facing type across data generations.
+        # session tz is pinned to UTC, so NTZ -> TZ is value-preserving. NOT
+        # redundant with _SAFE_DRIFT_CASTS: STREAMING readers
+        # (jobs._events_stream, sources/replay) call this helper without the
+        # declared-schema normalization pass, and a watermark on an NTZ
+        # column is an AnalysisException.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
@@ -163,11 +166,18 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 # would quietly turn unparseable cells into NULLs — the opposite of the loud
 # failure this helper promises for missing columns.
 _INT_WIDTHS = ("tinyint", "smallint", "int", "bigint")
+# Float narrowing (double->float) is EXCLUDED: it rounds every component,
+# silently breaking Spark-vs-oracle parity (the DuckDB oracle reads the raw
+# parquet doubles) — the one drift that corrupts without an error. Integer
+# narrowing stays whitelisted (today's data stores e.g. n_nationkey as
+# BIGINT against a declared INT): under the session's pinned ANSI mode an
+# out-of-range narrow THROWS at execution — a loud failure, honoring the
+# contract — rather than wrapping as a non-ANSI session would.
 _SAFE_DRIFT_CASTS = (
     {("timestamp_ntz", "timestamp"), ("date", "timestamp")}
     | {(a, b) for a in _INT_WIDTHS for b in _INT_WIDTHS if a != b}
-    | {("float", "double"), ("double", "float")}
-    | {("array<float>", "array<double>"), ("array<double>", "array<float>")}
+    | {("float", "double")}
+    | {("array<float>", "array<double>")}
 )
 
 
@@ -202,7 +212,11 @@ def _normalize_to_declared(df: DataFrame, name: str) -> DataFrame:
                 f"_SAFE_DRIFT_CASTS or the loader deliberately"
             )
         df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
-    return df
+    # pin the SHAPE too: a regeneration that grows extra columns (e.g. the
+    # full 16-field dbgen lineitem) must not silently widen the declared
+    # contract for SELECT *-shaped consumers — prune to the declared fields
+    # (also keeps column pruning honest at the scan)
+    return df.select(*[f.name for f in declared.fields])
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

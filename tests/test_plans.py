@@ -49,6 +49,8 @@ def test_keyed_agg_single_shuffle_with_partial(spark, sf_dir):
     df = get("q01_ride_count").build(spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "partial_count" in plan
+    # the ordering-aware helper: partial agg genuinely precedes the exchange
+    assert explain.has_partial_aggregate(df)
     assert explain.num_exchanges(df) == 1
 
 
