@@ -148,6 +148,7 @@ _ROUND4_GATE = frozenset(
 # the robustness campaign touched q26/q97 (asof NULL semantics), q82 (fold
 # NULL contract), q30/q31/q37 (empty-doc division), q148 (quantized cut
 # grids), q71/q78/q113 (NULL filters), q80/q81/q95 (media NULL ingestion),
+# q88 (narrow-candidate multiprobe: pair dedup before the vector re-join),
 # and the ASCII fold touched every tokenization consumer (q10/q33/q34/q36/
 # q40-q47/q35/q42/q77/q100/q114/q117/q128/q130/q132/q133/q134/q136/q144/
 # q148/q149/q153 — re-green the tokenization anchors q10/q33/q40/q41/q43);

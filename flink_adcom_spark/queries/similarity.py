@@ -626,7 +626,13 @@ def q88_embed_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One side probes, the other stays in its home bucket: flipping bit k on
     side A covers hamming-1 pairs exactly once per direction, and the
-    DISTINCT collapses pairs found via several probes."""
+    DISTINCT collapses pairs found via several probes.
+
+    Plan shape (mirrors the oracle's `cand` CTE): the (bits+1)x probe
+    explode and the candidate DISTINCT run over NARROW (vec_id, probe) rows
+    only — the 64-double vector payload joins back AFTER the pair set has
+    been deduped, so the widest shuffle in the plan carries each vector once
+    per surviving candidate, not once per probe hit."""
     e0 = _emb(spark, sf_dir)
     bits = _n_bucket_bits(e0.count())
     e = e0.withColumn("bucket", _bucket_col(bits))
@@ -636,21 +642,23 @@ def q88_embed_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
         F.explode(probe_arr).alias("probe"),
     )
     b = e.select(
         F.col("bucket").alias("bucket_b"),
         F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
     )
+    cand = (
+        a.join(b, (F.col("probe") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, (F.col("probe") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "va", "na", "vb", "nb")
-        .dropDuplicates(["vec_a", "vec_b"])
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", "cosine")
