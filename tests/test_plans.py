@@ -239,3 +239,24 @@ def test_watchlist_join_strategy_pinned(spark, sf_dir, name, min_bhj):
     assert plan.count("BroadcastHashJoin") >= min_bhj, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q88_candidate_dedup_is_narrow(spark, sf_dir):
+    """The multiprobe pair-dedup shuffle must carry ONLY the two id columns —
+    re-attaching the vector payload before the DISTINCT re-creates the
+    candidates-x-dim shuffle the q88 restructure removed (SCALING.md r6
+    note: 3.1s -> 2.0s at sf0.1)."""
+    import re
+
+    df = get("q88_embed_neardup_multiprobe").build(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    m = re.search(
+        r"Exchange\nInput \[2\]: \[vec_a#\d+L?, vec_b#\d+L?\]\n"
+        r"Arguments: hashpartitioning\(vec_a",
+        plan,
+    )
+    assert m, "no narrow (vec_a, vec_b)-only dedup exchange found:\n" + plan[:3000]
+    # and the vector payload must never ride through ANY exchange
+    for block in plan.split("\n\n"):
+        if block.startswith("(") and ") Exchange" in block.split("\n")[0]:
+            assert "va#" not in block and "vb#" not in block, block
