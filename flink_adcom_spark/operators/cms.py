@@ -53,6 +53,13 @@ def cms_probe(
     cleanly. LEFT join + coalesce(0): a key none of whose buckets were ever
     touched estimates 0 (a never-seen key must come back as zero, not
     vanish from the result)."""
+    if "est" in keys.columns:
+        raise ValueError(
+            "cms_probe emits the estimate as a column named 'est', but the "
+            "keys frame already carries an 'est' column — rename it before "
+            "probing (the output would otherwise hold duplicate/ambiguous "
+            "'est' columns)"
+        )
     probes = (
         keys.withColumn("__cms_rid", F.monotonically_increasing_id())
         .select("*", F.explode(_js()).alias("__cms_j"))

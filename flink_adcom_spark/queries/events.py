@@ -1046,7 +1046,7 @@ def q151_covisit_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- integer-exact weighted sampling ------------------------------------------
 WSAMPLE_K = 100  # expected sample size
-WSAMPLE_M = 1 << 20  # hash grid (20 bits: k*w*M and h*W both stay << 2^63)
+WSAMPLE_M = 1 << 20  # hash grid (20 bits: K*w*M < 2^63 while w < 2^36 chars/doc)
 WSAMPLE_MULT = 2654435761  # Knuth multiplicative constant (q38 discipline)
 
 
@@ -1060,7 +1060,7 @@ WSAMPLE_MULT = 2654435761  # Knuth multiplicative constant (q38 discipline)
     tot AS (SELECT SUM(wt) AS wsum FROM w)
     SELECT doc_id, source, CAST(wt AS BIGINT) AS wt
     FROM w CROSS JOIN tot
-    WHERE h * wsum < {WSAMPLE_K} * wt * {WSAMPLE_M}
+    WHERE wt > 0 AND h <= ({WSAMPLE_K} * wt * {WSAMPLE_M} - 1) // wsum
     """,
     tags=("documents", "sampling", "pipeline"),
 )
@@ -1071,9 +1071,17 @@ def q152_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder uses when documents should be drawn by importance (length,
     quality, DSIR weight) instead of uniformly (q38). Expected sample size
     is WSAMPLE_K; the decision is the PURE-INTEGER comparison
-    h * W < K * w * M (no doubles, no ln anywhere), so both engines keep
-    bit-identical doc sets and the sample is reproducible across runs,
+    h <= (K*w*M - 1) div W (no doubles, no ln anywhere), so both engines
+    keep bit-identical doc sets and the sample is reproducible across runs,
     engines, and partitionings — the q132 integer-exactness discipline.
+    The division form is exactly h*W < K*w*M (for w >= 1, all operands
+    non-negative: a*b < X iff a <= (X-1) div b) but keeps every
+    intermediate bounded by the PER-DOC product K*w*M < 2^63 whenever a
+    single document has < 2^36 chars — the corpus-total weight W appears
+    only as a divisor, so a 100 TB-class corpus (W ~ 1e14) cannot overflow
+    the predicate. w = 0 docs are excluded up front (their keep probability
+    is 0; the guard also keeps the numerator K*w*M - 1 non-negative so
+    truncating and flooring division agree across engines).
 
     Scale shape: one scan computes per-doc (w, h); the only global state is
     the scalar W (one map-side-combined SUM broadcast back via a scalar
@@ -1089,6 +1097,12 @@ def q152_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = docs.agg(F.sum("wt").alias("wsum"))
     return (
         docs.crossJoin(F.broadcast(tot))
-        .filter(F.col("h") * F.col("wsum") < WSAMPLE_K * F.col("wt") * WSAMPLE_M)
+        .filter(
+            (F.col("wt") > 0)
+            & (
+                F.col("h")
+                <= F.expr(f"({WSAMPLE_K} * wt * {WSAMPLE_M} - 1) div wsum")
+            )
+        )
         .select("doc_id", "source", F.col("wt").cast("bigint").alias("wt"))
     )

@@ -349,7 +349,10 @@ def q131_stream_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(work, "rollup")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     raw.repartition(4).write.mode("overwrite").parquet(feed)
-    jobs.streaming_cms_rollup_materialize(spark, feed, out, maxFilesPerTrigger=1)
+    jobs.streaming_cms_rollup_materialize(
+        spark, feed, out, checkpoint=os.path.join(work, "ckpt"),
+        maxFilesPerTrigger=1,
+    )
 
     streamed = (
         spark.read.parquet(out).groupBy("j", "bkt").agg(F.sum("c").alias("c"))

@@ -83,12 +83,22 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    import sys
+
     snapshot = dict(_REGISTRY)
+    modules_before = set(sys.modules)
     try:
         _load_modules()
     except BaseException:
         _REGISTRY.clear()
         _REGISTRY.update(snapshot)
+        # Also evict the query modules THIS attempt imported: sys.modules
+        # caches successfully-imported ones even when a sibling fails, so a
+        # retry would skip their decorators and leave the rolled-back
+        # registry silently missing their queries.
+        for mod in set(sys.modules) - modules_before:
+            if mod.startswith(f"{__package__}.queries"):
+                del sys.modules[mod]
         raise
     _LOADED = True
 

@@ -93,7 +93,18 @@ def mqtt_sink_writer(
                     if hasattr(info, "wait_for_publish"):
                         infos.append(info)
                 for info in infos:
+                    # wait_for_publish(timeout) returns SILENTLY on timeout
+                    # (it only raises if the message was never queued), so a
+                    # lost PUBACK must be detected explicitly: an unpublished
+                    # message fails the task, the batch replays, and
+                    # at-least-once actually holds.
                     info.wait_for_publish(timeout=30)
+                    if hasattr(info, "is_published") and not info.is_published():
+                        raise RuntimeError(
+                            f"MQTT publish to {topic!r} not acknowledged "
+                            "within 30s (QoS-1 PUBACK missing); failing the "
+                            "task so the batch replays"
+                        )
             finally:
                 if hasattr(client, "loop_stop"):
                     client.loop_stop()

@@ -472,6 +472,21 @@ def streaming_cms_rollup_materialize(
     days x d x w) counter rows, never O(history) and never O(keys)."""
     from ..operators.cms import cms_build
 
+    # counter ADDITION is not idempotent: a checkpoint-replayed epoch would
+    # double every touched counter, so per-epoch applied-markers gate the
+    # fold. The markers key on batch_id, whose monotonicity across restarts
+    # only holds WITH a checkpoint — an uncheckpointed restart resets batch
+    # ids to 0 and stale epoch_N markers would silently skip folding
+    # genuinely new batches (data loss, the opposite failure). Hence the
+    # checkpoint is mandatory here, not optional.
+    if checkpoint is None:
+        raise ValueError(
+            "streaming_cms_rollup_materialize requires a checkpointLocation: "
+            "the applied-epoch markers assume batch-id monotonicity, which "
+            "only a checkpoint provides (an uncheckpointed restart restarts "
+            "batch ids at 0 and stale markers would drop new batches)"
+        )
+
     ev = _events_stream(spark, events_dir, **kw)
 
     def build_delta(batch_df: DataFrame) -> DataFrame:
@@ -500,15 +515,10 @@ def streaming_cms_rollup_materialize(
             )
         )
 
-    # counter ADDITION is not idempotent: a checkpoint-replayed epoch would
-    # double every touched counter, so per-epoch applied-markers gate the
-    # fold (plus the optional checkpoint for restart-with-skip of committed
-    # epochs)
     writer = ev.writeStream.outputMode("append").foreachBatch(
         _partition_merge_sink(out_path, build_delta, combine, applied_markers=True)
     )
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
+    writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     try:
         q.processAllAvailable()

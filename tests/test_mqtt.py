@@ -140,3 +140,35 @@ def test_mqtt_wire_roundtrip_against_live_broker(spark, sf_dir):
     finally:
         sub.loop_stop()
         sub.disconnect()
+
+
+def test_mqtt_sink_unacked_publish_fails_the_task(spark, sf_dir):
+    """QoS-1 at-least-once is only real if a LOST PUBACK fails the task:
+    paho's wait_for_publish(timeout) returns silently on timeout, so the
+    sink must check is_published() afterwards and raise. A fake client
+    whose message-info never acknowledges must make the batch fail (Spark
+    surfaces the executor-side RuntimeError as a PythonException)."""
+    from py4j.protocol import Py4JJavaError
+
+    class NeverAckedInfo:
+        def wait_for_publish(self, timeout=None):
+            return None  # paho behavior on timeout: silent return
+
+        def is_published(self):
+            return False
+
+    class SilentlyDroppingClient:
+        def connect(self, host, port):
+            pass
+
+        def publish(self, topic, payload, qos=0):
+            return NeverAckedInfo()
+
+        def disconnect(self):
+            pass
+
+    writer = mqtt_sink_writer(topic="t-ack", client_factory=SilentlyDroppingClient)
+    df = load_table(spark, sf_dir, "events").select("event_id").limit(3)
+    with pytest.raises(Exception) as exc_info:
+        writer(df, epoch_id=0)
+    assert "not acknowledged" in str(exc_info.value)

@@ -135,3 +135,33 @@ def test_cms_grouped_sketches_are_isolated(spark):
     # B's estimate of key 7 is bounded by B's own tiny sketch, not A's 50
     assert 1 <= got[("B", 7)] <= 4
     assert 3 <= got[("B", 8)] <= 4
+
+
+def test_cms_probe_rejects_reserved_est_column(spark):
+    """The probe output carries the estimate as 'est'; a keys frame that
+    already has an 'est' column would yield duplicate/ambiguous output
+    columns, so the operator refuses loudly instead."""
+    import pytest
+
+    from flink_adcom_spark.operators.cms import cms_build, cms_probe
+
+    base = spark.createDataFrame([("a",)], ["k"])
+    sketch = cms_build(base, "k")
+    probes = spark.createDataFrame([("a", 1)], ["k", "est"])
+    with pytest.raises(ValueError, match="'est'"):
+        cms_probe(sketch, probes, "k")
+
+
+def test_cms_rollup_materialize_requires_checkpoint(spark, tmp_path):
+    """Applied-epoch markers key on batch_id, whose monotonicity across
+    restarts only holds with a checkpoint — an uncheckpointed restart
+    resets ids to 0 and stale markers would silently DROP new batches. The
+    job must therefore refuse checkpoint=None up front."""
+    import pytest
+
+    from flink_adcom_spark.streaming import jobs
+
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        jobs.streaming_cms_rollup_materialize(
+            spark, str(tmp_path / "feed"), str(tmp_path / "out")
+        )

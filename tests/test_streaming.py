@@ -516,7 +516,8 @@ def test_streaming_cms_rollup_batching_invariant(spark, sf_dir, tmp_path):
             pq.write_table(src.slice(i * step, step), feed / f"{i}.parquet")
         out = str(tmp_path / f"rollup{tag}")
         jobs.streaming_cms_rollup_materialize(
-            spark, str(feed), out, maxFilesPerTrigger=1
+            spark, str(feed), out, checkpoint=str(tmp_path / f"ckpt{tag}"),
+            maxFilesPerTrigger=1
         )
         return {
             (r["j"], r["bkt"]): r["c"]
