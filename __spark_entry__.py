@@ -142,18 +142,6 @@ _ROUND4_GATE = frozenset(
 # Registered after this gate froze (mirror-verified + sf0.01 driver-
 # simulated, rotate into r7): q149_source_caps, q150_covisit_pagerank,
 # q151_covisit_communities, q152_weighted_sample, q153_inverted_index.
-# DRAFT for the round-7 rotation (leave _GATE on ROUND6 until the r6 gate is
-# recorded), per the COVERAGE.md §gate policy: (a) the 5 never-checked
-# additions above; (b) the queries MODIFIED in r6 after the gate froze —
-# the robustness campaign touched q26/q97 (asof NULL semantics), q82 (fold
-# NULL contract), q30/q31/q37 (empty-doc division), q148 (quantized cut
-# grids), q71/q78/q113 (NULL filters), q80/q81/q95 (media NULL ingestion),
-# q88 (narrow-candidate multiprobe: pair dedup before the vector re-join),
-# and the ASCII fold touched every tokenization consumer (q10/q33/q34/q36/
-# q40-q47/q35/q42/q77/q100/q114/q117/q128/q130/q132/q133/q134/q136/q144/
-# q148/q149/q153 — re-green the tokenization anchors q10/q33/q40/q41/q43);
-# (c) fill remaining slots with the oldest-green r4-era entries
-# (q02-q07b/q11-q13/q20-q28 cohort).
 _ROUND6_GATE = frozenset(
     # (a) never driver-checked: pre-r5-gate stragglers
     [
@@ -189,7 +177,65 @@ _ROUND6_GATE = frozenset(
         "q86_sequence_pack", "q91_stream_update_fold",
     ]
 )
-_GATE = _ROUND6_GATE
+# Round-7 rotation (policy: COVERAGE.md §gate — never-checked first, then
+# modified-since-last-green, then oldest-green, anchor q08 implicit via the
+# r6 green row): (a) the 5 queries registered after the r6 gate froze
+# (q149-q153, the only registry entries without an external green row);
+# (b) q123, whose r6 red row was an oracle type-representation bug (DuckDB
+# HUGEINT sum rendered float64) fixed this round with CAST(AS BIGINT) —
+# values were already identical; (c) the queries MODIFIED in r6 after the
+# gate froze — the robustness campaign touched q26/q97 (asof NULL
+# semantics), q82 (fold NULL contract), q30/q31/q37 (empty-doc division),
+# q148 (quantized cut grids), q71/q78/q113 (NULL filters), q81/q95 (media
+# NULL ingestion; q80 already re-greened in r6), q88 (narrow-candidate
+# multiprobe), and the ASCII fold touched every tokenization consumer —
+# re-green the tokenization anchors q10/q33/q40/q41/q43; (d) the remaining
+# 25 slots refill the oldest-green cohort: the r4-era rides/events entries
+# q02-q07b/q11-q13/q20-q25/q27/q28 plus q58/q60/q61/q66-q69 (also r4),
+# bounding worst-case green-row staleness at ~3 rounds.
+_ROUND7_GATE = frozenset(
+    # (a) never driver-checked (registered after the r6 gate froze)
+    [
+        "q149_source_caps", "q150_covisit_pagerank",
+        "q151_covisit_communities", "q152_weighted_sample",
+        "q153_inverted_index",
+    ]
+    # (b) red in r6 (oracle representation bug, fixed this round)
+    + [
+        "q123_tpch_q12_late_priority",
+    ]
+    # (c) modified in r6 after the gate froze (robustness campaign) +
+    # tokenization anchors for the ASCII fold
+    + [
+        "q26_asof_purchase_prior_view", "q97_asof_next_purchase",
+        "q82_generic_topn_fold", "q30_token_stats", "q31_quality_score",
+        "q37_repetition_ratio", "q148_signal_fusion",
+        "q71_value_percentiles", "q78_value_deciles",
+        "q113_retention_cohorts", "q81_frame_samples", "q95_media_resize",
+        "q88_embed_neardup_multiprobe", "q10_wordcount", "q33_fingerprint",
+        "q40_exact_dedup", "q41_minhash_lsh_pairs", "q43_simhash",
+    ]
+    # (d) oldest-green refill (r4-era rows)
+    + [
+        "q02_ride_count_distinct", "q03_ride_avg_passengers",
+        "q04_ride_multi_avg", "q05_ride_max_passengers",
+        "q06_ride_sum_passengers", "q07_top10_distances",
+        "q07b_topn_per_driver", "q11_global_avg_distance",
+        "q12_grid_cell_counts", "q13_driver_fare_stats",
+        "q20_tumbling_hourly", "q21_user_sessions", "q22_running_count",
+        "q23_type_daily_stats", "q24_user_rolling_value",
+        "q25_user_value_delta", "q27_sliding_2h_counts",
+        "q28_promo_window_stats", "q58_diversity_sample",
+        "q60_salted_type_counts", "q61_sql_count_distinct",
+        "q66_purchasers_with_errors", "q67_viewers_never_purchased",
+        "q68_salted_distinct_users", "q69_grouping_sets",
+    ]
+    # flagship anchor (every round)
+    + [
+        "q08_tpch_q1",
+    ]
+)
+_GATE = _ROUND7_GATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
