@@ -26,6 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flink_adcom_spark import registry
 from flink_adcom_spark.session import get_spark
 
+# Machine-load canary: a FIXED synthetic task (1B-row hash fold, no IO, no
+# data dependence, plan never changes round over round) timed alongside the
+# headline queries. canary_sec / CANARY_REF_SEC estimates how loaded this
+# machine is vs the pinned unloaded reference (min-of-5 on the builder box,
+# round 7), so round-over-round per-query deltas can separate machine load
+# from plan regressions — the r6 driver run inflated ~30% uniformly vs the
+# same-code local run, which is exactly the false-alarm class this kills.
+CANARY_ROWS = 1_000_000_000
+CANARY_REF_SEC = 0.678
+
 # queries whose result sets are large enough that collect() would measure
 # driver transfer, not query execution: materialize via count() instead
 COUNT_ONLY = {
@@ -88,6 +98,8 @@ def main() -> None:
             # record the failure, keep benchmarking the rest.
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
+    canary_s = _load_canary(spark)
+    load_factor = round(canary_s / CANARY_REF_SEC, 3)
     stream_rps = _stream_throughput(spark)
     stream_rps_skew = _stream_throughput(spark, skewed=True)
     bundle = _adaptive_bundle_metric(spark)
@@ -106,6 +118,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_from_dir(sf_dir),
                 "warmup_sec": round(warmup_s, 3),
+                # load canary: fixed synthetic task vs its pinned unloaded
+                # reference; divide any per-query time by load_factor before
+                # comparing across rounds (tools/bench_delta.py does)
+                "canary_sec": round(canary_s, 3),
+                "canary_ref_sec": CANARY_REF_SEC,
+                "load_factor": load_factor,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "stream_wordcount_rows_per_sec": stream_rps,
                 "stream_wordcount_skew30_rows_per_sec": stream_rps_skew,
@@ -114,6 +132,21 @@ def main() -> None:
             }
         )
     )
+
+
+def _load_canary(spark) -> float:
+    """Min-of-3 of the fixed canary task (one short run first to absorb JIT
+    for this plan shape). 32 fixed partitions so the task's parallelism is
+    identical regardless of SPARK_GRAFT_CPUS; xxhash64 is modded before the
+    sum because the session runs ANSI mode (a raw hash sum overflows)."""
+    expr = "sum(pmod(xxhash64(id), 1000000007)) AS s"
+    spark.range(0, 50_000_000, 1, 32).selectExpr(expr).collect()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, CANARY_ROWS, 1, 32).selectExpr(expr).collect()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def _stream_throughput(
