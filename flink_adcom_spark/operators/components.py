@@ -135,7 +135,13 @@ def connected_components_twophase(
             .distinct()
         )
 
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # checkpoint the RAW edge list first: vertices and e below are both
+    # derived from it, and without this each one's eager checkpoint re-runs
+    # the caller's whole upstream pipeline (q151 feeds q140's capped window
+    # self-join here — executing it twice doubled the setup cost)
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     # vertex set from RAW edges: a vertex appearing only in a self-loop is
     # still a (singleton) component and must get a label
     vertices = (
