@@ -939,8 +939,12 @@ def q150_covisit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (the q57/kmeans loop topology): per iteration = one
     edge-scan joined to the current rank vector (both partitioned by src —
     at scale, co-partition the edge list and rank vector on src so the
-    per-iteration join is shuffle-free) and one groupBy(dst) with map-side
-    partial sums; the rank vector is O(|V|), never collected to the driver.
+    per-iteration join is shuffle-free; proven in tests/test_plans.py::
+    test_pagerank_iteration_edge_side_shuffle_free_when_bucketed, where a
+    src-bucketed edge table plans ONE exchange per iteration — the
+    inherent groupBy(dst) re-key — vs the plain layout's edge reshuffle)
+    and one groupBy(dst) with map-side partial sums; the rank vector is
+    O(|V|), never collected to the driver.
     Only the vertex COUNT (one scalar) ever leaves the cluster. Iterations
     here are unrolled 3 deep — at production depth, localCheckpoint per
     round exactly as operators/components.py does."""

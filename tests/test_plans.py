@@ -260,3 +260,54 @@ def test_q88_candidate_dedup_is_narrow(spark, sf_dir):
     for block in plan.split("\n\n"):
         if block.startswith("(") and ") Exchange" in block.split("\n")[0]:
             assert "va#" not in block and "vb#" not in block, block
+
+
+def test_pagerank_iteration_edge_side_shuffle_free_when_bucketed(spark):
+    """q150's docstring names the production plan: pre-partition the edge
+    list on src so the per-iteration join never reshuffles the (100 TB)
+    edge side — only the O(|V|) rank/contribution data moves. Prove it with
+    q118's bucketing machinery: one full PageRank iteration (out-weight
+    join + rank join + groupBy(dst) contribution sum) over a bucketed edge
+    table must plan EXACTLY ONE exchange (the inherent dst re-key), while
+    the identical pipeline over a plain parquet layout shuffles the edge
+    side too."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.operators.storage import write_bucketed
+
+    for row in spark.sql("SHOW DATABASES LIKE 'prtest_*'").collect():
+        spark.sql(f"DROP DATABASE IF EXISTS {row[0]} CASCADE")
+    db = f"prtest_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="prtest_wh_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    edges = spark.range(0, 4000).selectExpr(
+        "id % 200 AS src", "(id * 7 + 3) % 200 AS dst", "CAST(1 AS DOUBLE) AS w"
+    )
+    write_bucketed(edges, f"{db}.edges_b", ["src"], num_buckets=8)
+    plain = tempfile.mkdtemp(prefix="prtest_pq_")
+    edges.write.mode("overwrite").parquet(plain)
+
+    def iteration(e):
+        ws = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+        r = ws.select("src", F.lit(0.005).alias("rank"))
+        contrib = (
+            e.join(ws, "src")
+            .join(r, "src")
+            .select("dst", (F.col("rank") * F.col("w") / F.col("wsum")).alias("c"))
+        )
+        return contrib.groupBy("dst").agg(F.sum("c").alias("rank"))
+
+    with _broadcast_disabled(spark):
+        bucketed_n = explain.num_exchanges(iteration(spark.table(f"{db}.edges_b")))
+        plain_n = explain.num_exchanges(iteration(spark.read.parquet(plain)))
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    # bucketed: out-weight agg and both joins ride the bucket partitioning;
+    # the ONLY exchange is the groupBy(dst) re-key every PageRank must pay
+    assert bucketed_n == 1, f"bucketed iteration planned {bucketed_n} exchanges"
+    assert plain_n > bucketed_n, (
+        f"plain layout planned {plain_n} exchanges, expected more than the "
+        f"bucketed {bucketed_n} — the co-partitioning contrast is gone"
+    )
