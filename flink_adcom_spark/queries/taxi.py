@@ -265,3 +265,117 @@ def q12_grid_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- reference-faithful APPROXIMATE modes ------------------------------------
+# The exact queries above deliberately deviate from two reference quirks
+# (documented at q02/q03). These two variants reproduce the quirks
+# faithfully for byte-level demos against the Flink binary. The reference's
+# "bundle" is a processing-time micro-batch (nondeterministic); here a
+# deterministic stand-in shard — bundle = (ride_id * knuth) % N — makes the
+# quirky result reproducible and oracle-checkable while keeping the exact
+# merge algebra of the reference combiners.
+REF_BUNDLES = 8
+REF_BUNDLE_MULT = 2654435761  # Knuth multiplicative constant (q38 discipline)
+_REF_BUNDLE_SQL = f"(ride_id * {REF_BUNDLE_MULT}) % {REF_BUNDLES}"
+
+
+@query(
+    "q154_ref_bundle_count_distinct",
+    rides_oracle_cte(
+        f"""
+        SELECT day_of_year, CAST(SUM(d) AS BIGINT) AS n_drivers_bundled
+        FROM (SELECT day_of_year, {_REF_BUNDLE_SQL} AS bundle,
+                     COUNT(DISTINCT driver_id) AS d
+              FROM rides GROUP BY 1, 2)
+        GROUP BY day_of_year
+        """
+    ),
+    tags=("taxi", "agg", "distinct", "ref-faithful"),
+)
+def q154_ref_bundle_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful Q2: the Flink combiner dedups driver ids only
+    WITHIN a bundle and the downstream reducer SUMS the per-bundle distinct
+    counts, so a driver active in k bundles is counted k times
+    (udfs/TaxiRideCountDistinctPreAggregateFunction.java:11-34 — addInput
+    sums f2 across bundle flushes). Exact mode is q02; this variant is the
+    byte-faithfulness demo with the deterministic bundle stand-in, and its
+    result is >= q02's per key by construction (equal iff no driver spans
+    bundles; asserted in tests/test_exactness.py).
+
+    Scale shape: two stacked aggregations — (day, bundle) distinct then a
+    REF_BUNDLES-fan-in sum per day — both map-side combined; the same
+    two-level topology Catalyst already plans for exact COUNT(DISTINCT)."""
+    return (
+        rides(spark, sf_dir)
+        .select("day_of_year", "driver_id", F.expr(_REF_BUNDLE_SQL).alias("bundle"))
+        .groupBy("day_of_year", "bundle")
+        .agg(F.countDistinct("driver_id").alias("d"))
+        .groupBy("day_of_year")
+        .agg(F.sum("d").cast("bigint").alias("n_drivers_bundled"))
+    )
+
+
+@query(
+    "q155_ref_merge_divide_avg",
+    rides_oracle_cte(
+        f"""
+        SELECT driver_id, st.v AS avg_passengers_ref
+        FROM (SELECT driver_id,
+                     list_reduce(
+                       list({{'b': bundle, 'v': v, 'c': c}} ORDER BY bundle),
+                       (acc, x) -> {{'b': acc.b,
+                                     'v': (acc.v + x.v) / (acc.c + x.c),
+                                     'c': CAST(1 AS BIGINT)}}) AS st
+              FROM (SELECT driver_id, {_REF_BUNDLE_SQL} AS bundle,
+                           CAST(SUM(passenger_cnt) AS DOUBLE) AS v,
+                           COUNT(*) AS c
+                    FROM rides GROUP BY 1, 2)
+              GROUP BY driver_id)
+        """
+    ),
+    tags=("taxi", "agg", "ref-faithful"),
+)
+def q155_ref_merge_divide_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful Q3: the Flink reducer merges two partials as
+    (v1 + v2) / (c1 + c2) and RESETS the count to 1
+    (udfs/TaxiRideAveragePassengersReducer.java:6-13) — non-associative,
+    order-dependent, and after the first merge it mixes an AVERAGE with the
+    next bundle's SUM. Faithfully: per-bundle (sum, count) partials folded
+    in bundle order with exactly that merge law, seeded Flink-reduce-style
+    with the first element unreduced — so a single-bundle driver emits its
+    raw SUM, quirk included. Exact mode is q03. Both engines fold the
+    identical double expression tree in the identical order, so the result
+    hash-matches bit-for-bit.
+
+    Scale shape: one (driver, bundle) partial agg (map-side combined), then
+    a per-driver fold over <= REF_BUNDLES elements via the JVM-side
+    aggregate() HOF — the collect_list is bounded by REF_BUNDLES structs
+    per key, never by row count."""
+    pb = (
+        rides(spark, sf_dir)
+        .select("driver_id", "passenger_cnt", F.expr(_REF_BUNDLE_SQL).alias("bundle"))
+        .groupBy("driver_id", "bundle")
+        .agg(
+            F.sum("passenger_cnt").cast("double").alias("v"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    return (
+        pb.groupBy("driver_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("bundle").alias("b"), "v", "c"))
+            ).alias("ps")
+        )
+        .select(
+            "driver_id",
+            F.expr(
+                "aggregate(slice(ps, 2, size(ps) - 1), ps[0], "
+                "(acc, x) -> named_struct("
+                "'b', acc.b, "
+                "'v', (acc.v + x.v) / (acc.c + x.c), "
+                "'c', CAST(1 AS BIGINT))).v"
+            ).alias("avg_passengers_ref"),
+        )
+    )

@@ -89,3 +89,68 @@ def test_repetition_ratio_hof_matches_python(docs):
         assert got[i][0] == n
         assert got[i][1] == len(c)
         assert got[i][2] == max(c.values()) / n
+
+
+def test_ref_bundle_count_distinct_overcounts_exact(spark, sf_dir):
+    """q154 reproduces the reference combiner's cross-bundle overcount:
+    per-day it is >= the exact count-distinct (q02), with strict overcount
+    for at least one day in this corpus (drivers span bundles), and equals
+    the exact count when every driver lands in one bundle."""
+    from flink_adcom_spark.registry import get
+
+    exact = {
+        r["day_of_year"]: r["n_drivers"]
+        for r in get("q02_ride_count_distinct").build(spark, sf_dir).collect()
+    }
+    bundled = {
+        r["day_of_year"]: r["n_drivers_bundled"]
+        for r in get("q154_ref_bundle_count_distinct").build(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bundled)
+    assert all(bundled[d] >= exact[d] for d in exact)
+    assert any(bundled[d] > exact[d] for d in exact), (
+        "no day overcounts - the quirk demo demonstrates nothing on this corpus"
+    )
+
+
+def test_ref_merge_divide_avg_quirks(spark, sf_dir):
+    """q155 reproduces the reference reducer's merge-divide law: for a
+    driver with one bundle the output is the raw SUM (Flink's reduce never
+    fires on a single element); for multi-bundle drivers the first merge
+    (v1+v2)/(c1+c2) is a true average of two bundles but later merges mix
+    an average with a sum, so the result deviates from the exact q03 value
+    whenever more than two bundles exist."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.queries.taxi import _REF_BUNDLE_SQL
+    from flink_adcom_spark.queries.rides import rides
+    from flink_adcom_spark.registry import get
+
+    nb = {
+        r["driver_id"]: (r["nb"], r["s"])
+        for r in rides(spark, sf_dir)
+        .select("driver_id", "passenger_cnt", F.expr(_REF_BUNDLE_SQL).alias("bundle"))
+        .groupBy("driver_id")
+        .agg(
+            F.countDistinct("bundle").alias("nb"),
+            F.sum("passenger_cnt").alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        r["driver_id"]: r["avg_passengers_ref"]
+        for r in get("q155_ref_merge_divide_avg").build(spark, sf_dir).collect()
+    }
+    exact = {
+        r["driver_id"]: r["avg_passengers"]
+        for r in get("q03_ride_avg_passengers").build(spark, sf_dir).collect()
+    }
+    assert set(got) == set(nb)
+    single = [d for d, (n, _) in nb.items() if n == 1]
+    multi = [d for d, (n, _) in nb.items() if n > 2]
+    for d in single:  # raw SUM, quirk included
+        assert got[d] == float(nb[d][1]), d
+    assert multi, "corpus has no >2-bundle driver; quirk path unexercised"
+    assert any(abs(got[d] - exact[d]) > 1e-9 for d in multi), (
+        "merge-divide law never deviated from the exact average"
+    )
