@@ -179,7 +179,9 @@ _ROUND6_GATE = frozenset(
 )
 # Registered after this gate froze (mirror-verified + sf0.01 driver-
 # simulated, rotate into r8): q154_ref_bundle_count_distinct,
-# q155_ref_merge_divide_avg (reference-faithful approximate modes).
+# q155_ref_merge_divide_avg (reference-faithful approximate modes),
+# q156_contrastive_triples (cluster-scoped hard-negative mining),
+# q157_bm25_topk (Okapi BM25 ranked retrieval).
 # Round-7 rotation (policy: COVERAGE.md §gate — never-checked first, then
 # modified-since-last-green, then oldest-green, anchor q08 implicit via the
 # r6 green row): (a) the 5 queries registered after the r6 gate froze

@@ -48,6 +48,37 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     return df.withColumn("cluster", cluster)
 
 
+def assign_clusters_ranked(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Add `cluster` (nearest centroid) AND `cluster2` (second-nearest) —
+    the nprobe=2 / hard-negative-mining assignment. Entirely scan-side: the
+    second-nearest is the argmin over the distance array with the FIRST
+    minimum masked by POSITION (not by value, so a centroid tied with the
+    winner stays eligible and the tie resolves to the lower index — the
+    same `ORDER BY dist, cid` rule the SQL oracles state). No shuffle, no
+    window; requires k >= 2."""
+    cmat = F.lit([[float(x) for x in c] for c in centroids])
+    dists = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    df = df.withColumn("__d", dists)
+    i1 = F.array_position("__d", F.array_min("__d")) - 1
+    df = df.withColumn("cluster", i1.cast("int"))
+    masked = F.transform(
+        "__d",
+        lambda x, i: F.when(i == F.col("cluster"), F.lit(float("inf"))).otherwise(x),
+    )
+    df = df.withColumn("__d2", masked)
+    i2 = F.array_position("__d2", F.array_min("__d2")) - 1
+    return df.withColumn("cluster2", i2.cast("int")).drop("__d", "__d2")
+
+
 def _update_centroids(assigned: DataFrame, vec_col: str, k: int) -> list[list[float]]:
     """New centroid matrix from the current assignment (empty clusters keep
     position by falling back to their previous slot being absent — callers

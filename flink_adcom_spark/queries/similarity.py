@@ -469,7 +469,13 @@ def _kmeans_dist_sql(v: str, c: str) -> str:
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int, train_where: str = "", assign_cte: str | None = None) -> str:
+def _kmeans_oracle_sql(
+    k: int,
+    iters: int,
+    train_where: str = "",
+    assign_cte: str | None = None,
+    ranks: int = 1,
+) -> str:
     """DuckDB restatement of lloyd_kmeans: the ITERS iterations are unrolled
     as chained CTEs (assign -> per-cluster/dim mean -> empty-cluster
     fallback). Centroid means are double averages whose summation order is
@@ -481,7 +487,11 @@ def _kmeans_oracle_sql(k: int, iters: int, train_where: str = "", assign_cte: st
     `train_where` restricts the TRAINING corpus (the vecs CTE); `assign_cte`
     optionally supplies a different vector set (SQL producing vec_id, v) for
     the FINAL assignment — the incremental-index case (q119): train on the
-    index corpus, assign a new batch against the frozen centroids."""
+    index corpus, assign a new batch against the frozen centroids.
+    `ranks` > 1 emits the top-`ranks` nearest centroids per vector as
+    (vec_id, cluster, rnk) rows — the nprobe/hard-negative assignment
+    (q156); ties break to the lower cid, mirroring
+    operators/kmeans.py::assign_clusters_ranked's position-masked argmin."""
     assign_src = "vecs"
     assign_block = ""
     if assign_cte is not None:
@@ -523,15 +533,16 @@ c{it} AS (
         )
         prev = f"c{it}"
     parts.append(assign_block)
+    rnk_col = ", CAST(rn AS INT) AS rnk" if ranks > 1 else ""
     parts.append(
         f"""
-SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+SELECT vec_id, CAST(cluster AS INT) AS cluster{rnk_col} FROM (
   SELECT {assign_src}.vec_id, {prev}.cid AS cluster,
          ROW_NUMBER() OVER (PARTITION BY {assign_src}.vec_id
                             ORDER BY {_kmeans_dist_sql(assign_src + '.v', prev + '.c')},
                                      {prev}.cid) AS rn
   FROM {assign_src} CROSS JOIN {prev}
-) t WHERE rn = 1"""
+) t WHERE rn <= {ranks}"""
     )
     return "".join(parts)
 
@@ -1092,4 +1103,106 @@ def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("margin", F.round(F.col("cosine") - F.lead("cosine").over(w), 6))
         .filter(F.col("rnk") == 1)
         .drop("rnk")
+    )
+
+
+# --- contrastive triple mining (anchor, positive, hard negative) --------------
+@query(
+    "q156_contrastive_triples",
+    "WITH assign2 AS ("
+    + _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS, ranks=2)
+    + f"""),
+    own AS (SELECT vec_id, cluster FROM assign2 WHERE rnk = 1),
+    sec AS (SELECT vec_id, cluster FROM assign2 WHERE rnk = 2),
+    x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    xa AS (SELECT x.vec_id, o.cluster, x.i, x.val FROM x JOIN own o USING (vec_id)),
+    pp AS (SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
+                  SUM(a.val * b.val) AS dot
+           FROM xa a JOIN xa b ON a.i = b.i AND a.cluster = b.cluster
+                              AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+    pc AS (SELECT anchor_id, pos_id,
+                  ROUND(dot / (na.nrm * nb.nrm), 6) AS pos_cos,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY ROUND(dot / (na.nrm * nb.nrm), 6) DESC,
+                                              pos_id) AS rn
+           FROM pp JOIN n na ON pp.anchor_id = na.vec_id
+                   JOIN n nb ON pp.pos_id = nb.vec_id),
+    np AS (SELECT s.vec_id AS anchor_id, c.vec_id AS neg_id,
+                  SUM(ax.val * cx.val) AS dot
+           FROM sec s JOIN own c ON c.cluster = s.cluster
+           JOIN x ax ON ax.vec_id = s.vec_id
+           JOIN x cx ON cx.vec_id = c.vec_id AND cx.i = ax.i
+           GROUP BY 1, 2),
+    nc AS (SELECT anchor_id, neg_id,
+                  ROUND(dot / (na.nrm * nb.nrm), 6) AS neg_cos,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY ROUND(dot / (na.nrm * nb.nrm), 6) DESC,
+                                              neg_id) AS rn
+           FROM np JOIN n na ON np.anchor_id = na.vec_id
+                   JOIN n nb ON np.neg_id = nb.vec_id)
+    SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos
+    FROM (SELECT anchor_id, pos_id, pos_cos FROM pc WHERE rn = 1) p
+    JOIN (SELECT anchor_id, neg_id, neg_cos FROM nc WHERE rn = 1) q USING (anchor_id)
+    """,
+    tags=("similarity", "clustering", "contrastive", "pipeline"),
+)
+def q156_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triple mining: for every anchor vector, the
+    POSITIVE is its most-similar neighbor inside its own k-means cluster
+    and the HARD NEGATIVE is the most-similar vector among the members of
+    its SECOND-nearest centroid's cluster — semantically close but
+    cluster-separated, the negative that actually teaches a contrastive
+    embedding model (SimCLR/DPR-style mining). Anchors whose own cluster is
+    a singleton or whose second cell is empty produce no triple (inner
+    joins), matching a miner that skips unpaireable anchors.
+
+    Scale shape: the quadratic work is CLUSTER-SCOPED exactly like q112
+    (sum |cluster|^2 ~ N^2/k, each cluster an independent shuffle
+    partition; k grows ~ sqrt(N) at scale to keep per-cluster work flat).
+    The rank-2 assignment is scan-side — one broadcast k*dim matrix, argmin
+    plus a position-masked second argmin, no shuffle
+    (operators/kmeans.py::assign_clusters_ranked). Cosines are rounded to
+    6 decimals on both engines before ranking (q50 discipline)."""
+    from pyspark.sql import Window
+
+    from ..operators.kmeans import assign_clusters_ranked, lloyd_kmeans
+
+    e = _emb(spark, sf_dir)
+    pts = e.select("vec_id", "v")
+    _, centroids = lloyd_kmeans(pts, "v", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
+    asg = assign_clusters_ranked(e, "v", centroids).localCheckpoint(eager=True)
+
+    a = asg.select(
+        F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"), "cluster", "cluster2",
+    )
+    b = asg.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"), F.col("cluster").alias("bcluster"),
+    )
+    cos = F.round(_dot("av", "bv") / (F.col("an") * F.col("bn")), 6)
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    pos = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("bcluster"))
+            & (F.col("anchor_id") != F.col("cand_id")),
+        )
+        .withColumn("c", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.col("c").alias("pos_cos"))
+    )
+    neg = (
+        a.join(b, F.col("cluster2") == F.col("bcluster"))
+        .withColumn("c", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.col("c").alias("neg_cos"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"
     )

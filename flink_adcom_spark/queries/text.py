@@ -1545,3 +1545,118 @@ def q153_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(df_counts, "word").select(
         "word", "doc_id", F.col("rnk").cast("int").alias("posting_rank"), "df"
     )
+
+
+# --- BM25 ranked retrieval ----------------------------------------------------
+# Okapi BM25 constants injected as repr() doubles (DuckDB parses bare float
+# literals as DECIMAL — the standing oracle gotcha). k1+1 and 1-b are
+# precomputed in Python so both engines consume the identical double bits.
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_QUERY_TERMS = ("hash", "join", "scan")  # the fixed retrieval workload
+BM25_TOP = 10
+_D = "CAST('{}' AS DOUBLE)".format
+
+
+@query(
+    "q157_bm25_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term
+                  FROM documents WHERE text IS NOT NULL),
+    lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+    tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN {BM25_QUERY_TERMS!r}
+            GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+    ts AS (SELECT t.doc_id, t.term,
+                  LN(CAST('1' AS DOUBLE)
+                     + (n_docs - df + {_D('0.5')}) / (df + {_D('0.5')}))
+                  * ((tf * {_D(repr(BM25_K1 + 1))})
+                     / (tf + {_D(repr(BM25_K1))}
+                            * ({_D(repr(1 - BM25_B))}
+                               + {_D(repr(BM25_B))} * (dl / avgdl)))) AS s
+           FROM tfq t JOIN dfq USING (term)
+                      JOIN lens USING (doc_id) CROSS JOIN stats),
+    sc AS (SELECT doc_id,
+                  ROUND(COALESCE(MAX(CASE WHEN term = '{BM25_QUERY_TERMS[0]}' THEN s END), 0)
+                      + COALESCE(MAX(CASE WHEN term = '{BM25_QUERY_TERMS[1]}' THEN s END), 0)
+                      + COALESCE(MAX(CASE WHEN term = '{BM25_QUERY_TERMS[2]}' THEN s END), 0),
+                      6) AS score
+           FROM ts GROUP BY doc_id)
+    SELECT doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc) t
+    WHERE rnk <= {BM25_TOP}
+    """,
+    tags=("text", "retrieval", "index", "pipeline"),
+)
+def q157_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query term set — the ranked
+    lookup a corpus-exploration or contamination-audit tool runs against
+    the q153 index (IDF from document frequency, tf saturation k1=1.2,
+    length normalization b=0.75). Per-term partial scores are summed in
+    FIXED term order via conditional aggregation (not SUM over an unordered
+    group), so the double addition order is engine-identical; the ln(idf)
+    input is the identical rational double on both sides (q77's ln-parity
+    discipline) and the final score is rounded to 6 decimals before
+    ranking (q50 discipline).
+
+    Scale shape: the term filter hits the tokenized scan BEFORE any
+    shuffle, so the per-term tf relation is |docs containing a query term|,
+    not corpus-sized; df and the (n_docs, avgdl) scalars are broadcast; the
+    only corpus-wide aggregates are the doc-length rollup (map-side
+    combined, one shuffle on doc_id) and its scalar reduction. The global
+    top-k is TakeOrdered-sized (BM25_TOP rows per partition)."""
+    from pyspark.sql import Window
+
+    toks = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(words_col()).alias("term"))
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tfq = (
+        toks.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, k1p1, b, omb = BM25_K1, BM25_K1 + 1, BM25_B, 1 - BM25_B
+    s = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * (
+            (F.col("tf") * F.lit(k1p1))
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(omb) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+    )
+    ts = (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        )
+        for t in BM25_QUERY_TERMS
+    ]
+    sc = ts.groupBy("doc_id").agg(
+        F.round(per_term[0] + per_term[1] + per_term[2], 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= BM25_TOP)
+    )

@@ -71,3 +71,38 @@ def test_diversity_sample_caps_per_cluster(spark, sf_dir):
     s = q58_diversity_sample(spark, sf_dir)
     per = s.groupBy("cluster").count().collect()
     assert per and all(r["count"] <= DIVERSITY_PER_CLUSTER for r in per)
+
+
+def test_assign_clusters_ranked_matches_numpy(spark):
+    """cluster/cluster2 from the scan-side position-masked argmin must equal
+    numpy's argsort of squared distances (ties -> lower index)."""
+    import numpy as np
+
+    from flink_adcom_spark.operators.kmeans import assign_clusters_ranked
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(40, 6)).round(3)
+    cents = rng.normal(size=(5, 6)).round(3).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "id long, v array<double>",
+    )
+    got = {
+        r["id"]: (r["cluster"], r["cluster2"])
+        for r in assign_clusters_ranked(df, "v", cents).collect()
+    }
+    d = ((pts[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2)
+    for i in range(len(pts)):
+        order = np.lexsort((np.arange(len(cents)), d[i]))  # dist, then index
+        assert got[i] == (order[0], order[1]), i
+
+
+def test_assign_clusters_ranked_tie_breaks_to_lower_index(spark):
+    """Two identical centroids: rank-1 must be the LOWER index and rank-2
+    the duplicate (masking by POSITION, not by value)."""
+    from flink_adcom_spark.operators.kmeans import assign_clusters_ranked
+
+    df = spark.createDataFrame([(0, [1.0, 1.0])], "id long, v array<double>")
+    cents = [[5.0, 5.0], [1.0, 1.0], [1.0, 1.0]]
+    row = assign_clusters_ranked(df, "v", cents).collect()[0]
+    assert (row["cluster"], row["cluster2"]) == (1, 2)
