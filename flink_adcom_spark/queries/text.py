@@ -1660,3 +1660,122 @@ def q157_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= BM25_TOP)
     )
+
+
+# --- content-defined chunking (Rabin/FastCDC-style) ---------------------------
+# Boundary rule: a chunk ENDS at token i when the rolling 3-token content
+# hash lands in the boundary set (first md5 hex char in {0,1} -> p = 1/8,
+# mean chunk ~8 tokens), at the hard cut i % CDC_MAX_TOKENS = 0 (bounds the
+# worst-case chunk when content never triggers), or at end-of-doc. Because
+# boundaries depend only on LOCAL content (not absolute position), an
+# insertion near the head re-chunks only up to the first surviving boundary
+# and every later chunk digest is unchanged — the property that makes CDC
+# the storage/near-dup chunking unit, and what q128's fixed windows cannot
+# give (tests/test_chunking_property.py::test_cdc_chunks_survive_insertion).
+CDC_WINDOW = 3
+CDC_BOUNDARY_CHARS = ("0", "1")
+CDC_MAX_TOKENS = 64
+
+_CDC_IN = "('" + "', '".join(CDC_BOUNDARY_CHARS) + "')"
+
+
+def cdc_chunk_exprs() -> tuple:
+    """(chunks, boundaries) expression pair for a `toks` array column:
+    `boundaries` is the array of chunk-end positions, `chunks` the array of
+    (chunk_idx, start_pos, end_pos) structs derived from it — boundary
+    detection and chunk assembly entirely scan-side (HOFs over the token
+    array; zero shuffles, no Python). Add `bnd` before `ch`."""
+    bnd = F.expr(
+        f"""
+        filter(sequence(1, size(toks)), i ->
+          i = size(toks) OR i % {CDC_MAX_TOKENS} = 0
+          OR (i >= {CDC_WINDOW}
+              AND substring(md5(concat_ws(' ',
+                    element_at(toks, i - 2), element_at(toks, i - 1),
+                    element_at(toks, i))), 1, 1) IN {_CDC_IN}))
+        """
+    )
+    return F.expr(
+        """
+        transform(sequence(1, size(bnd)), j -> named_struct(
+          'chunk_idx', j,
+          'start_pos', IF(j = 1, 1, element_at(bnd, j - 1) + 1),
+          'end_pos', element_at(bnd, j)))
+        """
+    ).alias("ch"), bnd.alias("bnd")
+
+
+@query(
+    "q158_cdc_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts({_WORDS_SQL}, 1) AS i,
+             unnest({_WORDS_SQL}) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    nn AS (SELECT doc_id, MAX(i) AS n FROM toks GROUP BY doc_id),
+    lagged AS (SELECT doc_id, i, t,
+                      LAG(t, 1) OVER w AS l1, LAG(t, 2) OVER w AS l2
+               FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    b AS (SELECT lagged.doc_id, i,
+                 (i = n) OR (i % {CDC_MAX_TOKENS} = 0)
+                 OR (i >= {CDC_WINDOW}
+                     AND substr(md5(l2 || ' ' || l1 || ' ' || t), 1, 1)
+                         IN {_CDC_IN}) AS isb
+          FROM lagged JOIN nn USING (doc_id)),
+    bi AS (SELECT doc_id, i AS end_pos,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx,
+                  COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+                    AS start_pos
+           FROM b WHERE isb)
+    SELECT bi.doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(start_pos AS INT) AS start_pos, CAST(end_pos AS INT) AS end_pos,
+           CAST(end_pos - start_pos + 1 AS INT) AS n_tokens,
+           md5(string_agg(t.t, ' ' ORDER BY t.i)) AS digest
+    FROM bi JOIN toks t ON t.doc_id = bi.doc_id
+                       AND t.i BETWEEN bi.start_pos AND bi.end_pos
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    tags=("text", "dedup", "chunking", "pipeline"),
+)
+def q158_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: split every document at rolling-content-
+    hash boundaries and emit one row per chunk with its span and md5 digest
+    — the insertion-stable dedup unit (Rabin/FastCDC family) used for
+    storage dedup and partial-overlap detection between near-identical
+    documents; group the digest column to find shared chunks the way q40
+    groups whole-doc fingerprints.
+
+    Scale shape: boundary detection and chunk assembly are pure HOFs over
+    each doc's token array — one parquet scan, zero shuffles, no Python;
+    the md5 window hash is byte-identical across engines (q33), so chunk
+    digests are engine-portable. Output is linear in corpus tokens. The
+    oracle restates the identical boundary rule row-wise with LAG windows
+    (oracle-scale idiom); a chunk's digest string is the space-joined
+    token run on both sides."""
+    ch_expr, bnd_expr = cdc_chunk_exprs()
+    docs = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", words_col().alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .withColumn("bnd", bnd_expr)
+        .withColumn("ch", ch_expr)
+    )
+    return docs.select("doc_id", "toks", F.inline("ch")).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_pos").cast("int").alias("start_pos"),
+        F.col("end_pos").cast("int").alias("end_pos"),
+        (F.col("end_pos") - F.col("start_pos") + 1).cast("int").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    F.col("start_pos"),
+                    F.col("end_pos") - F.col("start_pos") + 1,
+                ),
+            )
+        ).alias("digest"),
+    )

@@ -50,3 +50,75 @@ def test_chunking_matches_reference_on_arbitrary_corpora(
         got[r["doc_id"]].append((r["chunk_idx"], r["n_tokens"], r["chunk_text"]))
     for i, words in enumerate(corpus):
         assert sorted(got[i]) == _py_chunks(words), f"doc {i}: {words}"
+
+
+def test_cdc_chunks_survive_insertion(spark):
+    """The CDC promise (q158): after inserting tokens at the head of a
+    document, the vast majority of chunk digests are UNCHANGED — only the
+    head region and the chunks straddling the position-based hard cuts
+    (the scan-parallel compromise for FastCDC's max-length rule; one
+    broken pair per cut) re-chunk. Fixed-stride windows (the q128 shape)
+    share ZERO digests under the same insertion — the contrast that makes
+    CDC the dedup chunking unit."""
+    import uuid
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.queries.text import CDC_MAX_TOKENS, cdc_chunk_exprs
+
+    n_words = 400
+    words = [uuid.uuid5(uuid.NAMESPACE_DNS, str(i)).hex[:6] for i in range(n_words)]
+    base = " ".join(words)
+    shifted = "zzz qqq xxx " + base  # 3-token head insertion
+
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+    ch_expr, bnd_expr = cdc_chunk_exprs()
+    toks = df.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
+    )
+    digest = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(
+                "toks", F.col("start_pos"), F.col("end_pos") - F.col("start_pos") + 1
+            ),
+        )
+    )
+    rows = (
+        toks.withColumn("bnd", bnd_expr)
+        .withColumn("ch", ch_expr)
+        .select("doc_id", "toks", F.inline("ch"))
+        .select("doc_id", digest.alias("digest"))
+        .collect()
+    )
+    b = Counter(r["digest"] for r in rows if r["doc_id"] == 0)
+    s = Counter(r["digest"] for r in rows if r["doc_id"] == 1)
+    shared = sum((b & s).values())
+    n_base = sum(b.values())
+    n_cuts = n_words // CDC_MAX_TOKENS
+    # each hard cut can break at most 2 chunks; + a small head region
+    assert shared >= n_base - (2 * n_cuts + 4), (
+        f"only {shared}/{n_base} chunk digests survived a head insertion"
+    )
+
+    # contrast: fixed 64-token windows all shift -> zero shared digests
+    fixed = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks), {CDC_MAX_TOKENS}), s -> "
+                    f"concat_ws(' ', slice(toks, s, {CDC_MAX_TOKENS})))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.md5("w").alias("digest"))
+        .collect()
+    )
+    fb = {r["digest"] for r in fixed if r["doc_id"] == 0}
+    fs = {r["digest"] for r in fixed if r["doc_id"] == 1}
+    assert not (fb & fs), "fixed windows unexpectedly aligned"
