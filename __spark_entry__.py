@@ -181,7 +181,9 @@ _ROUND6_GATE = frozenset(
 # simulated, rotate into r8): q154_ref_bundle_count_distinct,
 # q155_ref_merge_divide_avg (reference-faithful approximate modes),
 # q156_contrastive_triples (cluster-scoped hard-negative mining),
-# q157_bm25_topk (Okapi BM25 ranked retrieval).
+# q157_bm25_topk (Okapi BM25 ranked retrieval), q158_cdc_chunks
+# (content-defined chunking, insertion-stable dedup unit),
+# q159_bpe_train_merges (BPE tokenizer training, unrolled merge rounds).
 # Round-7 rotation (policy: COVERAGE.md §gate — never-checked first, then
 # modified-since-last-green, then oldest-green, anchor q08 implicit via the
 # r6 green row): (a) the 5 queries registered after the r6 gate froze

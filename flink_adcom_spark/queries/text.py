@@ -1779,3 +1779,173 @@ def q158_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("digest"),
     )
+
+
+# --- BPE merge training (unrolled rounds) -------------------------------------
+# q117 computes ONE round of pair statistics; this trains the first
+# BPE_ROUNDS merges end-to-end: per round, the globally most frequent
+# adjacent token pair (weighted by word frequency) is chosen and merged
+# greedily left-to-right in every vocabulary word, exactly the
+# Sennrich et al. (2016) procedure. Greedy non-overlap is the
+# gaps-and-islands trick (q105): consecutive match positions form an
+# island (only possible when p1 = p2) and every ODD-ranked match within an
+# island is taken.
+BPE_ROUNDS = 3
+BPE_VOCAB_TOP = 200  # train on the top-V words by corpus frequency
+
+
+def _bpe_oracle_sql() -> str:
+    parts = [
+        f"""WITH toks AS (SELECT unnest({_WORDS_SQL}) AS word
+              FROM documents WHERE text IS NOT NULL),
+wc AS (SELECT word, COUNT(*) AS freq FROM toks
+       GROUP BY word ORDER BY freq DESC, word LIMIT {BPE_VOCAB_TOP}),
+tok0 AS (SELECT word, freq,
+                generate_subscripts(string_split(word, ''), 1) AS pos,
+                unnest(string_split(word, '')) AS tok
+         FROM wc)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""",
+pr{r} AS (SELECT word, freq, pos, tok,
+                 LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM tok{p}),
+top{r} AS (SELECT tok AS p1, nxt AS p2, SUM(freq) AS cnt
+           FROM pr{r} WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+mk{r} AS (SELECT pr.*, (pr.tok = t.p1 AND pr.nxt = t.p2) AS m
+          FROM pr{r} pr CROSS JOIN top{r} t),
+mt{r} AS (SELECT word, pos,
+                 (ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) % 2) = 1
+                   AS take
+          FROM (SELECT word, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                         AS grp
+                FROM mk{r} WHERE m) t),
+ng{r} AS (SELECT mk.word, mk.freq, mk.pos,
+                 CASE WHEN COALESCE(mt.take, FALSE)
+                      THEN mk.tok || mk.nxt ELSE mk.tok END AS tok,
+                 COALESCE(mt.take, FALSE) AS taken
+          FROM mk{r} mk LEFT JOIN mt{r} mt USING (word, pos)),
+tok{r} AS (SELECT word, freq,
+                  ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, tok
+           FROM (SELECT *, COALESCE(LAG(taken)
+                           OVER (PARTITION BY word ORDER BY pos), FALSE)
+                             AS consumed
+                 FROM ng{r}) t
+           WHERE NOT consumed)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, p1, p2, p1 || p2 AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    parts.append("\n" + unions)
+    return "".join(parts)
+
+
+@query(
+    "q159_bpe_train_merges",
+    _bpe_oracle_sql(),
+    tags=("text", "tokenizer", "iterative", "pipeline"),
+)
+def q159_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first BPE_ROUNDS byte-pair-encoding merges on the corpus
+    vocabulary: start from characters, and per round pick the most frequent
+    adjacent pair (weighted by word frequency, ties to the lexicographically
+    smallest pair) and merge it greedily left-to-right in every word —
+    emitting the learned merge table (round, p1, p2, merged, pair_count),
+    i.e. the artifact a BPE tokenizer ships.
+
+    Scale shape: the only corpus-sized job is the word count (one
+    wordcount-topology shuffle); training then runs on the top-V VOCABULARY
+    (BPE_VOCAB_TOP rows exploded to characters — thousands of tokens, not
+    corpus tokens), per round ~4 narrow window shuffles on word plus a
+    1-row global top (TakeOrdered) broadcast back. Rounds are unrolled with
+    a lazy localCheckpoint each (the kmeans/components loop posture).
+    Greedy non-overlap via gaps-and-islands keeps the merge step pure
+    window algebra — no per-row Python, no UDF."""
+    from pyspark.sql import Window
+
+    toks = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(words_col()).alias("word"))
+    )
+    wc = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(BPE_VOCAB_TOP)
+    )
+    tok = wc.select(
+        "word", "freq", F.posexplode(F.split("word", "")).alias("pos0", "tok")
+    ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    w = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pr = tok.withColumn("nxt", F.lead("tok").over(w))
+        top = (
+            pr.filter(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("tok"), F.asc("nxt"))
+            .limit(1)
+            .select(
+                F.col("tok").alias("p1"), F.col("nxt").alias("p2"), "cnt"
+            )
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("round"), "p1", "p2",
+                F.concat("p1", "p2").alias("merged"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        mk = pr.crossJoin(F.broadcast(top.select("p1", "p2"))).withColumn(
+            "m", (F.col("tok") == F.col("p1")) & (F.col("nxt") == F.col("p2"))
+        )
+        mt = (
+            mk.filter("m")
+            .select(
+                "word", "pos",
+                (F.col("pos") - F.row_number().over(w)).alias("grp"),
+            )
+            .withColumn(
+                "take",
+                F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos"))
+                % 2
+                == 1,
+            )
+            .select("word", "pos", "take")
+        )
+        ng = (
+            mk.join(mt, ["word", "pos"], "left")
+            .withColumn("taken", F.coalesce(F.col("take"), F.lit(False)))
+            .withColumn(
+                "tok2",
+                F.when(F.col("taken"), F.concat("tok", "nxt")).otherwise(
+                    F.col("tok")
+                ),
+            )
+        )
+        tok = (
+            ng.withColumn(
+                "consumed", F.coalesce(F.lag("taken").over(w), F.lit(False))
+            )
+            .filter(~F.col("consumed"))
+            .select(
+                "word", "freq",
+                F.row_number().over(w).alias("pos"),
+                F.col("tok2").alias("tok"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

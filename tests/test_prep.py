@@ -129,3 +129,55 @@ def test_pii_audit_residual_zero(spark, sf_dir):
         assert r["phones_found"] == r["docs"]
         # every doc plants exactly one IP; phone/email strings never parse as IPs
         assert r["ips_found"] == r["docs"]
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """q159's window-algebra merge loop must agree with a direct Python
+    implementation of Sennrich-style BPE (greedy left-to-right merging,
+    ties to the lexicographically smallest pair) on the same vocabulary."""
+    from collections import Counter
+
+    from flink_adcom_spark.queries.text import BPE_ROUNDS, BPE_VOCAB_TOP
+    from flink_adcom_spark.registry import get
+    from flink_adcom_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = Counter()
+    from flink_adcom_spark.queries.text import words_col
+
+    for r in docs.filter(F.col("text").isNotNull()).select(
+        F.explode(words_col()).alias("w")
+    ).collect():
+        words[r["w"]] += 1
+    vocab = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_VOCAB_TOP]
+    seqs = {w: list(w) for w, _ in vocab}
+    freq = dict(vocab)
+
+    expected = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs = Counter()
+        for w, s in seqs.items():
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += freq[w]
+        (p1, p2), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rnd, p1, p2, p1 + p2, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == p1 and s[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+
+    got = [
+        (r["round"], r["p1"], r["p2"], r["merged"], r["pair_count"])
+        for r in sorted(
+            get("q159_bpe_train_merges").build(spark, sf_dir).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+    assert got == expected
