@@ -1147,6 +1147,7 @@ def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (SELECT anchor_id, neg_id, neg_cos FROM nc WHERE rn = 1) q USING (anchor_id)
     """,
     tags=("similarity", "clustering", "contrastive", "pipeline"),
+    bench=True,
 )
 def q156_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training triple mining: for every anchor vector, the

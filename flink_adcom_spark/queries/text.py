@@ -1737,6 +1737,7 @@ def cdc_chunk_exprs() -> tuple:
     GROUP BY 1, 2, 3, 4, 5
     """,
     tags=("text", "dedup", "chunking", "pipeline"),
+    bench=True,
 )
 def q158_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking: split every document at rolling-content-
@@ -1850,6 +1851,7 @@ tok{r} AS (SELECT word, freq,
     "q159_bpe_train_merges",
     _bpe_oracle_sql(),
     tags=("text", "tokenizer", "iterative", "pipeline"),
+    bench=True,
 )
 def q159_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the first BPE_ROUNDS byte-pair-encoding merges on the corpus

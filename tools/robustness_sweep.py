@@ -105,6 +105,12 @@ EXPECTED_CONTRACT = {
     "dupes": {
         "q37_repetition_ratio", "q48_contamination", "q56_hybrid_search",
         "q86_sequence_pack", "q134_chunked_pack", "q135_bitext_mining",
+        # q158: doc_id is the chunker's primary key — the Spark side chunks
+        # each physical row independently (duplicate rows -> duplicate chunk
+        # rows) while the oracle's LAG-window restatement interleaves the
+        # copies' token positions; a pipeline dedups replays (q40) before
+        # chunking, so the PK contract is the documented behavior.
+        "q158_cdc_chunks",
     },
 }
 
