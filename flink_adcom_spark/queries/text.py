@@ -1679,63 +1679,43 @@ CDC_MAX_TOKENS = 64
 _CDC_IN = "('" + "', '".join(CDC_BOUNDARY_CHARS) + "')"
 
 
-def cdc_chunk_exprs() -> tuple:
-    """(chunks, boundaries) expression pair for a `toks` array column:
-    `boundaries` is the array of chunk-end positions, `chunks` the array of
-    (chunk_idx, start_pos, end_pos) structs derived from it — boundary
-    detection and chunk assembly entirely scan-side (HOFs over the token
-    array; zero shuffles, no Python). Add `bnd` before `ch`."""
-    bnd = F.expr(
-        f"""
-        filter(sequence(1, size(toks)), i ->
-          i = size(toks) OR i % {CDC_MAX_TOKENS} = 0
-          OR (i >= {CDC_WINDOW}
-              AND substring(md5(concat_ws(' ',
-                    element_at(toks, i - 2), element_at(toks, i - 1),
-                    element_at(toks, i))), 1, 1) IN {_CDC_IN}))
-        """
-    )
-    return F.expr(
-        """
-        transform(sequence(1, size(bnd)), j -> named_struct(
-          'chunk_idx', j,
-          'start_pos', IF(j = 1, 1, element_at(bnd, j - 1) + 1),
-          'end_pos', element_at(bnd, j)))
-        """
-    ).alias("ch"), bnd.alias("bnd")
-
-
-@query(
-    "q158_cdc_chunks",
-    f"""
-    WITH toks AS (
+def _cdc_chunks_sql(pfx: str = "", where: str = "") -> str:
+    """CTE chain `<pfx>toks ... <pfx>chunks` stating the CDC boundary rule
+    row-wise (LAG windows) for the documents matching `where` — prefixed so
+    two instances (index + batch, q160) can coexist in one statement."""
+    return f"""{pfx}toks AS (
       SELECT doc_id, generate_subscripts({_WORDS_SQL}, 1) AS i,
              unnest({_WORDS_SQL}) AS t
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL {where}
     ),
-    nn AS (SELECT doc_id, MAX(i) AS n FROM toks GROUP BY doc_id),
-    lagged AS (SELECT doc_id, i, t,
+    {pfx}nn AS (SELECT doc_id, MAX(i) AS n FROM {pfx}toks GROUP BY doc_id),
+    {pfx}lagged AS (SELECT doc_id, i, t,
                       LAG(t, 1) OVER w AS l1, LAG(t, 2) OVER w AS l2
-               FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-    b AS (SELECT lagged.doc_id, i,
+               FROM {pfx}toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    {pfx}b AS (SELECT {pfx}lagged.doc_id, i,
                  (i = n) OR (i % {CDC_MAX_TOKENS} = 0)
                  OR (i >= {CDC_WINDOW}
                      AND substr(md5(l2 || ' ' || l1 || ' ' || t), 1, 1)
                          IN {_CDC_IN}) AS isb
-          FROM lagged JOIN nn USING (doc_id)),
-    bi AS (SELECT doc_id, i AS end_pos,
+          FROM {pfx}lagged JOIN {pfx}nn USING (doc_id)),
+    {pfx}bi AS (SELECT doc_id, i AS end_pos,
                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx,
                   COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
                     AS start_pos
-           FROM b WHERE isb)
-    SELECT bi.doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           FROM {pfx}b WHERE isb),
+    {pfx}chunks AS (
+    SELECT {pfx}bi.doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
            CAST(start_pos AS INT) AS start_pos, CAST(end_pos AS INT) AS end_pos,
            CAST(end_pos - start_pos + 1 AS INT) AS n_tokens,
            md5(string_agg(t.t, ' ' ORDER BY t.i)) AS digest
-    FROM bi JOIN toks t ON t.doc_id = bi.doc_id
-                       AND t.i BETWEEN bi.start_pos AND bi.end_pos
-    GROUP BY 1, 2, 3, 4, 5
-    """,
+    FROM {pfx}bi JOIN {pfx}toks t ON t.doc_id = {pfx}bi.doc_id
+                       AND t.i BETWEEN {pfx}bi.start_pos AND {pfx}bi.end_pos
+    GROUP BY 1, 2, 3, 4, 5)"""
+
+
+@query(
+    "q158_cdc_chunks",
+    "WITH " + _cdc_chunks_sql() + "\nSELECT * FROM chunks",
     tags=("text", "dedup", "chunking", "pipeline"),
     bench=True,
 )
@@ -1747,37 +1727,76 @@ def q158_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents; group the digest column to find shared chunks the way q40
     groups whole-doc fingerprints.
 
-    Scale shape: boundary detection and chunk assembly are pure HOFs over
-    each doc's token array — one parquet scan, zero shuffles, no Python;
-    the md5 window hash is byte-identical across engines (q33), so chunk
-    digests are engine-portable. Output is linear in corpus tokens. The
-    oracle restates the identical boundary rule row-wise with LAG windows
-    (oracle-scale idiom); a chunk's digest string is the space-joined
-    token run on both sides."""
-    ch_expr, bnd_expr = cdc_chunk_exprs()
-    docs = (
-        _documents(spark, sf_dir)
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", words_col().alias("toks"))
-        .filter(F.size("toks") >= 1)
-        .withColumn("bnd", bnd_expr)
-        .withColumn("ch", ch_expr)
+    Scale shape: ONE exchange for the whole operator — tokens explode
+    scan-side, and the lag window, cumulative boundary count, and chunk
+    rollup (grouping keys a superset of the partitioning) all ride a
+    single doc_id shuffle with the md5 inside whole-stage codegen (see
+    cdc_chunks_df for why the zero-shuffle array-HOF form was rejected:
+    interpreted lambda md5 at ~9k tokens/s). The md5 hash is
+    byte-identical across engines (q33), so chunk digests are
+    engine-portable; output is linear in corpus tokens. The oracle states
+    the identical boundary rule with LAG windows; a chunk's digest string
+    is the space-joined token run on both sides."""
+    return cdc_chunks_df(_documents(spark, sf_dir))
+
+
+def cdc_chunks_df(documents: DataFrame) -> DataFrame:
+    """CDC chunk table (doc_id, chunk_idx, start_pos, end_pos, n_tokens,
+    digest) for a documents frame — the Spark twin of _cdc_chunks_sql.
+
+    Row-based on purpose: an earlier array-HOF formulation (boundary filter
+    + chunk transform over the token array) evaluated the per-position md5
+    through INTERPRETED lambda evaluation at ~9k tokens/s — 320 s at sf0.1
+    — and Catalyst's projection collapse re-inlined the whole boundary
+    filter into every chunk reference on top. Exploding to token rows puts
+    the md5 inside whole-stage codegen; the lag window, the cumulative
+    boundary count, and the chunk rollup (grouping keys a superset of the
+    partitioning) all ride ONE doc_id exchange."""
+    from pyspark.sql import Window
+
+    toks = (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(words_col()).alias("i0", "t"))
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "t")
     )
-    return docs.select("doc_id", "toks", F.inline("ch")).select(
-        "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.col("start_pos").cast("int").alias("start_pos"),
-        F.col("end_pos").cast("int").alias("end_pos"),
-        (F.col("end_pos") - F.col("start_pos") + 1).cast("int").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    "toks",
-                    F.col("start_pos"),
-                    F.col("end_pos") - F.col("start_pos") + 1,
-                ),
-            )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    wp = Window.partitionBy("doc_id")
+    flags = (
+        toks.withColumn("l1", F.lag("t", 1).over(w))
+        .withColumn("l2", F.lag("t", 2).over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "isb",
+            (F.col("i") == F.col("n"))
+            | (F.col("i") % CDC_MAX_TOKENS == 0)
+            | (
+                (F.col("i") >= CDC_WINDOW)
+                & F.substring(
+                    F.md5(F.concat(F.col("l2"), F.lit(" "), F.col("l1"), F.lit(" "), F.col("t"))),
+                    1,
+                    1,
+                ).isin(*CDC_BOUNDARY_CHARS)
+            ),
+        )
+        .withColumn(
+            "chunk_idx",
+            (
+                F.coalesce(
+                    F.sum(F.col("isb").cast("long")).over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + 1
+            ).cast("int"),
+        )
+    )
+    return flags.groupBy("doc_id", "chunk_idx").agg(
+        F.min("i").cast("int").alias("start_pos"),
+        F.max("i").cast("int").alias("end_pos"),
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.expr(
+            "md5(concat_ws(' ', transform(sort_array(collect_list(struct(i, t))), x -> x.t)))"
         ).alias("digest"),
     )
 
@@ -1951,3 +1970,58 @@ def q159_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# --- incremental chunk-novelty at ingestion -----------------------------------
+CHUNK_BATCH_MAX = 100  # doc_id < this = the "newly arrived" batch (q119 convention)
+
+
+@query(
+    "q160_chunk_novelty",
+    "WITH "
+    + _cdc_chunks_sql("ix_", f"AND doc_id >= {CHUNK_BATCH_MAX}")
+    + ",\n"
+    + _cdc_chunks_sql("bt_", f"AND doc_id < {CHUNK_BATCH_MAX}")
+    + f""",
+    idx AS (SELECT DISTINCT digest FROM ix_chunks),
+    j AS (SELECT b.doc_id, (idx.digest IS NOT NULL) AS known
+          FROM bt_chunks b LEFT JOIN idx USING (digest))
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+    FROM j GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "chunking", "incremental", "pipeline"),
+)
+def q160_chunk_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental chunk-level novelty audit (the q59/q119 incremental-index
+    pattern applied to CDC chunks): the existing corpus (doc_id >=
+    CHUNK_BATCH_MAX) provides a persisted chunk-digest index; a newly
+    arrived batch is chunked with the identical boundary rule and each
+    batch doc reports how many of its chunks already exist in the index —
+    the per-document partial-duplication signal an ingestion pipeline uses
+    to drop near-copies whose whole-doc fingerprint (q40) differs by a few
+    edits.
+
+    Scale shape: both chunkings are the q158 zero-shuffle scan (filters
+    push to the parquet scan, so each side reads only its doc range); the
+    novelty check is one shuffle join on the 16-byte digest — the q40
+    topology. The index side is DISTINCT digests, bounded by unique
+    content volume, and in production is the persisted table q59 maintains
+    rather than a recomputation."""
+    docs = _documents(spark, sf_dir)
+    ix = (
+        cdc_chunks_df(docs.filter(F.col("doc_id") >= CHUNK_BATCH_MAX))
+        .select("digest")
+        .distinct()
+    )
+    bt = cdc_chunks_df(docs.filter(F.col("doc_id") < CHUNK_BATCH_MAX))
+    return (
+        bt.join(ix.withColumn("known", F.lit(True)), "digest", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("known"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_known"),
+        )
+    )

@@ -65,7 +65,7 @@ def test_cdc_chunks_survive_insertion(spark):
 
     from pyspark.sql import functions as F
 
-    from flink_adcom_spark.queries.text import CDC_MAX_TOKENS, cdc_chunk_exprs
+    from flink_adcom_spark.queries.text import CDC_MAX_TOKENS, cdc_chunks_df
 
     n_words = 400
     words = [uuid.uuid5(uuid.NAMESPACE_DNS, str(i)).hex[:6] for i in range(n_words)]
@@ -75,26 +75,7 @@ def test_cdc_chunks_survive_insertion(spark):
     df = spark.createDataFrame(
         [(0, base), (1, shifted)], "doc_id long, text string"
     )
-    ch_expr, bnd_expr = cdc_chunk_exprs()
-    toks = df.select(
-        "doc_id",
-        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
-    )
-    digest = F.md5(
-        F.concat_ws(
-            " ",
-            F.slice(
-                "toks", F.col("start_pos"), F.col("end_pos") - F.col("start_pos") + 1
-            ),
-        )
-    )
-    rows = (
-        toks.withColumn("bnd", bnd_expr)
-        .withColumn("ch", ch_expr)
-        .select("doc_id", "toks", F.inline("ch"))
-        .select("doc_id", digest.alias("digest"))
-        .collect()
-    )
+    rows = cdc_chunks_df(df).select("doc_id", "digest").collect()
     b = Counter(r["digest"] for r in rows if r["doc_id"] == 0)
     s = Counter(r["digest"] for r in rows if r["doc_id"] == 1)
     shared = sum((b & s).values())
@@ -107,7 +88,11 @@ def test_cdc_chunks_survive_insertion(spark):
 
     # contrast: fixed 64-token windows all shift -> zero shared digests
     fixed = (
-        toks.select(
+        df.select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
+        )
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
