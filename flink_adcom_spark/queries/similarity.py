@@ -1186,13 +1186,29 @@ def q156_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(_dot("av", "bv") / (F.col("an") * F.col("bn")), 6)
 
     w = Window.partitionBy("anchor_id").orderBy(F.desc("c"), F.asc("cand_id"))
-    pos = (
+    # within-cluster pairs are SYMMETRIC: evaluate the 64-element dot fold
+    # once per unordered pair (anchor_id < cand_id) and mirror the scored
+    # row for the other anchor — halves the positive join's fold work (the
+    # per-pair HOF fold is the operator's dominant cost; the neg join below
+    # is inherently asymmetric and cannot share it)
+    half = (
         a.join(
             b,
             (F.col("cluster") == F.col("bcluster"))
-            & (F.col("anchor_id") != F.col("cand_id")),
+            & (F.col("anchor_id") < F.col("cand_id")),
         )
         .withColumn("c", cos)
+        .select("anchor_id", "cand_id", "c")
+        .localCheckpoint(eager=False)
+    )
+    pos = (
+        half.unionByName(
+            half.select(
+                F.col("cand_id").alias("anchor_id"),
+                F.col("anchor_id").alias("cand_id"),
+                "c",
+            )
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("anchor_id", F.col("cand_id").alias("pos_id"), F.col("c").alias("pos_cos"))

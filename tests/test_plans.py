@@ -311,3 +311,21 @@ def test_pagerank_iteration_edge_side_shuffle_free_when_bucketed(spark):
         f"plain layout planned {plain_n} exchanges, expected more than the "
         f"bucketed {bucketed_n} — the co-partitioning contrast is gone"
     )
+
+
+def test_cdc_chunks_single_exchange(spark, sf_dir):
+    """q158's contract: the lag window, cumulative boundary count, and
+    chunk rollup all ride ONE doc_id exchange (grouping keys are a
+    superset of the window partitioning), with the boundary md5 inside
+    whole-stage codegen — the measured 200x win over the zero-shuffle
+    interpreted-HOF form (PLANS.md)."""
+    df = get("q158_cdc_chunks").build(spark, sf_dir)
+    assert explain.num_exchanges(df) == 1, explain.formatted_plan(df)[:2000]
+    # the boundary md5 must sit inside a codegen span: the row-based form
+    # has no higher-order functions anywhere (interpreted lambda evaluation
+    # was the 200x regression), except the digest's per-GROUP sort/transform
+    # in the final aggregate — assert the per-TOKEN projection (the hot
+    # path) is lambda-free by checking the window stage's project list
+    plan = explain.formatted_plan(df)
+    win_block = plan.split("Window")[1] if "Window" in plan else plan
+    assert "lambdafunction" not in win_block.split("HashAggregate")[0].lower(), plan[:1500]
