@@ -184,7 +184,8 @@ _ROUND6_GATE = frozenset(
 # q157_bm25_topk (Okapi BM25 ranked retrieval), q158_cdc_chunks
 # (content-defined chunking, insertion-stable dedup unit),
 # q159_bpe_train_merges (BPE tokenizer training, unrolled merge rounds),
-# q160_chunk_novelty (incremental chunk-digest novelty audit).
+# q160_chunk_novelty (incremental chunk-digest novelty audit),
+# q161_stream_chunk_index (streamed CDC digest-index materialize).
 # Round-7 rotation (policy: COVERAGE.md §gate — never-checked first, then
 # modified-since-last-green, then oldest-green, anchor q08 implicit via the
 # r6 green row): (a) the 5 queries registered after the r6 gate froze

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..streaming import jobs
+from .text import _cdc_chunks_sql
 
 # Decimal-cast sum matches functions/exact.py::dec_sum (engine-stable sums).
 _SUM_VALUE_SQL = "CAST(SUM(CAST(value AS DECIMAL(20, 6))) AS DOUBLE)"
@@ -373,3 +374,34 @@ def q131_stream_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.crossJoin(F.broadcast(merge_ok)).select(
         "user_id", "exact_cnt", "merge_exact", "no_undercount", "within_bound"
     )
+
+
+@query(
+    "q161_stream_chunk_index",
+    "WITH " + _cdc_chunks_sql() + "\nSELECT DISTINCT digest FROM chunks",
+    tags=("streaming", "dedup", "chunking", "materialize"),
+)
+def q161_stream_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained CDC chunk-digest index, externally gated:
+    shard the documents feed into 4 micro-batches, run
+    streaming_chunk_index_materialize (batch-local chunking union-merged
+    into digest-prefix shards), and return the stored index's digest set.
+
+    Gate contract (full hash-match): the streamed, shard-merged index must
+    be IDENTICAL to the batch distinct-digest relation over the same corpus
+    — union-distinct is associative and idempotent, so any divergence means
+    a dropped batch, a double-merge that duplicated rows, or boundary-rule
+    drift between the streaming and batch chunkers (they share
+    cdc_chunks_df by construction). This is the serving table q160's
+    novelty join probes; ingestion keeps it fresh with O(batch) work per
+    micro-batch."""
+    work = tempfile.mkdtemp(prefix="chunk_index_gate_")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "index")
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw.repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_chunk_index_materialize(
+        spark, feed, out, checkpoint=os.path.join(work, "ckpt"),
+        maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select("digest")

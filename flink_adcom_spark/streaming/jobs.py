@@ -306,11 +306,13 @@ def _partition_merge_sink(
     build_delta,
     combine,
     applied_markers: bool = False,
+    part_col: str = "day",
 ):
     """Shared foreachBatch scaffold for the incremental materialize jobs:
-    build a (day-partitioned) delta from the batch, fold it into the touched
-    day partitions of the stored table, and rewrite ONLY those partitions
-    (dynamic partition overwrite).
+    build a (`part_col`-partitioned) delta from the batch, fold it into the
+    touched partitions of the stored table, and rewrite ONLY those
+    partitions (dynamic partition overwrite). `part_col` is a calendar day
+    for the time-rollup jobs and a digest-prefix shard for the chunk index.
 
     - Existence is checked explicitly (not inferred from a read failure): a
       transient IO error or corrupt footer must propagate and fail the batch
@@ -341,13 +343,13 @@ def _partition_merge_sink(
             if fs.exists(marker):
                 return  # replayed epoch, already folded in
         delta = build_delta(batch_df).localCheckpoint(eager=True)
-        days = [r["day"] for r in delta.select("day").distinct().collect()]
+        days = [r[part_col] for r in delta.select(part_col).distinct().collect()]
         if fs.exists(hadoop_path(out_path)):
-            existing = sess.read.parquet(out_path).filter(F.col("day").isin(days))
+            existing = sess.read.parquet(out_path).filter(F.col(part_col).isin(days))
             merged = combine(existing, delta).localCheckpoint(eager=True)
         else:  # first batch: table does not exist yet
             merged = delta
-        upsert_partitions(merged, out_path, ["day"])
+        upsert_partitions(merged, out_path, [part_col])
         if applied_markers:
             fs.mkdirs(marker)  # AFTER the upsert: replay re-applies cleanly
 
@@ -519,6 +521,64 @@ def streaming_cms_rollup_materialize(
         _partition_merge_sink(out_path, build_delta, combine, applied_markers=True)
     )
     writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _documents_stream(spark: SparkSession, docs_dir: str, **options) -> DataFrame:
+    """Streaming reader over a documents parquet directory (footer-peek
+    schema, same contract as _events_stream)."""
+    schema = (
+        spark.read.option("pathGlobFilter", "*.parquet").parquet(docs_dir).schema
+    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
+    for k, v in options.items():
+        if v is not None:
+            reader = reader.option(k, v)
+    return reader.parquet(docs_dir)
+
+
+def streaming_chunk_index_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Incrementally maintain the CDC chunk-digest index (q160's corpus
+    side) from a document stream: each micro-batch chunks ITS documents
+    (queries/text.py::cdc_chunks_df — batch-local, no streaming aggregation
+    state) and union-merges the distinct new digests into the stored index,
+    sharded by digest prefix (16 hex shards as the storage partition).
+
+    Union-distinct is IDEMPOTENT, so a checkpoint-replayed batch re-merges
+    to the identical shard contents — no applied-epoch markers needed
+    (contrast streaming_cms_rollup_materialize, whose counter ADDITION
+    demands them). Steady-state cost per batch: O(batch digests) rows
+    merged into O(touched shards) partitions, never O(index); the stored
+    index is exactly the relation q160's novelty join probes, so ingestion
+    keeps it fresh without any batch rebuild."""
+    from ..queries.text import cdc_chunks_df
+
+    docs = _documents_stream(spark, docs_dir, **kw)
+
+    def build_delta(batch_df: DataFrame) -> DataFrame:
+        return (
+            cdc_chunks_df(batch_df)
+            .select("digest")
+            .distinct()
+            .withColumn("shard", F.substring("digest", 1, 1))
+        )
+
+    def combine(existing: DataFrame, delta: DataFrame) -> DataFrame:
+        # union-distinct: idempotent under replay, associative across batches
+        return existing.unionByName(delta).distinct()
+
+    writer = docs.writeStream.outputMode("append").foreachBatch(
+        _partition_merge_sink(out_path, build_delta, combine, part_col="shard")
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     try:
         q.processAllAvailable()

@@ -649,3 +649,41 @@ def test_replay_table_stream_matches_batch(spark, sf_dir, tmp_path):
         "event_id", "CAST(ts AS STRING) ts", "user_id"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_chunk_index_materialize_batching_invariant(spark, sf_dir, tmp_path):
+    """The streamed chunk-digest index must not depend on how the document
+    feed was micro-batched: 2-shard and 4-shard replays and the batch
+    distinct-digest relation all agree exactly (union-distinct merge is
+    associative + idempotent)."""
+    import pyarrow.parquet as pq
+
+    from flink_adcom_spark.queries.text import cdc_chunks_df
+    from flink_adcom_spark.streaming import jobs
+    from flink_adcom_spark.tables import load_table
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    n = src.num_rows
+
+    def run(shards: int, tag: str) -> set:
+        feed = tmp_path / f"feed{tag}"
+        feed.mkdir()
+        step = (n + shards - 1) // shards
+        for i in range(shards):
+            pq.write_table(src.slice(i * step, step), feed / f"{i}.parquet")
+        out = str(tmp_path / f"index{tag}")
+        jobs.streaming_chunk_index_materialize(
+            spark, str(feed), out, checkpoint=str(tmp_path / f"ckpt{tag}"),
+            maxFilesPerTrigger=1,
+        )
+        return {r["digest"] for r in spark.read.parquet(out).collect()}
+
+    two, four = run(2, "a"), run(4, "b")
+    batch = {
+        r["digest"]
+        for r in cdc_chunks_df(load_table(spark, sf_dir, "documents"))
+        .select("digest")
+        .distinct()
+        .collect()
+    }
+    assert two == four == batch
