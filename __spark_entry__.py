@@ -185,7 +185,9 @@ _ROUND6_GATE = frozenset(
 # (content-defined chunking, insertion-stable dedup unit),
 # q159_bpe_train_merges (BPE tokenizer training, unrolled merge rounds),
 # q160_chunk_novelty (incremental chunk-digest novelty audit),
-# q161_stream_chunk_index (streamed CDC digest-index materialize).
+# q161_stream_chunk_index (streamed CDC digest-index materialize),
+# q162_pmi_collocations (PMI phrase mining), q163_user_ewma
+# (order-dependent per-entity time-decay fold).
 # Round-7 rotation (policy: COVERAGE.md §gate — never-checked first, then
 # modified-since-last-green, then oldest-green, anchor q08 implicit via the
 # r6 green row): (a) the 5 queries registered after the r6 gate froze

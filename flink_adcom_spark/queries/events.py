@@ -1110,3 +1110,65 @@ def q152_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("wt").cast("bigint").alias("wt"))
     )
+
+
+# --- exponentially-weighted moving average per user ---------------------------
+# alpha = 1/2 EXACTLY: every fold step is s = 0.5*v + 0.5*s_prev, both
+# multiplications exact in binary doubles (only the addition rounds), and
+# both engines fold the identical sequence in the identical order — so the
+# result is bit-identical without any rounding discipline.
+
+
+@query(
+    "q163_user_ewma",
+    """
+    SELECT user_id,
+           list_reduce(
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+             (acc, x) -> CAST('0.5' AS DOUBLE) * x + CAST('0.5' AS DOUBLE) * acc)
+             AS ewma_value
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("events", "feature", "fold", "pipeline"),
+)
+def q163_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (alpha = 1/2), seeded with the first event — the time-decayed activity
+    feature a training pipeline derives per entity (recency-weighted spend,
+    engagement, quality). The fold is Flink's KeyedStream.reduce shape
+    (reference R1) with a non-commutative, ORDER-DEPENDENT merge — exactly
+    what the q155 discipline handles: both engines fold the identical
+    (ts, event_id)-ordered sequence, so results are bit-identical
+    (multiplication by 0.5 is exact; only additions round, identically).
+
+    Scale shape: one user-keyed shuffle; the per-user fold runs over a
+    collect_list bounded by that user's event count (fine for entity
+    histories; a pathologically hot key would use the q24-style running
+    window form instead, trading one pass for incremental emission). NULL
+    value/ts rows are excluded up front on both engines."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select("user_id", "ts", "event_id", F.col("value").cast("double").alias("v"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "v"))
+            ).alias("arr")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "aggregate(slice(arr, 2, size(arr) - 1), arr[0].v, "
+                "(acc, x) -> 0.5D * x.v + 0.5D * acc)"
+            ).alias("ewma_value"),
+        )
+    )

@@ -2025,3 +2025,97 @@ def q160_chunk_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_known"),
         )
     )
+
+
+# --- PMI collocations ---------------------------------------------------------
+PMI_MIN_PAIR = 5  # drop rare pairs (standard PMI noise floor)
+PMI_TOP = 20
+
+
+@query(
+    "q162_pmi_collocations",
+    f"""
+    WITH w AS (SELECT {_WORDS_SQL} AS w FROM documents WHERE text IS NOT NULL),
+    toks AS (SELECT unnest(w) AS t FROM w),
+    uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    nu AS (SELECT SUM(c) AS n_uni FROM uni),
+    bg AS (SELECT unnest(list_transform(
+             list_zip(w[1:len(w)-1], w[2:len(w)]), s -> s[1] || ' ' || s[2]))
+             AS bigram FROM w),
+    bgc AS (SELECT string_split(bigram, ' ')[1] AS t1,
+                   string_split(bigram, ' ')[2] AS t2,
+                   COUNT(*) AS c_xy
+            FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_PAIR}),
+    nb AS (SELECT SUM(c_xy) AS n_big
+           FROM (SELECT COUNT(*) AS c_xy FROM bg GROUP BY bigram) t),
+    sc AS (SELECT t1, t2, c_xy,
+                  (CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+                  / (CAST(u1.c AS DOUBLE) * u2.c * n_big) AS pmi_ratio
+           FROM bgc JOIN uni u1 ON bgc.t1 = u1.t
+                    JOIN uni u2 ON bgc.t2 = u2.t
+                    CROSS JOIN nu CROSS JOIN nb)
+    SELECT t1, t2, c_xy, pmi_ratio, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, t1, t2) AS rnk
+      FROM sc) t
+    WHERE rnk <= {PMI_TOP}
+    """,
+    tags=("text", "ngram", "collocation", "pipeline"),
+)
+def q162_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: bigrams whose
+    observed frequency most exceeds the independence expectation —
+    p(xy) / (p(x)p(y)), the collocation/phrase-mining signal a vocabulary
+    or tokenizer pipeline uses to promote multi-word units. The ln of the
+    PMI is monotone in the ratio, so ranking on the RATIO avoids ln while
+    ordering identically; the ratio's numerator and denominator are pure
+    integer products (exact in doubles while c_xy*N^2 < 2^53 — true at
+    these SFs; at 100 TB compute it in log space) divided in the identical
+    association on both engines. Rare pairs below PMI_MIN_PAIR are dropped
+    (the standard PMI noise floor).
+
+    Scale shape: unigram and bigram histograms are two wordcount-topology
+    shuffles off one tokenized scan; the scalar totals broadcast; the
+    scoring join keys on the two unigram tables (vocabulary-sized, AQE
+    broadcasts when they fit) and the global top-PMI_TOP is
+    TakeOrdered-bounded."""
+    from pyspark.sql import Window
+
+    w = words_col()
+    n = F.size(w)
+    docs = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(w).alias("t"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.filter(n >= 2).select(F.explode(bigrams).alias("bigram"))
+    bgc_all = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    nb = bgc_all.agg(F.sum("c_xy").alias("n_big"))
+    bgc = (
+        bgc_all.filter(F.col("c_xy") >= PMI_MIN_PAIR)
+        .withColumn("t1", F.split("bigram", " ")[0])
+        .withColumn("t2", F.split("bigram", " ")[1])
+    )
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    sc = (
+        bgc.join(u1, "t1")
+        .join(u2, "t2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "t1", "t2", "c_xy",
+            (
+                (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                / (F.col("c1").cast("double") * F.col("c2") * F.col("n_big"))
+            ).alias("pmi_ratio"),
+        )
+    )
+    wnd = Window.orderBy(F.desc("pmi_ratio"), F.asc("t1"), F.asc("t2"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(wnd).cast("int"))
+        .filter(F.col("rnk") <= PMI_TOP)
+    )
