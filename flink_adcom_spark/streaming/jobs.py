@@ -558,6 +558,20 @@ def streaming_chunk_index_materialize(
     merged into O(touched shards) partitions, never O(index); the stored
     index is exactly the relation q160's novelty join probes, so ingestion
     keeps it fresh without any batch rebuild."""
+    q = chunk_index_writer(spark, docs_dir, out_path, checkpoint, **kw).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def chunk_index_writer(
+    spark: SparkSession, docs_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_chunk_index_materialize —
+    exposed so the kill/recovery test can start, kill, and restart the
+    SAME pipeline from its checkpoint."""
     from ..queries.text import cdc_chunks_df
 
     docs = _documents_stream(spark, docs_dir, **kw)
@@ -579,8 +593,4 @@ def streaming_chunk_index_materialize(
     )
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    return writer

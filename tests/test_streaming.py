@@ -687,3 +687,55 @@ def test_chunk_index_materialize_batching_invariant(spark, sf_dir, tmp_path):
         .collect()
     }
     assert two == four == batch
+
+
+def test_chunk_index_kill_recover_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the chunk-index materialize mid-stream and restart from its
+    checkpoint: the stored index must still equal the batch distinct-digest
+    relation — the union-distinct merge is idempotent, so the replayed
+    epoch re-merges to identical shard contents instead of duplicating."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from flink_adcom_spark.queries.text import cdc_chunks_df
+    from flink_adcom_spark.streaming.jobs import chunk_index_writer
+    from flink_adcom_spark.tables import load_table
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    step = (src.num_rows + 5) // 6
+    for i in range(6):
+        pq.write_table(src.slice(i * step, step), feed / f"{i}.parquet")
+    out = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = chunk_index_writer(
+        spark, str(feed), out, ckpt, maxFilesPerTrigger=1
+    ).start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop()  # mid-stream kill after >= 1 committed batch
+
+    q2 = chunk_index_writer(
+        spark, str(feed), out, ckpt, maxFilesPerTrigger=1
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {r["digest"] for r in spark.read.parquet(out).collect()}
+    # and no duplicate rows either (the index is a SET)
+    n_rows = spark.read.parquet(out).count()
+    want = {
+        r["digest"]
+        for r in cdc_chunks_df(load_table(spark, sf_dir, "documents"))
+        .select("digest")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert n_rows == len(want)
