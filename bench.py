@@ -34,7 +34,12 @@ from flink_adcom_spark.session import get_spark
 # from plan regressions — the r6 driver run inflated ~30% uniformly vs the
 # same-code local run, which is exactly the false-alarm class this kills.
 CANARY_ROWS = 1_000_000_000
+# CANARY_REF_SEC is pinned to ONE machine (identified below); on any other
+# box load_factor conflates hardware speed with load, so the bench JSON
+# records which machine the pin belongs to — a mismatched canary_ref_machine
+# tells the reader to re-pin (min-of-5, unloaded) before trusting deltas.
 CANARY_REF_SEC = 0.678
+CANARY_REF_MACHINE = "builder-local32-r7"  # 32-cpu round-7 builder box
 
 # queries whose result sets are large enough that collect() would measure
 # driver transfer, not query execution: materialize via count() instead
@@ -73,6 +78,10 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).count()
     warmup_s = time.time() - t0
 
+    # canary BEFORE the query loop: pairing it with the one AFTER bounds load
+    # drift across the measured window instead of sampling end-of-run only
+    canary_pre_s = _load_canary(spark)
+
     # three timed runs per query, report the min: the steady-state execution
     # time (run 1 still pays one-off per-SF costs — file listing, broadcast
     # relation build, AQE stats — that amortize away in any real deployment;
@@ -98,7 +107,11 @@ def main() -> None:
             # record the failure, keep benchmarking the rest.
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
-    canary_s = _load_canary(spark)
+    canary_post_s = _load_canary(spark)
+    # the query loop's effective load is best estimated by the bracketing
+    # pair's mean; the pre/post spread is published so a drifting machine
+    # (pre != post) is visible rather than silently averaged away
+    canary_s = (canary_pre_s + canary_post_s) / 2.0
     load_factor = round(canary_s / CANARY_REF_SEC, 3)
     stream_rps = _stream_throughput(spark)
     stream_rps_skew = _stream_throughput(spark, skewed=True)
@@ -122,7 +135,10 @@ def main() -> None:
                 # reference; divide any per-query time by load_factor before
                 # comparing across rounds (tools/bench_delta.py does)
                 "canary_sec": round(canary_s, 3),
+                "canary_pre_sec": round(canary_pre_s, 3),
+                "canary_post_sec": round(canary_post_s, 3),
                 "canary_ref_sec": CANARY_REF_SEC,
+                "canary_ref_machine": CANARY_REF_MACHINE,
                 "load_factor": load_factor,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "stream_wordcount_rows_per_sec": stream_rps,

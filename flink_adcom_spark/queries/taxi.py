@@ -277,7 +277,11 @@ def q12_grid_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge algebra of the reference combiners.
 REF_BUNDLES = 8
 REF_BUNDLE_MULT = 2654435761  # Knuth multiplicative constant (q38 discipline)
-_REF_BUNDLE_SQL = f"(ride_id * {REF_BUNDLE_MULT}) % {REF_BUNDLES}"
+# ride_id is bounded to 2^31 BEFORE the Knuth multiply (q38/q152 overflow
+# discipline): the product then tops out at ~2^62 < int64, so neither engine
+# can overflow at 100 TB-class ride_id ranges (Spark would error under ANSI;
+# DuckDB would silently promote to HUGEINT and diverge).
+_REF_BUNDLE_SQL = f"((ride_id % 2147483648) * {REF_BUNDLE_MULT}) % {REF_BUNDLES}"
 
 
 @query(

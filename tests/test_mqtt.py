@@ -148,8 +148,6 @@ def test_mqtt_sink_unacked_publish_fails_the_task(spark, sf_dir):
     sink must check is_published() afterwards and raise. A fake client
     whose message-info never acknowledges must make the batch fail (Spark
     surfaces the executor-side RuntimeError as a PythonException)."""
-    from py4j.protocol import Py4JJavaError
-
     class NeverAckedInfo:
         def wait_for_publish(self, timeout=None):
             return None  # paho behavior on timeout: silent return
