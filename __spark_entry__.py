@@ -246,7 +246,59 @@ _ROUND7_GATE = frozenset(
         "q08_tpch_q1",
     ]
 )
-_GATE = _ROUND7_GATE
+# Round-8 rotation (policy: COVERAGE.md §gate): (a) the 13 never-checked
+# entries — the 10 round-7 additions q154-q163 plus this round's planted
+# positive-path twins q164/q67b/q74b, which exist precisely so the external
+# gate finally hash-matches NON-EMPTY results for the near-dup / EXCEPT /
+# anti-join paths whose every prior green row was a 0-row match (VERDICT r7
+# "vacuous greens"); (b) the oldest-green cohorts in full — all 13 entries
+# whose last green row is r3 (incl. q53/q74, the vacuous originals, and q53
+# was also refactored this round into the shared _neardup_pairs_df body) and
+# all 8 r4-era entries; (c) the flagship q08 anchor; (d) 15 r5-era refill
+# slots, bench headliners first. Worst-case green-row staleness after this
+# round: r5 (the 23 remaining r5-era rows rotate into r9).
+_ROUND8_GATE = frozenset(
+    # (a) never driver-checked
+    [
+        "q154_ref_bundle_count_distinct", "q155_ref_merge_divide_avg",
+        "q156_contrastive_triples", "q157_bm25_topk", "q158_cdc_chunks",
+        "q159_bpe_train_merges", "q160_chunk_novelty",
+        "q161_stream_chunk_index", "q162_pmi_collocations", "q163_user_ewma",
+        "q164_embed_neardup_planted", "q67b_viewers_no_big_purchase",
+        "q74b_tpch_q22_planted",
+    ]
+    # (b) oldest green rows: the full r3-era cohort...
+    + [
+        "q38_deterministic_sample", "q48_contamination",
+        "q51_lsh_bucket_top_pairs", "q52_label_centroids",
+        "q53_embed_neardup_pairs", "q55_ivf_knn_nprobe2",
+        "q56_hybrid_search", "q59_incremental_neardup",
+        "q63_rollup_flag_status", "q64_pivot_linestatus", "q65_big_orders",
+        "q74_tpch_q22_idle_rich", "q75_cube_flag_status",
+    ]
+    # ...and the full r4-era cohort
+    + [
+        "q72_exact_percentiles", "q76_purchase_error_reconcile",
+        "q83_stream_incremental_mv", "q84_stream_view_purchase_join",
+        "q85_stream_sessions", "q87_greedy_pack", "q90_stream_dedup",
+        "q94_lang_balance",
+    ]
+    # (c) flagship anchor (every round)
+    + [
+        "q08_tpch_q1",
+    ]
+    # (d) r5-era refill, bench headliners first
+    + [
+        "q08_tpch_q1_ref", "q09_tpch_q6", "q09b_order_revenue",
+        "q14_revenue_by_nation", "q18_tpch_q5_local_suppliers",
+        "q35_tfidf_top_terms", "q39_corpus_select",
+        "q42_ngram_jaccard_pairs", "q44_simhash_neardup",
+        "q50_knn_bruteforce", "q54_ivf_knn",
+        "q62_tpch_q3", "q73_tpch_q13_order_distribution",
+        "q77_unigram_logprob", "q99_tpch_q8_market_share",
+    ]
+)
+_GATE = _ROUND8_GATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

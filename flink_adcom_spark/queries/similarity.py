@@ -230,14 +230,26 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding-cosine near-dup pairs (dedup by embedding) ---------------------
 NEARDUP_COSINE = 0.9
 
+# Planted-duplicate parameters shared by q164 (Spark + oracle): every vector
+# with vec_id % PLANT_MOD = PLANT_RESIDUE is replayed verbatim under
+# vec_id + PLANT_OFFSET, so the detection path is PROVEN on a non-empty
+# relation (the synthetic corpus has no natural cosine >= 0.9 pair — q53/q88
+# returned 0 rows at every SF, which verifies plumbing but not detection).
+PLANT_MOD = 100
+PLANT_RESIDUE = 7
+PLANT_OFFSET = 1_000_000
 
-@query(
-    "q53_embed_neardup_pairs",
-    f"""
-    WITH bp AS ({_BITS_SQL}),
+
+def _neardup_sql(rel: str = "embeddings", extra_cte: str = "") -> str:
+    """q53's oracle parameterized on the source relation: bucket derivation,
+    exploded components, norms, bucket-mate dot products, threshold."""
+    bits_sql = _BITS_SQL.replace("FROM embeddings", f"FROM {rel}")
+    x_sql = _X_SQL.replace("FROM embeddings", f"FROM {rel}")
+    return f"""
+    WITH {extra_cte}bp AS ({bits_sql}),
     e AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket
-          FROM embeddings CROSS JOIN bp),
-    x AS ({_X_SQL}),
+          FROM {rel} CROSS JOIN bp),
+    x AS ({x_sql}),
     n AS ({_N_SQL}),
     p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.val * b.val) AS dot
           FROM x a JOIN e ea ON a.vec_id = ea.vec_id
@@ -248,17 +260,11 @@ NEARDUP_COSINE = 0.9
     SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
     FROM p JOIN n na ON p.vec_a = na.vec_id JOIN n nb ON p.vec_b = nb.vec_id
     WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= {NEARDUP_COSINE}
-    """,
-    tags=("similarity", "dedup", "lsh"),
-)
-def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.9), restricted to
-    sign-LSH bucket mates — the embedding leg of the dedup suite. Candidate
-    generation is the bucket equi-join; true near-dups land in the same
-    bucket with high probability (agreeing signs), the standard recall/cost
-    trade of hyperplane LSH. Bucket count scales with corpus size exactly as
-    in q51 (_n_bucket_bits)."""
-    e0 = _emb(spark, sf_dir)
+    """
+
+
+def _neardup_pairs_df(e0: DataFrame) -> DataFrame:
+    """q53's Spark body over an arbitrary (vec_id, v, nrm) frame."""
     bits = _n_bucket_bits(e0.count())
     e = e0.withColumn("bucket", _bucket_col(bits))
     a = e.select("bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
@@ -275,6 +281,62 @@ def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+@query(
+    "q53_embed_neardup_pairs",
+    _neardup_sql(),
+    tags=("similarity", "dedup", "lsh"),
+)
+def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.9), restricted to
+    sign-LSH bucket mates — the embedding leg of the dedup suite. Candidate
+    generation is the bucket equi-join; true near-dups land in the same
+    bucket with high probability (agreeing signs), the standard recall/cost
+    trade of hyperplane LSH. Bucket count scales with corpus size exactly as
+    in q51 (_n_bucket_bits)."""
+    return _neardup_pairs_df(_emb(spark, sf_dir))
+
+
+@query(
+    "q164_embed_neardup_planted",
+    _neardup_sql(
+        rel="emb",
+        extra_cte=(
+            "emb AS (SELECT vec_id, embedding, label FROM embeddings"
+            " UNION ALL"
+            f" SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding, label"
+            f" FROM embeddings WHERE vec_id % {PLANT_MOD} = {PLANT_RESIDUE}), "
+        ),
+    ),
+    tags=("similarity", "dedup", "lsh", "planted"),
+)
+def q164_embed_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53's detection path proven on a NON-EMPTY relation: the corpus is
+    unioned with verbatim replays of every PLANT_MOD-th vector under fresh
+    ids (the ingestion-replay shape a dedup pass exists to catch), then the
+    identical bucket-mate threshold query runs over the union. Each planted
+    copy shares its original's signs, so it lands in the same bucket at any
+    bit width and MUST surface as a (orig, orig+PLANT_OFFSET) pair at
+    cosine 1.0 — a 0-row result here is a detection failure, not a data
+    property. Both engines build the same union, so the external hash match
+    finally exercises the non-empty branch (q53/q88's rows were 0 at every
+    SF; see VERDICT r7).
+
+    Scale shape: identical to q53 — the union is scan-side, candidates stay
+    a bucket equi-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") % PLANT_MOD == PLANT_RESIDUE).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
+    )
+    u = e.select("vec_id", "embedding", "label").union(
+        planted.select("vec_id", "embedding", "label")
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e0 = u.select("vec_id", "label", v.alias("v")).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    return _neardup_pairs_df(e0)
 
 
 # --- IVF (inverted-file) ANN search -------------------------------------------

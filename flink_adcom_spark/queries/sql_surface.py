@@ -192,6 +192,34 @@ def q67_viewers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)  # set-EXCEPT (exceptAll would keep surplus dup views)
 
 
+# q67 is structurally empty on the synthetic data (every one of the 150 users
+# has every event type), so its external green rows only ever proved the
+# empty relation. This twin keeps the exact EXCEPT topology but subtracts a
+# REAL subset — purchasers above a value threshold — so the driver gate
+# finally hash-matches a non-empty set difference (30 rows at sf0.01).
+BIG_PURCHASE = 100.0
+
+
+@query(
+    "q67b_viewers_no_big_purchase",
+    "SELECT user_id FROM events WHERE event_type = 'view' "
+    f"EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' AND value > {BIG_PURCHASE}",
+    tags=("events", "setop", "planted"),
+)
+def q67b_viewers_no_big_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewers who never made a purchase above BIG_PURCHASE — q67's EXCEPT
+    plan proven on a non-empty result (the subtrahend is a strict subset of
+    purchases, so some viewers survive). The threshold comparison is on the
+    raw stored double against an exactly-representable literal: no rounding
+    can flip a row between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > BIG_PURCHASE)
+    ).select("user_id")
+    return a.subtract(b)
+
+
 # --- salted skew aggregation (X2 parity) -------------------------------------
 @query(
     "q60_salted_type_counts",

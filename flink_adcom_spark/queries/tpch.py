@@ -467,6 +467,77 @@ def q74_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q74 planted twin: Q22 proven on a non-empty result ----------------------
+# Every synthetic customer has orders, so q74's anti-join output was 0 rows in
+# every external green row ever recorded (VERDICT r7: vacuous). This twin
+# unions customer with re-keyed high-balance replicas whose fresh custkeys
+# cannot appear in orders — by construction they clear both the above-average
+# threshold and the NOT EXISTS, so the gate hash-matches a non-empty result.
+Q22_PLANT_MOD = 300
+Q22_PLANT_RESIDUE = 7
+Q22_PLANT_OFFSET = 1_000_000
+Q22_PLANT_BAL = "9999.99"  # above the corpus max, certainly above average
+
+
+@query(
+    "q74b_tpch_q22_planted",
+    f"""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      UNION ALL
+      SELECT c_custkey + {Q22_PLANT_OFFSET} AS c_custkey, c_nationkey,
+             CAST('{Q22_PLANT_BAL}' AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % {Q22_PLANT_MOD} = {Q22_PLANT_RESIDUE}
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM({sql_money('c_acctbal')}) AS DOUBLE) AS totacctbal
+    FROM cust c
+    WHERE {sql_money('c_acctbal')} *
+      (SELECT COUNT(*) FROM cust WHERE c_acctbal > 0.0)
+      > (SELECT SUM({sql_money('c_acctbal')}) FROM cust WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("tpch", "subquery", "anti", "agg", "planted"),
+)
+def q74b_tpch_q22_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q74 (TPC-H Q22) over the customer table unioned with no-orders
+    high-balance replicas — same multiplication-form threshold, same
+    left-anti join, but the result is guaranteed non-empty (the planted
+    custkeys exceed every o_custkey), so the anti-join path is finally
+    verified on actual survivors. Both engines build the identical union;
+    the planted balance goes through the same DECIMAL(12,2) lift as real
+    balances."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    planted = base.filter(
+        F.col("c_custkey") % Q22_PLANT_MOD == Q22_PLANT_RESIDUE
+    ).select(
+        (F.col("c_custkey") + F.lit(Q22_PLANT_OFFSET)).alias("c_custkey"),
+        "c_nationkey",
+        F.lit(Q22_PLANT_BAL).cast("double").alias("c_acctbal"),
+    )
+    cust = base.union(planted)
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(dec_sum("c_acctbal").alias("pos_sum"), F.count(F.lit(1)).alias("pos_n"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(money("c_acctbal") * F.col("pos_n") > F.col("pos_sum"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum("c_acctbal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
 # --- TPC-H Q10: returned-item revenue ------------------------------------------
 Q10_START = "1996-10-01"
 Q10_END = "1997-01-01"

@@ -1,0 +1,119 @@
+"""Positive-path proofs for the queries whose external green rows were only
+ever 0-row matches (VERDICT r7: q53/q88 embedding near-dup, q74 TPC-H Q22,
+q67 viewers-never-purchased). Each test plants deterministic positives,
+asserts the query finds EXACTLY them, and hash-checks the non-empty result
+against the DuckDB oracle over the same fixture — detection proven, not just
+plumbing."""
+
+from __future__ import annotations
+
+from _parity import assert_engine_parity, make_fixture_dir, open_views
+
+from flink_adcom_spark.registry import get
+
+# --- embedding near-dup: perturbed copies must be detected, decoys must not ---
+
+
+def _pairs(df):
+    return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+
+def test_q53_finds_exactly_the_planted_neardups(spark, planted_embeddings_dir):
+    fixture, expected = planted_embeddings_dir
+    got = _pairs(get("q53_embed_neardup_pairs").build(spark, fixture))
+    assert got == expected  # every planted pair found, decoy pairs with nothing
+
+
+def test_q88_multiprobe_finds_exactly_the_planted_neardups(spark, planted_embeddings_dir):
+    fixture, expected = planted_embeddings_dir
+    got = _pairs(get("q88_embed_neardup_multiprobe").build(spark, fixture))
+    assert got == expected
+
+
+def test_neardup_oracle_parity_on_nonempty_relation(spark, planted_embeddings_dir):
+    """The hash-match logic itself, exercised where rows EXIST: Spark and
+    DuckDB must agree row-for-row (incl. the rounded cosine values) on the
+    planted fixture for both the single-bucket and multiprobe variants."""
+    fixture, expected = planted_embeddings_dir
+    con = open_views(fixture)
+    try:
+        for name in ("q53_embed_neardup_pairs", "q88_embed_neardup_multiprobe"):
+            spec = get(name)
+            assert spec.build(spark, fixture).count() == len(expected) > 0
+            assert_engine_parity(spec, spark, fixture, con, name=name)
+    finally:
+        con.close()
+
+
+def test_q164_planted_twin_nonempty_at_gate_data(spark, sf_dir):
+    """The externally-gated twin: verbatim replays under fresh ids must all
+    surface at cosine 1.0 over the UNMODIFIED gate data."""
+    from flink_adcom_spark.queries.similarity import PLANT_MOD, PLANT_OFFSET, PLANT_RESIDUE
+
+    rows = get("q164_embed_neardup_planted").build(spark, sf_dir).collect()
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
+    expected = {
+        (i, i + PLANT_OFFSET)
+        for i in range(500)
+        if i % PLANT_MOD == PLANT_RESIDUE
+    }
+    assert set(got) == expected and expected
+    assert all(c == 1.0 for c in got.values()), got
+
+
+# --- q67 EXCEPT: a planted view-only user must survive the subtraction --------
+
+_EVENTS_PLANT = {
+    "events": """SELECT * FROM '{src}'
+        UNION ALL
+        SELECT event_id + 1000000 AS event_id, ts, 999999 AS user_id,
+               event_type, value, props
+        FROM '{src}' WHERE event_type = 'view' AND event_id % 20 = 3"""
+}
+
+
+def test_q67_finds_the_planted_view_only_user(spark, tmp_path_factory):
+    fixture = make_fixture_dir(tmp_path_factory, "planted_viewer", _EVENTS_PLANT)
+    spec = get("q67_viewers_never_purchased")
+    rows = spec.build(spark, fixture).collect()
+    assert {r["user_id"] for r in rows} == {999999}
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q67")
+    finally:
+        con.close()
+
+
+# --- q74 anti-join: a planted rich no-orders customer must survive ------------
+
+_CUSTOMER_PLANT = {
+    "customer": """SELECT * FROM '{src}'
+        UNION ALL
+        SELECT 999999 AS c_custkey, 'Customer#999999' AS c_name,
+               c_nationkey, 9999.99 AS c_acctbal, c_mktsegment
+        FROM '{src}' WHERE c_custkey = 1"""
+}
+
+
+def test_q74_finds_the_planted_idle_rich_customer(spark, tmp_path_factory):
+    fixture = make_fixture_dir(tmp_path_factory, "planted_idle_rich", _CUSTOMER_PLANT)
+    spec = get("q74_tpch_q22_idle_rich")
+    rows = spec.build(spark, fixture).collect()
+    assert len(rows) == 1 and rows[0]["numcust"] == 1
+    assert abs(rows[0]["totacctbal"] - 9999.99) < 1e-9
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q74")
+    finally:
+        con.close()
+
+
+def test_planted_twins_registered_with_oracles():
+    """The gate-able twins exist, carry oracles, and are distinct from the
+    structurally-empty originals."""
+    for name in (
+        "q164_embed_neardup_planted",
+        "q67b_viewers_no_big_purchase",
+        "q74b_tpch_q22_planted",
+    ):
+        assert get(name).oracle is not None

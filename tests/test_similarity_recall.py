@@ -71,7 +71,7 @@ def test_lsh_bucket_pairs_match_oracle_at_wider_bucket_width(spark):
     assert sizes / (1 << n_bits) <= 2 * LSH_TARGET_BUCKET  # avg occupancy bounded
 
 
-def test_multiprobe_improves_neardup_recall(spark, sf_dir):
+def _neardup_recall_contract(spark, data_dir, expect_truth):
     """q88 (multi-probe) must find a superset of q53's pairs, and its recall
     against brute-force cosine>=0.9 ground truth must be >= q53's."""
     from pyspark.sql import functions as F
@@ -79,11 +79,11 @@ def test_multiprobe_improves_neardup_recall(spark, sf_dir):
     from flink_adcom_spark.queries.similarity import NEARDUP_COSINE, _dot, _emb
     from flink_adcom_spark.registry import get
 
-    single = {(r["vec_a"], r["vec_b"]) for r in get("q53_embed_neardup_pairs").build(spark, sf_dir).collect()}
-    multi = {(r["vec_a"], r["vec_b"]) for r in get("q88_embed_neardup_multiprobe").build(spark, sf_dir).collect()}
+    single = {(r["vec_a"], r["vec_b"]) for r in get("q53_embed_neardup_pairs").build(spark, data_dir).collect()}
+    multi = {(r["vec_a"], r["vec_b"]) for r in get("q88_embed_neardup_multiprobe").build(spark, data_dir).collect()}
     assert multi >= single
 
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, data_dir)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
@@ -95,8 +95,27 @@ def test_multiprobe_improves_neardup_recall(spark, sf_dir):
         .collect()
     }
     assert multi <= truth  # LSH candidates are exact-scored: no false pairs
-    if truth:
+    if expect_truth:
+        # the recall branch with real ground truth: every planted pair is
+        # sign-preserving, so single-probe LSH already reaches full recall
+        assert truth
         assert len(multi & truth) >= len(single & truth)
+        assert len(multi & truth) == len(truth)
+    return truth
+
+
+def test_multiprobe_improves_neardup_recall(spark, sf_dir):
+    # the raw synthetic corpus has no cosine>=0.9 pair: contracts only
+    _neardup_recall_contract(spark, sf_dir, expect_truth=False)
+
+
+def test_multiprobe_recall_on_planted_ground_truth(spark, planted_embeddings_dir):
+    """The recall assertions executed against NON-EMPTY ground truth: the
+    planted fixture guarantees 20 true near-dup pairs (conftest asserts
+    their numpy cosines), so this is the branch the raw corpus never hit."""
+    fixture, expected = planted_embeddings_dir
+    truth = _neardup_recall_contract(spark, fixture, expect_truth=True)
+    assert truth == expected
 
 
 def test_quantized_rescore_recall_near_exact(spark, sf_dir):

@@ -78,6 +78,33 @@ AXES: dict[str, dict[str, str]] = {
         "events": """SELECT * FROM '{src}'
             UNION ALL SELECT * FROM '{src}' WHERE event_id % 40 = 2""",
     },
+    # RE-KEYED duplicate rows (same content, FRESH primary keys): the shape a
+    # crawler re-fetch or a mirrored feed produces — and the one the plain
+    # dupes axis structurally cannot test for pair-producing operators, since
+    # pairs require distinct ids (vec_a < vec_b never fires on identical
+    # ids). Under this axis the near-dup family (q40/q41/q43/q44/q53/q88 and
+    # q164) must DETECT the planted duplicates — the sweep prints their pair
+    # counts, and a zero is a detection failure, not parity noise.
+    "dupes_rekeyed": {
+        "documents": """SELECT * FROM '{src}'
+            UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang, source,
+                             n_chars
+            FROM '{src}' WHERE doc_id % 40 = 2""",
+        "embeddings": """SELECT * FROM '{src}'
+            UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding, label
+            FROM '{src}' WHERE vec_id % 40 = 2""",
+    },
+}
+
+# On dupes_rekeyed, these queries' results must be NON-EMPTY (the planted
+# re-keyed copies are exact duplicates, the strongest possible near-dup);
+# a 0-row result is reported as a detection failure.
+MUST_DETECT = {
+    "dupes_rekeyed": {
+        "q41_minhash_lsh_pairs", "q42_ngram_jaccard_pairs",
+        "q44_simhash_neardup", "q53_embed_neardup_pairs",
+        "q88_embed_neardup_multiprobe",
+    },
 }
 
 
@@ -164,6 +191,12 @@ def main() -> int:
             try:
                 _, srows = spark_sorted_rows(spec.build(spark, fixture))
                 _, drows = duck_sorted_rows(dk.sql(spec.oracle))
+                if name in MUST_DETECT.get(axis, set()):
+                    if not srows:
+                        bad.append((axis, name, "0 rows — planted re-keyed duplicates NOT detected"))
+                        print(f"NO-DETECT [{axis}] {name}: {bad[-1][2]}")
+                        continue
+                    print(f"DETECT [{axis}] {name}: {len(srows)} pairs on the planted duplicates")
                 if srows != drows:
                     if name in EXPECTED_CONTRACT.get(axis, set()):
                         print(
