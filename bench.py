@@ -194,17 +194,30 @@ def _stream_throughput(
         .trigger(processingTime="500 milliseconds")
         .start()
     )
-    best = 0.0
+    # MEDIAN per-batch rate at steady state, not max-of-instantaneous: the
+    # r7 bench recorded skew30 at 9.4M vs r6's 15.9M purely because max()
+    # over one 12 s window rides batch-boundary luck — a solo interleaved
+    # probe (tools/stream_probe.py) showed BOTH variants swinging 8.4-15.4M
+    # under max() while their batch medians sat close together. Dropping the
+    # ramp-up batches and taking the median makes the recorded number a
+    # property of the pipeline, not of one lucky batch.
+    batches: dict[int, float] = {}
     try:
         deadline = time.time() + run_s
         while time.time() < deadline:
             time.sleep(0.5)
             for p in q.recentProgress:
                 rps = p.get("processedRowsPerSecond") or 0.0
-                best = max(best, float(rps))
+                bid = p.get("batchId")
+                if bid is not None and rps > 0:
+                    batches[int(bid)] = float(rps)
     finally:
         q.stop()
-    return int(best)
+    if not batches:
+        return 0
+    steady = [batches[b] for b in sorted(batches)][4:] or list(batches.values())
+    steady.sort()
+    return int(steady[len(steady) // 2])
 
 
 def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0) -> dict:

@@ -30,10 +30,13 @@ def main() -> None:
     spark = get_spark("stream-probe", cpus=int(os.environ["SPARK_GRAFT_CPUS"]))
     # one throwaway run to absorb codegen/JIT for this plan shape
     _stream_throughput(spark, run_s=6.0)
+    # INTERLEAVED samples: session-lifetime effects (JIT warmth, GC pressure,
+    # accumulated memory-sink tables) otherwise bias whichever variant runs
+    # first — the first probe version ran uniform x3 then skew x3 and read a
+    # 0.69 skew ratio that was partly ordering, not the hot key.
     out: dict[str, list[int]] = {"uniform": [], "skew30": []}
     for _ in range(n):
         out["uniform"].append(_stream_throughput(spark))
-    for _ in range(n):
         out["skew30"].append(_stream_throughput(spark, skewed=True))
     summary = {
         k: {"samples": v, "min": min(v), "max": max(v)} for k, v in out.items()
