@@ -511,8 +511,39 @@ def q56_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- k-means corpus clustering (iterative) ------------------------------------
-KMEANS_K = 8
+KMEANS_K = 8  # floor; the derived k takes over once N > K^2 * TARGET
 KMEANS_ITERS = 3
+# k SCALES WITH CORPUS SIZE: k = max(KMEANS_K, ceil(sqrt(N / TARGET))). The
+# cluster-scoped quadratics (q112 SemDeDup, q156 contrastive mining) cost
+# sum(|cluster|^2) ~ N^2/k; with k ~ sqrt(N) that flattens to N^1.5*sqrt(T)
+# instead of N^2/8 — the derivation the q112/q156 docstrings promised but a
+# frozen KMEANS_K never delivered (VERDICT r7 watch item). Same discipline
+# as the LSH bucket width (_n_bucket_bits): both engines derive k from the
+# same COUNT(*), the arithmetic (dyadic division by 64, IEEE sqrt, ceil) is
+# bit-identical, so clustering and every downstream result stay in lockstep.
+# At the gate SFs (500/2000 vectors) the derived k equals the floor 8, so
+# frozen-k history is unchanged; the two-k oracle test
+# (tests/test_kmeans.py::test_derived_k_matches_oracle_at_large_n) proves
+# the derived path end-to-end on a 6000-vector fixture where k = 10.
+KMEANS_TARGET_CLUSTER = 64
+
+
+def derive_kmeans_k(n: int) -> int:
+    """max(KMEANS_K, ceil(sqrt(n / KMEANS_TARGET_CLUSTER))) — IEEE-exact in
+    both engines (DuckDB mirrors this as GREATEST/CEIL/SQRT in _k_sql)."""
+    import math
+
+    if n <= 0:
+        return KMEANS_K
+    return max(KMEANS_K, math.ceil(math.sqrt(n / KMEANS_TARGET_CLUSTER)))
+
+
+def _k_sql(train_src: str = "vecs") -> str:
+    """The SQL twin of derive_kmeans_k, usable as a scalar LIMIT subquery."""
+    return (
+        f"(SELECT GREATEST({KMEANS_K}, CAST(CEIL(SQRT(COUNT(*) / "
+        f"{KMEANS_TARGET_CLUSTER}.0)) AS INT)) FROM {train_src})"
+    )
 
 
 # --- unrolled Lloyd oracle ----------------------------------------------------
@@ -532,7 +563,7 @@ def _kmeans_dist_sql(v: str, c: str) -> str:
 
 
 def _kmeans_oracle_sql(
-    k: int,
+    k: int | str,
     iters: int,
     train_where: str = "",
     assign_cte: str | None = None,
@@ -611,7 +642,7 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster{rnk_col} FROM (
 
 @query(
     "q57_kmeans",
-    _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
+    _kmeans_oracle_sql(_k_sql(), KMEANS_ITERS),
     tags=("similarity", "clustering", "iterative"),
     bench=True,
 )
@@ -628,7 +659,7 @@ def q57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    assigned, _ = lloyd_kmeans(e, "v", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
+    assigned, _ = lloyd_kmeans(e, "v", "vec_id", k=derive_kmeans_k(e.count()), iters=KMEANS_ITERS)
     return assigned
 
 
@@ -637,7 +668,7 @@ DIVERSITY_PER_CLUSTER = 20
 
 @query(
     "q58_diversity_sample",
-    "WITH assign AS (" + _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS) + ") "
+    "WITH assign AS (" + _kmeans_oracle_sql(_k_sql(), KMEANS_ITERS) + ") "
     "SELECT vec_id, cluster FROM ("
     "  SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster "
     "                                             ORDER BY vec_id) AS rnk"
@@ -946,7 +977,7 @@ SEMDEDUP_COS = 0.30  # drop threshold. The synthetic embeddings are near-random
 
 @query(
     "q112_semdedup_keep",
-    "WITH assign AS (" + _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS) + f"""),
+    "WITH assign AS (" + _kmeans_oracle_sql(_k_sql(), KMEANS_ITERS) + f"""),
     x AS ({_X_SQL}),
     n AS ({_N_SQL}),
     xa AS (SELECT x.vec_id, a.cluster, x.i, x.val FROM x JOIN assign a USING (vec_id)),
@@ -1014,7 +1045,7 @@ INDEX_BATCH_MAX = 100  # vec_id < this = the "newly arrived" batch
 @query(
     "q119_index_assign_batch",
     _kmeans_oracle_sql(
-        KMEANS_K,
+        _k_sql(),
         KMEANS_ITERS,
         train_where=f"WHERE vec_id >= {INDEX_BATCH_MAX}",
         assign_cte=(
@@ -1043,7 +1074,7 @@ def q119_index_assign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = e.filter(F.col("vec_id") >= INDEX_BATCH_MAX)
     batch = e.filter(F.col("vec_id") < INDEX_BATCH_MAX)
-    _, centroids = lloyd_kmeans(train, "v", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
+    _, centroids = lloyd_kmeans(train, "v", "vec_id", k=derive_kmeans_k(train.count()), iters=KMEANS_ITERS)
     return assign_clusters(batch, "v", centroids).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster")
     )
@@ -1172,7 +1203,7 @@ def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q156_contrastive_triples",
     "WITH assign2 AS ("
-    + _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS, ranks=2)
+    + _kmeans_oracle_sql(_k_sql(), KMEANS_ITERS, ranks=2)
     + f"""),
     own AS (SELECT vec_id, cluster FROM assign2 WHERE rnk = 1),
     sec AS (SELECT vec_id, cluster FROM assign2 WHERE rnk = 2),
@@ -1234,7 +1265,7 @@ def q156_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     pts = e.select("vec_id", "v")
-    _, centroids = lloyd_kmeans(pts, "v", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
+    _, centroids = lloyd_kmeans(pts, "v", "vec_id", k=derive_kmeans_k(pts.count()), iters=KMEANS_ITERS)
     asg = assign_clusters_ranked(e, "v", centroids).localCheckpoint(eager=True)
 
     a = asg.select(

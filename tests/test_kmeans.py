@@ -106,3 +106,53 @@ def test_assign_clusters_ranked_tie_breaks_to_lower_index(spark):
     cents = [[5.0, 5.0], [1.0, 1.0], [1.0, 1.0]]
     row = assign_clusters_ranked(df, "v", cents).collect()[0]
     assert (row["cluster"], row["cluster2"]) == (1, 2)
+
+
+def test_derive_kmeans_k_law():
+    from flink_adcom_spark.queries.similarity import (
+        KMEANS_K,
+        derive_kmeans_k,
+    )
+
+    assert derive_kmeans_k(0) == KMEANS_K
+    assert derive_kmeans_k(500) == KMEANS_K      # gate sf0.01 scale
+    assert derive_kmeans_k(2000) == KMEANS_K     # sf0.1 scale
+    assert derive_kmeans_k(6000) == 10           # the two-k fixture below
+    assert derive_kmeans_k(4096 * 64) == 64      # exact dyadic boundary
+    assert derive_kmeans_k(10**9) == 3953
+    ks = [derive_kmeans_k(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert ks == sorted(ks)  # corpus growth never shrinks k
+
+
+def test_derived_k_matches_oracle_at_large_n(spark, tmp_path_factory):
+    """Two-k oracle check (the q51 two-width pattern): a 6000-vector fixture
+    (sf0.1 embeddings replayed 3x under distinct ids) derives k = 10 > the
+    floor 8, so the dynamically-derived k is exercised END-TO-END on both
+    engines — Spark computes it in python (derive_kmeans_k) while the oracle
+    computes it inside the LIMIT scalar subquery (_k_sql)."""
+    import duckdb
+
+    from flink_adcom_spark.queries.similarity import derive_kmeans_k
+    from flink_adcom_spark.registry import get
+
+    src = "/root/testdata/sf0.1/embeddings.parquet"
+    dst = tmp_path_factory.mktemp("bign_emb")
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (
+          SELECT vec_id, embedding, label FROM '{src}'
+          UNION ALL SELECT vec_id + 10000, embedding, label FROM '{src}'
+          UNION ALL SELECT vec_id + 20000, embedding, label FROM '{src}'
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    assert derive_kmeans_k(6000) == 10
+
+    spec = get("q57_kmeans")
+    sdf = spec.build(spark, str(dst))
+    got = {(r["vec_id"], r["cluster"]) for r in sdf.collect()}
+    assert len({c for _, c in got}) == 10  # all 10 derived clusters used
+
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{dst}/embeddings.parquet'")
+    want = set(map(tuple, con.sql(spec.oracle).fetchall()))
+    con.close()
+    assert got == want
