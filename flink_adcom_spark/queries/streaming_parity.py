@@ -23,9 +23,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..streaming import jobs
+from ..tables import load_table
 from .text import _cdc_chunks_sql
 
 # Decimal-cast sum matches functions/exact.py::dec_sum (engine-stable sums).
@@ -405,3 +407,110 @@ def q161_stream_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxFilesPerTrigger=1,
     )
     return spark.read.parquet(out).select("digest")
+
+
+# --- adaptive-controller transcript (SURVEY §2.1 / §4, externally gated) ------
+# A scripted backpressure trace folded through the REAL BandController — the
+# one genuinely novel engine component (band law, ±100/±200 steps, 50 ms
+# floor; streaming/controller.py mirrors PreAggregateControllerService.java:
+# 126-174) — with the law restated in SQL as the oracle's recursive fold.
+# Until now the controller was only pytest/bench-verified; this puts its
+# decision law under the external hash gate.
+CTRL_TRACE_STEPS = 500
+CTRL_TRACE_MOD = 131  # utilization domain [0, 130]: spans every band + overload
+CTRL_TRACE_MULT = 2654435761  # Knuth spread (q38 discipline; step <= 500 so no overflow)
+# The first steps are pinned to outer-low utilization so the transcript walks
+# the interval DOWN onto the 50 ms floor before the spread trace takes over —
+# without this the up-biased hash trace never activates the floor clamp and
+# a wrong GREATEST/floor restatement in either engine would go unnoticed.
+CTRL_TRACE_FLOOR_STEPS = 10
+
+
+def _ctrl_trace_sql() -> str:
+    """The deterministic utilization trace: hourly event counts in hour
+    order, spread over [0, 130] by a Knuth hash of (step, count)."""
+    return f"""
+    t0 AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+           FROM events GROUP BY 1),
+    tr AS (SELECT step, cnt FROM (
+             SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS step, cnt
+             FROM t0) s
+           WHERE step <= {CTRL_TRACE_STEPS}),
+    trace AS (SELECT step,
+                     CASE WHEN step <= {CTRL_TRACE_FLOOR_STEPS} THEN CAST(5 AS DOUBLE)
+                          ELSE CAST((step * {CTRL_TRACE_MULT} + cnt) % {CTRL_TRACE_MOD}
+                                    AS DOUBLE) END AS util
+              FROM tr)"""
+
+
+@query(
+    "q167_controller_transcript",
+    f"""
+    WITH RECURSIVE {_ctrl_trace_sql()},
+    fold AS (
+      SELECT CAST(0 AS BIGINT) AS step, 500 AS interval_ms
+      UNION ALL
+      SELECT t.step,
+             GREATEST(50, f.interval_ms + CASE
+               WHEN t.util >= 100 THEN 200
+               WHEN t.util > 65 AND t.util >= 85 THEN 200
+               WHEN t.util > 65 THEN 100
+               WHEN t.util < 40 AND t.util <= 30 THEN -200
+               WHEN t.util < 40 THEN -100
+               ELSE 0 END)
+      FROM fold f JOIN trace t ON t.step = f.step + 1
+    )
+    SELECT CAST(t.step AS INT) AS step, t.util,
+           CAST(f.interval_ms AS INT) AS interval_ms
+    FROM fold f JOIN trace t USING (step)
+    """,
+    tags=("streaming", "controller", "adaptive"),
+)
+def q167_controller_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval decisions of the REAL adaptive controller over a scripted
+    backpressure trace, externally gated. The trace is derived from the
+    events table (hourly counts in hour order, Knuth-spread over [0, 130] so
+    it crosses below-band, in-band, above-band, outer-band, and overload
+    territory); each step feeds one SignalsSummary(mean=util, p75=util)
+    into BandController.decide — the exact object the streaming runtime
+    uses (streaming/controller.py; reference law:
+    PreAggregateControllerService.java:126-174 with Reference(40, 65, 30,
+    85), PreAggregateProcTimeListener.java:23's 50 ms floor). The oracle
+    restates the band law as a recursive-CTE fold, so any drift in the
+    controller's thresholds, step sizes, or floor fails the hash match.
+
+    Scale shape: the trace rollup is one hour-keyed aggregation (720 rows
+    at sf0.01, bounded by the dataset's TIME SPAN, not its volume — the
+    controller is a driver-side component in production too, consuming
+    histogram summaries, never raw rows); the fold itself is CTRL_TRACE_
+    STEPS sequential decide() calls on <= 500 collected rows."""
+    from ..streaming.controller import BandController, SignalsSummary
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("h")
+    trace = (
+        hours.withColumn("step", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("step") <= CTRL_TRACE_STEPS)
+        .withColumn(
+            "util",
+            F.when(F.col("step") <= CTRL_TRACE_FLOOR_STEPS, F.lit(5.0)).otherwise(
+                ((F.col("step") * F.lit(CTRL_TRACE_MULT) + F.col("cnt"))
+                 % F.lit(CTRL_TRACE_MOD)).cast("double")
+            ),
+        )
+        .select("step", "util")
+        .orderBy("step")
+        .collect()  # bounded: <= CTRL_TRACE_STEPS rows by construction
+    )
+    ctrl = BandController()
+    out = []
+    for r in trace:
+        d = ctrl.decide([SignalsSummary(mean=r["util"], p75=r["util"])])
+        out.append((int(r["step"]), float(r["util"]), int(d.interval_ms)))
+    return spark.createDataFrame(
+        out, "step INT, util DOUBLE, interval_ms INT"
+    )
