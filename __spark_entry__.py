@@ -266,6 +266,7 @@ _ROUND8_GATE = frozenset(
         "q161_stream_chunk_index", "q162_pmi_collocations", "q163_user_ewma",
         "q164_embed_neardup_planted", "q67b_viewers_no_big_purchase",
         "q74b_tpch_q22_planted", "q167_controller_transcript",
+        "q168_bpe_encode",
     ]
     # (b) oldest green rows: the full r3-era cohort...
     + [
@@ -288,9 +289,10 @@ _ROUND8_GATE = frozenset(
         "q08_tpch_q1",
     ]
     # (d) r5-era refill, bench headliners first (q62 yielded its slot to
-    # q167, the controller-law transcript — never-checked beats refill)
+    # q167, the controller-law transcript, q09b to q168 the BPE corpus
+    # encoder — never-checked beats refill)
     + [
-        "q08_tpch_q1_ref", "q09_tpch_q6", "q09b_order_revenue",
+        "q08_tpch_q1_ref", "q09_tpch_q6",
         "q14_revenue_by_nation", "q18_tpch_q5_local_suppliers",
         "q35_tfidf_top_terms", "q39_corpus_select",
         "q42_ngram_jaccard_pairs", "q44_simhash_neardup",

@@ -1814,9 +1814,42 @@ BPE_ROUNDS = 3
 BPE_VOCAB_TOP = 200  # train on the top-V words by corpus frequency
 
 
-def _bpe_oracle_sql() -> str:
+def _bpe_apply_round_sql(r: int, pre: str, top: str) -> str:
+    """One merge-application round over `{pre}tok{r-1}` against the 1-row
+    pair table `{top}`: mark matches, gaps-and-islands odd-rank selection,
+    merge taken pairs, drop consumed successors, renumber. Shared verbatim
+    by training (pre='', top computed per round) and corpus encoding
+    (pre='v', top referencing the TRAINED merge)."""
+    return f""",
+{pre}mk{r} AS (SELECT pr.*, (pr.tok = t.p1 AND pr.nxt = t.p2) AS m
+          FROM {pre}pr{r} pr CROSS JOIN {top} t),
+{pre}mt{r} AS (SELECT word, pos,
+                 (ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) % 2) = 1
+                   AS take
+          FROM (SELECT word, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                         AS grp
+                FROM {pre}mk{r} WHERE m) t),
+{pre}ng{r} AS (SELECT mk.word, mk.freq, mk.pos,
+                 CASE WHEN COALESCE(mt.take, FALSE)
+                      THEN mk.tok || mk.nxt ELSE mk.tok END AS tok,
+                 COALESCE(mt.take, FALSE) AS taken
+          FROM {pre}mk{r} mk LEFT JOIN {pre}mt{r} mt USING (word, pos)),
+{pre}tok{r} AS (SELECT word, freq,
+                  ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, tok
+           FROM (SELECT *, COALESCE(LAG(taken)
+                           OVER (PARTITION BY word ORDER BY pos), FALSE)
+                             AS consumed
+                 FROM {pre}ng{r}) t
+           WHERE NOT consumed)"""
+
+
+def _bpe_train_ctes() -> str:
+    """The training CTE chain (toks/wc/tok0, then pr{r}/top{r}/merge rounds),
+    WITHOUT the leading WITH or a final SELECT — composable by q159 (emit the
+    merge table) and q168 (apply the trained merges to the whole corpus)."""
     parts = [
-        f"""WITH toks AS (SELECT unnest({_WORDS_SQL}) AS word
+        f"""toks AS (SELECT unnest({_WORDS_SQL}) AS word
               FROM documents WHERE text IS NOT NULL),
 wc AS (SELECT word, COUNT(*) AS freq FROM toks
        GROUP BY word ORDER BY freq DESC, word LIMIT {BPE_VOCAB_TOP}),
@@ -1834,36 +1867,19 @@ pr{r} AS (SELECT word, freq, pos, tok,
           FROM tok{p}),
 top{r} AS (SELECT tok AS p1, nxt AS p2, SUM(freq) AS cnt
            FROM pr{r} WHERE nxt IS NOT NULL
-           GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
-mk{r} AS (SELECT pr.*, (pr.tok = t.p1 AND pr.nxt = t.p2) AS m
-          FROM pr{r} pr CROSS JOIN top{r} t),
-mt{r} AS (SELECT word, pos,
-                 (ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) % 2) = 1
-                   AS take
-          FROM (SELECT word, pos,
-                       pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
-                         AS grp
-                FROM mk{r} WHERE m) t),
-ng{r} AS (SELECT mk.word, mk.freq, mk.pos,
-                 CASE WHEN COALESCE(mt.take, FALSE)
-                      THEN mk.tok || mk.nxt ELSE mk.tok END AS tok,
-                 COALESCE(mt.take, FALSE) AS taken
-          FROM mk{r} mk LEFT JOIN mt{r} mt USING (word, pos)),
-tok{r} AS (SELECT word, freq,
-                  ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, tok
-           FROM (SELECT *, COALESCE(LAG(taken)
-                           OVER (PARTITION BY word ORDER BY pos), FALSE)
-                             AS consumed
-                 FROM ng{r}) t
-           WHERE NOT consumed)"""
+           GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 1)"""
+            + _bpe_apply_round_sql(r, "", f"top{r}")
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql() -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, p1, p2, p1 || p2 AS merged, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM top{r}"
         for r in range(1, BPE_ROUNDS + 1)
     )
-    parts.append("\n" + unions)
-    return "".join(parts)
+    return "WITH " + _bpe_train_ctes() + "\n" + unions
 
 
 @query(
@@ -1888,6 +1904,67 @@ def q159_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lazy localCheckpoint each (the kmeans/components loop posture).
     Greedy non-overlap via gaps-and-islands keeps the merge step pure
     window algebra — no per-row Python, no UDF."""
+    merges, _tops = _bpe_train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_merge_apply(pr: DataFrame, top: DataFrame, w) -> DataFrame:
+    """Apply ONE merge pair (1-row `top`: p1, p2) to exploded token rows
+    (word, freq, pos, tok, nxt): mark matches, take odd-ranked matches per
+    gaps-and-islands group (greedy left-to-right non-overlap), concatenate
+    taken pairs, drop consumed successors, renumber. Shared by training
+    (q159) and corpus encoding (q168) so the two can never drift."""
+    from pyspark.sql import Window
+
+    mk = pr.crossJoin(F.broadcast(top.select("p1", "p2"))).withColumn(
+        "m", (F.col("tok") == F.col("p1")) & (F.col("nxt") == F.col("p2"))
+    )
+    mt = (
+        mk.filter("m")
+        .select(
+            "word", "pos",
+            (F.col("pos") - F.row_number().over(w)).alias("grp"),
+        )
+        .withColumn(
+            "take",
+            F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos"))
+            % 2
+            == 1,
+        )
+        .select("word", "pos", "take")
+    )
+    ng = (
+        mk.join(mt, ["word", "pos"], "left")
+        .withColumn("taken", F.coalesce(F.col("take"), F.lit(False)))
+        .withColumn(
+            "tok2",
+            F.when(F.col("taken"), F.concat("tok", "nxt")).otherwise(
+                F.col("tok")
+            ),
+        )
+    )
+    return (
+        ng.withColumn(
+            "consumed", F.coalesce(F.lag("taken").over(w), F.lit(False))
+        )
+        .filter(~F.col("consumed"))
+        .select(
+            "word", "freq",
+            F.row_number().over(w).alias("pos"),
+            F.col("tok2").alias("tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """Run the BPE_ROUNDS training rounds; returns (per-round merge-table
+    rows, per-round 1-row (p1, p2, cnt) pair frames for downstream apply)."""
     from pyspark.sql import Window
 
     toks = (
@@ -1906,7 +1983,8 @@ def q159_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "tok")
 
     w = Window.partitionBy("word").orderBy("pos")
-    merges = []
+    merges: list[DataFrame] = []
+    tops: list[DataFrame] = []
     for r in range(1, BPE_ROUNDS + 1):
         pr = tok.withColumn("nxt", F.lead("tok").over(w))
         top = (
@@ -1918,7 +1996,9 @@ def q159_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("tok").alias("p1"), F.col("nxt").alias("p2"), "cnt"
             )
+            .localCheckpoint(eager=False)
         )
+        tops.append(top)
         merges.append(
             top.select(
                 F.lit(r).alias("round"), "p1", "p2",
@@ -1926,50 +2006,100 @@ def q159_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").cast("bigint").alias("pair_count"),
             )
         )
-        mk = pr.crossJoin(F.broadcast(top.select("p1", "p2"))).withColumn(
-            "m", (F.col("tok") == F.col("p1")) & (F.col("nxt") == F.col("p2"))
-        )
-        mt = (
-            mk.filter("m")
-            .select(
-                "word", "pos",
-                (F.col("pos") - F.row_number().over(w)).alias("grp"),
-            )
-            .withColumn(
-                "take",
-                F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos"))
-                % 2
-                == 1,
-            )
-            .select("word", "pos", "take")
-        )
-        ng = (
-            mk.join(mt, ["word", "pos"], "left")
-            .withColumn("taken", F.coalesce(F.col("take"), F.lit(False)))
-            .withColumn(
-                "tok2",
-                F.when(F.col("taken"), F.concat("tok", "nxt")).otherwise(
-                    F.col("tok")
-                ),
-            )
-        )
-        tok = (
-            ng.withColumn(
-                "consumed", F.coalesce(F.lag("taken").over(w), F.lit(False))
-            )
-            .filter(~F.col("consumed"))
-            .select(
-                "word", "freq",
-                F.row_number().over(w).alias("pos"),
-                F.col("tok2").alias("tok"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        tok = _bpe_merge_apply(pr, top, w)
+    return merges, tops
 
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+
+def _bpe_encode_oracle_sql() -> str:
+    """Trained merges applied to EVERY distinct corpus word, rolled up to
+    per-document BPE token counts (the vocabulary-encode trick: the merge
+    machinery runs once per distinct word, never once per occurrence)."""
+    parts = [
+        "WITH " + _bpe_train_ctes(),
+        f""",
+dw AS (SELECT doc_id, word, COUNT(*) AS cnt
+       FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS word
+             FROM documents WHERE text IS NOT NULL) t
+       GROUP BY doc_id, word),
+vtok0 AS (SELECT word, 1 AS freq,
+                 generate_subscripts(string_split(word, ''), 1) AS pos,
+                 unnest(string_split(word, '')) AS tok
+          FROM (SELECT DISTINCT word FROM dw) vw)""",
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+vpr{r} AS (SELECT word, freq, pos, tok,
+                  LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM vtok{r - 1})"""
+            + _bpe_apply_round_sql(r, "v", f"top{r}")
+        )
+    parts.append(
+        f"""
+, blen AS (SELECT word, COUNT(*) AS bpe_len FROM vtok{BPE_ROUNDS} GROUP BY word)
+SELECT dw.doc_id,
+       CAST(SUM(dw.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(dw.cnt * blen.bpe_len) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN blen USING (word)
+GROUP BY dw.doc_id"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q168_bpe_encode",
+    _bpe_encode_oracle_sql(),
+    tags=("text", "tokenizer", "pipeline"),
+    bench=True,
+)
+def q168_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TRAINED BPE merges (q159's artifact) to the whole corpus and
+    emit per-document token counts before/after encoding — the tokenizer-
+    application step a training pipeline runs to size its dataset in model
+    tokens (n_bpe_tokens is what a context-window packer and a compute
+    budget actually consume). Completes the tokenizer lifecycle:
+    q117 pair stats -> q159 merge training -> q168 corpus encoding.
+
+    Scale shape — the vocabulary-encode trick: the merge machinery (window
+    algebra per round, same _bpe_merge_apply as training) runs over DISTINCT
+    corpus words (Heaps'-law sublinear in corpus size), never over token
+    occurrences; the corpus-sized work is one (doc_id, word) rollup and one
+    word-keyed join of the per-word BPE length back onto it. A real encoder
+    with a full merge table would swap the unrolled rounds for a word-keyed
+    applyInPandas over the SAME distinct-word relation — the join-back
+    topology is identical."""
+    from pyspark.sql import Window
+
+    _, tops = _bpe_train(spark, sf_dir)
+
+    docs = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
+    dw = (
+        docs.select("doc_id", F.explode(words_col()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds both the distinct-word encode and the rollup
+    )
+    vtok = (
+        dw.select("word").distinct()
+        .select(
+            "word", F.lit(1).alias("freq"),
+            F.posexplode(F.split("word", "")).alias("pos0", "tok"),
+        )
+        .select("word", "freq", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    w = Window.partitionBy("word").orderBy("pos")
+    for top in tops:
+        vpr = vtok.withColumn("nxt", F.lead("tok").over(w))
+        vtok = _bpe_merge_apply(vpr, top, w)
+    blen = vtok.groupBy("word").agg(F.count(F.lit(1)).alias("bpe_len"))
+    return (
+        dw.join(blen, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("bpe_len")).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
 
 
 # --- incremental chunk-novelty at ingestion -----------------------------------
