@@ -266,7 +266,7 @@ _ROUND8_GATE = frozenset(
         "q161_stream_chunk_index", "q162_pmi_collocations", "q163_user_ewma",
         "q164_embed_neardup_planted", "q67b_viewers_no_big_purchase",
         "q74b_tpch_q22_planted", "q167_controller_transcript",
-        "q168_bpe_encode",
+        "q168_bpe_encode", "q169_embed_decontaminate", "q170_symspell_pairs",
     ]
     # (b) oldest green rows: the full r3-era cohort...
     + [
@@ -290,11 +290,12 @@ _ROUND8_GATE = frozenset(
     ]
     # (d) r5-era refill, bench headliners first (q62 yielded its slot to
     # q167, the controller-law transcript, q09b to q168 the BPE corpus
-    # encoder — never-checked beats refill)
+    # encoder, q08_ref/q39 to q169 decontamination and q170 the symmetric-
+    # delete fuzzy join — never-checked beats refill)
     + [
-        "q08_tpch_q1_ref", "q09_tpch_q6",
+        "q09_tpch_q6",
         "q14_revenue_by_nation", "q18_tpch_q5_local_suppliers",
-        "q35_tfidf_top_terms", "q39_corpus_select",
+        "q35_tfidf_top_terms",
         "q42_ngram_jaccard_pairs", "q44_simhash_neardup",
         "q50_knn_bruteforce", "q54_ivf_knn",
         "q73_tpch_q13_order_distribution",

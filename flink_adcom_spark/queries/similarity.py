@@ -1316,3 +1316,69 @@ def q156_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(neg, "anchor_id").select(
         "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"
     )
+
+
+# --- embedding-level benchmark decontamination ---------------------------------
+DECON_COS = 0.4  # the synthetic embeddings are near-random (max eval-corpus
+# cosine ~0.48 at every SF), so a production-style 0.9 would never fire; 0.4
+# sits in the tail and flags 3-19 documents across SFs — the DROP path is
+# exercised non-vacuously. The threshold is the tunable; the zero-shuffle
+# broadcast-matrix shape is what scales.
+
+
+@query(
+    "q169_embed_decontaminate",
+    f"""
+    WITH x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    p AS (SELECT b.vec_id AS vec_id, a.vec_id AS q_id, SUM(a.val * b.val) AS dot
+          FROM x a JOIN x b ON a.i = b.i
+          WHERE a.vec_id < {N_QUERY_VECS} AND b.vec_id >= {N_QUERY_VECS}
+          GROUP BY 1, 2),
+    c AS (SELECT p.vec_id, MAX(ROUND(p.dot / (na.nrm * nb.nrm), 6)) AS max_eval_cos
+          FROM p JOIN n na ON p.q_id = na.vec_id
+                 JOIN n nb ON p.vec_id = nb.vec_id
+          GROUP BY 1)
+    SELECT vec_id, max_eval_cos, max_eval_cos >= {DECON_COS} AS contaminated
+    FROM c
+    """,
+    tags=("similarity", "decontamination", "pipeline"),
+)
+def q169_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: every corpus vector's max cosine
+    against the EVAL set (vec_id < N_QUERY_VECS stands in for the held-out
+    benchmark embeddings), with a contaminated flag at DECON_COS — the
+    embedding-level complement of q48's n-gram contamination check (catches
+    paraphrased/rephrased leakage that token overlap misses; cf. the
+    decontamination appendix of GPT-3, Brown et al. 2020, arXiv:2005.14165).
+
+    Scale shape — ZERO shuffle: the eval set is small by definition
+    (thousands of benchmark items), so it collects to a k*dim literal
+    matrix exactly like assign_clusters' centroids (operators/kmeans.py)
+    and the per-vector max-cosine folds inside whole-stage codegen on the
+    corpus scan; the only cluster traffic is the scan itself. Per-eval
+    cosines are rounded to 6 decimals BEFORE the max on both engines (q50
+    discipline)."""
+    e = _emb(spark, sf_dir)
+    ev = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "v", "nrm")
+        .orderBy("vec_id")
+        .collect()  # bounded: the eval set, N_QUERY_VECS rows (centroid pattern)
+    )
+    qmat = F.lit([[float(x) for x in r["v"]] for r in ev])
+    qnrm = F.lit([float(r["nrm"]) for r in ev])
+    corpus = e.filter(F.col("vec_id") >= N_QUERY_VECS)
+    dots = F.transform(
+        qmat,
+        lambda q, i: F.round(
+            F.aggregate(F.zip_with("v", q, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            / (F.col("nrm") * F.element_at(qnrm, i + 1)),
+            6,
+        ),
+    )
+    return corpus.select(
+        "vec_id",
+        F.array_max(dots).alias("max_eval_cos"),
+    ).withColumn("contaminated", F.col("max_eval_cos") >= DECON_COS)

@@ -2249,3 +2249,127 @@ def q162_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.withColumn("rnk", F.row_number().over(wnd).cast("int"))
         .filter(F.col("rnk") <= PMI_TOP)
     )
+
+
+# --- symmetric-delete fuzzy join (edit distance <= 1) ---------------------------
+# SymSpell-style (Garbe's symmetric-delete algorithm): two words within edit
+# distance 1 MUST share a key in {word} ∪ {its 1-deletions}, so the candidate
+# join is an EQUI-join on deletion keys — never all-pairs — and an exact
+# levenshtein verify filters the distance-2 collisions the key join admits.
+# The synthetic vocabulary (31 words) has no natural distance-1 pair, so the
+# relation under test is the vocab unioned with deterministic planted
+# variants (append-'x' insertions and last-char deletions — the q164
+# planted-positive discipline): the join must DETECT every variant.
+FUZZY_MIN_LEN = 3   # short words make degenerate high-fanout deletion keys
+FUZZY_KEY_CAP = 100  # drop deletion keys shared by more words (q42 discipline)
+
+
+# Edit distance over non-ASCII text is engine-ambiguous (codepoints vs
+# graphemes: Spark's levenshtein/length count codepoints, DuckDB's count
+# grapheme clusters — the robustness sweep's unicode axis caught 'café' vs
+# a combining-mark 'café' diverging), so the fuzzy join contracts to ASCII
+# words; a normalization pass routes non-ASCII through its own (per-locale)
+# variant path anyway. Printable-ASCII class, identical on both engines.
+_ASCII_WORD_RE = "^[!-~]+$"
+
+
+def _fuzzy_vocab_sql() -> str:
+    return f"""
+    base AS (SELECT DISTINCT word FROM (
+               SELECT unnest({_WORDS_SQL}) AS word
+               FROM documents WHERE text IS NOT NULL) t
+             WHERE regexp_matches(word, '{_ASCII_WORD_RE}')),
+    vocab AS (
+      SELECT word FROM base WHERE length(word) >= {FUZZY_MIN_LEN}
+      UNION SELECT word || 'x' FROM base WHERE length(word) >= {FUZZY_MIN_LEN}
+      UNION SELECT substr(word, 1, length(word) - 1) FROM base
+            WHERE length(word) >= {FUZZY_MIN_LEN + 1}
+    )"""
+
+
+@query(
+    "q170_symspell_pairs",
+    f"""
+    WITH {_fuzzy_vocab_sql()},
+    keys AS (
+      SELECT word, word AS key FROM vocab
+      UNION ALL
+      SELECT word, substr(word, 1, i - 1) || substr(word, i + 1) AS key
+      FROM (SELECT word, unnest(generate_series(1, length(word))) AS i
+            FROM vocab) t
+    ),
+    kept AS (SELECT DISTINCT word, key FROM keys
+             WHERE key IN (SELECT key FROM (SELECT key, COUNT(DISTINCT word) AS c
+                                            FROM keys GROUP BY key) t
+                           WHERE c <= {FUZZY_KEY_CAP})),
+    cand AS (SELECT DISTINCT a.word AS word_a, b.word AS word_b
+             FROM kept a JOIN kept b ON a.key = b.key AND a.word < b.word)
+    SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS INT) AS dist
+    FROM cand WHERE levenshtein(word_a, word_b) <= 1
+    """,
+    tags=("text", "fuzzy", "join", "planted"),
+)
+def q170_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vocabulary word pairs within edit distance 1, via the symmetric-
+    delete candidate join: each word emits itself plus its length(word)
+    one-character deletions as join keys; any insertion/deletion/substitution
+    neighbor shares a key, so candidates come from a key equi-join (with the
+    q42 hot-key cap) and exact levenshtein verifies. The spelling-variant
+    miner a corpus-normalization pass runs before token counting.
+
+    Scale shape: key generation is scan-side (posexplode over word length,
+    vocabulary-sized input — Heaps'-law sublinear); the join is an equi-join
+    on short string keys whose fan-out is capped at FUZZY_KEY_CAP on both
+    engines; verify is a codegen levenshtein on candidates only. No
+    all-pairs anywhere; the planted append-'x'/drop-last variants make
+    detection non-vacuous (asserted in tests/test_planted_positives.py)."""
+    base = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(words_col()).alias("word"))
+        .filter(F.col("word").rlike(_ASCII_WORD_RE))
+        .filter(F.length("word") >= FUZZY_MIN_LEN)
+        .distinct()
+    )
+    vocab = (
+        base.select("word")
+        .union(base.select(F.concat("word", F.lit("x")).alias("word")))
+        .union(
+            base.filter(F.length("word") >= FUZZY_MIN_LEN + 1).select(
+                F.expr("substr(word, 1, length(word) - 1)").alias("word")
+            )
+        )
+        .distinct()
+    )
+    dels = vocab.select(
+        "word",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.concat(
+                    F.expr("word").substr(F.lit(1), i - 1),
+                    F.col("word").substr(i + 1, F.length("word")),
+                ),
+            )
+        ).alias("key"),
+    )
+    keys = vocab.select("word", F.col("word").alias("key")).unionByName(dels)
+    hot = (
+        keys.groupBy("key")
+        .agg(F.countDistinct("word").alias("c"))
+        .filter(F.col("c") <= FUZZY_KEY_CAP)
+        .select("key")
+    )
+    kept = keys.join(hot, "key").select("word", "key").distinct()
+    a = kept.select(F.col("word").alias("word_a"), "key")
+    b = kept.select(F.col("word").alias("word_b"), "key")
+    cand = (
+        a.join(b, ["key"])
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("word_a", "word_b").cast("int"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -117,3 +117,46 @@ def test_planted_twins_registered_with_oracles():
         "q74b_tpch_q22_planted",
     ):
         assert get(name).oracle is not None
+
+
+# --- q169/q170: the round-8 additions must fire non-vacuously -----------------
+
+
+def test_q169_contaminated_flag_fires(spark, sf_dir):
+    rows = get("q169_embed_decontaminate").build(spark, sf_dir).collect()
+    flagged = [r for r in rows if r["contaminated"]]
+    assert flagged, "DECON_COS must flag at least one corpus vector"
+    assert all(r["max_eval_cos"] >= 0.4 for r in flagged)
+    assert len(flagged) < len(rows)  # and the keep path fires too
+
+
+def test_q170_detects_every_planted_variant(spark, sf_dir):
+    """Every base word >= FUZZY_MIN_LEN must pair with its planted
+    append-'x' variant (insertion) at dist 1; every base >= MIN+1 with its
+    drop-last variant (deletion)."""
+    from flink_adcom_spark.queries.text import FUZZY_MIN_LEN, _documents, words_col
+    from pyspark.sql import functions as F
+
+    base = {
+        r["word"]
+        for r in _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(words_col()).alias("word"))
+        .filter(F.length("word") >= FUZZY_MIN_LEN)
+        .distinct()
+        .collect()
+    }
+    got = {
+        (r["word_a"], r["word_b"]): r["dist"]
+        for r in get("q170_symspell_pairs").build(spark, sf_dir).collect()
+    }
+    pairs = set(got)
+    for w in base:
+        key = (w, w + "x") if w < w + "x" else (w + "x", w)
+        assert key in pairs, f"missing insertion variant pair for {w!r}"
+        assert got[key] == 1
+        if len(w) >= FUZZY_MIN_LEN + 1:
+            d = w[:-1]
+            key = (d, w) if d < w else (w, d)
+            assert key in pairs, f"missing deletion variant pair for {w!r}"
+    assert all(d <= 1 for d in got.values())
