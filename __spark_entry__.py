@@ -267,6 +267,7 @@ _ROUND8_GATE = frozenset(
         "q164_embed_neardup_planted", "q67b_viewers_no_big_purchase",
         "q74b_tpch_q22_planted", "q167_controller_transcript",
         "q168_bpe_encode", "q169_embed_decontaminate", "q170_symspell_pairs",
+        "q171_hybrid_rerank",
     ]
     # (b) oldest green rows: the full r3-era cohort...
     + [
@@ -295,7 +296,6 @@ _ROUND8_GATE = frozenset(
     + [
         "q09_tpch_q6",
         "q14_revenue_by_nation", "q18_tpch_q5_local_suppliers",
-        "q35_tfidf_top_terms",
         "q42_ngram_jaccard_pairs", "q44_simhash_neardup",
         "q50_knn_bruteforce", "q54_ivf_knn",
         "q73_tpch_q13_order_distribution",

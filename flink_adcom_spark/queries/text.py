@@ -1557,10 +1557,7 @@ BM25_TOP = 10
 _D = "CAST('{}' AS DOUBLE)".format
 
 
-@query(
-    "q157_bm25_topk",
-    f"""
-    WITH toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term
+_BM25_SC_CTES = f"""toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term
                   FROM documents WHERE text IS NOT NULL),
     lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (SELECT COUNT(*) AS n_docs,
@@ -1583,7 +1580,13 @@ _D = "CAST('{}' AS DOUBLE)".format
                       + COALESCE(MAX(CASE WHEN term = '{BM25_QUERY_TERMS[1]}' THEN s END), 0)
                       + COALESCE(MAX(CASE WHEN term = '{BM25_QUERY_TERMS[2]}' THEN s END), 0),
                       6) AS score
-           FROM ts GROUP BY doc_id)
+           FROM ts GROUP BY doc_id)"""
+
+
+@query(
+    "q157_bm25_topk",
+    f"""
+    WITH {_BM25_SC_CTES}
     SELECT doc_id, score, CAST(rnk AS INT) AS rnk FROM (
       SELECT doc_id, score,
              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc) t
@@ -1610,6 +1613,17 @@ def q157_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrdered-sized (BM25_TOP rows per partition)."""
     from pyspark.sql import Window
 
+    sc = _bm25_scores(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= BM25_TOP)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, score) BM25 relation shared by q157 (top-k) and q171
+    (hybrid rerank) — mirrors the _BM25_SC_CTES oracle chain verbatim."""
     toks = (
         _documents(spark, sf_dir)
         .filter(F.col("text").isNotNull())
@@ -1652,13 +1666,8 @@ def q157_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for t in BM25_QUERY_TERMS
     ]
-    sc = ts.groupBy("doc_id").agg(
+    return ts.groupBy("doc_id").agg(
         F.round(per_term[0] + per_term[1] + per_term[2], 6).alias("score")
-    )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        sc.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= BM25_TOP)
     )
 
 
@@ -2372,4 +2381,119 @@ def q170_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("dist", F.levenshtein("word_a", "word_b").cast("int"))
         .filter(F.col("dist") <= 1)
+    )
+
+
+# --- hybrid retrieval: BM25 recall + embedding rerank ---------------------------
+RERANK_POOL = 50   # BM25 candidate pool fed to the vector stage
+HYBRID_TOP = 10
+RERANK_QUERY_VEC = 0  # the query's embedding (vec_id 0, q169's eval convention)
+
+
+@query(
+    "q171_hybrid_rerank",
+    f"""
+    WITH {_BM25_SC_CTES},
+    pool AS (SELECT doc_id, score FROM (
+               SELECT doc_id, score,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+               FROM sc) t
+             WHERE rnk <= {RERANK_POOL}),
+    mx AS (SELECT MAX(score) AS max_score FROM pool),
+    x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding::DOUBLE[]) AS val FROM embeddings),
+    n AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm FROM x GROUP BY vec_id),
+    qv AS (SELECT i, val FROM x WHERE vec_id = {RERANK_QUERY_VEC}),
+    qn AS (SELECT nrm AS qnrm FROM n WHERE vec_id = {RERANK_QUERY_VEC}),
+    cosd AS (SELECT p.doc_id,
+                    ROUND(SUM(qv.val * x.val) / (MAX(n.nrm) * MAX(qn.qnrm)), 6)
+                      AS cos
+             FROM pool p JOIN x ON x.vec_id = p.doc_id AND x.vec_id <> {RERANK_QUERY_VEC}
+                         JOIN qv ON qv.i = x.i
+                         JOIN n ON n.vec_id = p.doc_id CROSS JOIN qn
+             GROUP BY p.doc_id),
+    hyb AS (SELECT p.doc_id, p.score AS bm25,
+                   COALESCE(c.cos, CAST('0' AS DOUBLE)) AS cosine,
+                   {_D('0.5')} * (p.score / m.max_score)
+                     + {_D('0.5')} * COALESCE(c.cos, CAST('0' AS DOUBLE)) AS hybrid
+            FROM pool p LEFT JOIN cosd c USING (doc_id) CROSS JOIN mx m)
+    SELECT doc_id, bm25, cosine, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, bm25, cosine,
+             ROW_NUMBER() OVER (ORDER BY hybrid DESC, doc_id) AS rnk
+      FROM hyb) t
+    WHERE rnk <= {HYBRID_TOP}
+    """,
+    tags=("text", "retrieval", "similarity", "pipeline"),
+)
+def q171_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval — the RAG-pipeline staple: BM25 recalls a
+    RERANK_POOL candidate set cheaply (q157's lexical machinery), then the
+    pool is reranked by an even blend of max-normalized BM25 and embedding
+    cosine against the query vector. Documents without an embedding (at
+    sf0.1 only a prefix of docs is embedded — the realistic partial-coverage
+    case) keep their lexical score with cosine 0, so vector coverage gaps
+    degrade gracefully instead of dropping candidates.
+
+    Parity: BM25 scores and cosines are each rounded to 6 decimals first,
+    so the blend 0.5*a + 0.5*b runs on identical doubles in both engines
+    (0.5 multiplies are exact) — the hybrid key is bit-identical and never
+    re-rounded; ranking ties break on doc_id.
+
+    Scale shape: stage 1 is q157's plan (term-filtered scan, broadcast
+    scalars, TakeOrdered pool); stage 2 touches RERANK_POOL rows — the
+    embedding join is a broadcast of the POOL (50 ids) against the
+    embeddings table, the query vector is a 1-row literal (q169's bounded
+    collect), and the rerank window sorts 50 rows. The expensive vector
+    work is pool-sized, never corpus-sized — exactly why pipelines rerank
+    instead of brute-forcing cosine over everything."""
+    from pyspark.sql import Window
+
+    from ..tables import load_table as _lt
+
+    sc = _bm25_scores(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    pool = (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RERANK_POOL)
+        .select("doc_id", "score")
+    )
+    e = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    q = (
+        e.filter(F.col("vec_id") == RERANK_QUERY_VEC)
+        .select("v", "nrm")
+        .collect()  # bounded: the single query vector (q169 pattern)
+    )
+    qv, qnrm = F.lit([float(x) for x in q[0]["v"]]), F.lit(float(q[0]["nrm"]))
+    cos = F.round(
+        F.aggregate(F.zip_with("v", qv, lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        / (F.col("nrm") * qnrm),
+        6,
+    )
+    vec = e.filter(F.col("vec_id") != RERANK_QUERY_VEC).select(
+        F.col("vec_id").alias("doc_id"), cos.alias("cos")
+    )
+    mx = pool.agg(F.max("score").alias("max_score"))
+    hyb = (
+        pool.join(vec, "doc_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.col("score").alias("bm25"),
+            F.coalesce(F.col("cos"), F.lit(0.0)).alias("cosine"),
+            (
+                F.lit(0.5) * (F.col("score") / F.col("max_score"))
+                + F.lit(0.5) * F.coalesce(F.col("cos"), F.lit(0.0))
+            ).alias("hybrid"),
+        )
+    )
+    w2 = Window.orderBy(F.desc("hybrid"), F.asc("doc_id"))
+    return (
+        hyb.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= HYBRID_TOP)
+        .select("doc_id", "bm25", "cosine", "rnk")
     )
