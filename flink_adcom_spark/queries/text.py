@@ -2339,6 +2339,8 @@ def q170_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word").rlike(_ASCII_WORD_RE))
         .filter(F.length("word") >= FUZZY_MIN_LEN)
         .distinct()
+        # vocabulary-sized; feeds 3 union branches — materialize once
+        .localCheckpoint(eager=False)
     )
     vocab = (
         base.select("word")
@@ -2349,6 +2351,7 @@ def q170_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
+        .localCheckpoint(eager=False)  # feeds key-gen AND the cap join
     )
     dels = vocab.select(
         "word",
@@ -2369,7 +2372,11 @@ def q170_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") <= FUZZY_KEY_CAP)
         .select("key")
     )
-    kept = keys.join(hot, "key").select("word", "key").distinct()
+    kept = (
+        keys.join(hot, "key").select("word", "key").distinct()
+        # both sides of the candidate self-join read this relation
+        .localCheckpoint(eager=False)
+    )
     a = kept.select(F.col("word").alias("word_a"), "key")
     b = kept.select(F.col("word").alias("word_b"), "key")
     cand = (
@@ -2456,6 +2463,9 @@ def q171_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= RERANK_POOL)
         .select("doc_id", "score")
+        # RERANK_POOL rows; read by the rerank join AND the max-score scalar
+        # — without this the whole BM25 chain re-derives for each consumer
+        .localCheckpoint(eager=False)
     )
     e = _lt(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
