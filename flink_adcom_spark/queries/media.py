@@ -186,3 +186,68 @@ def q95_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_h",
         F.octet_length("content").cast("bigint").alias("out_bytes"),
     )
+
+
+# --- binary-payload exact dedup + storage-reclaim report -----------------------
+@query(
+    "q172_media_dedup_stats",
+    # Payload bytes = the document's utf-8 text (media_from_documents), so
+    # the binary digest restates as md5 over the encoded text and the byte
+    # size as octet_length — REAL binary-column logic, no codec involved.
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CASE WHEN doc_id % 3 = 0 THEN 'image'
+                           WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+                        AS media_type,
+                      md5(text) AS digest,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT digest, COUNT(*) AS n_copies,
+                 arg_min(media_type, media_id) AS keeper_type,
+                 MAX(n_bytes) AS payload_bytes
+          FROM m GROUP BY digest)
+    SELECT keeper_type AS media_type,
+           COUNT(*) AS n_unique_payloads,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_duplicate_rows,
+           CAST(SUM((n_copies - 1) * payload_bytes) AS BIGINT)
+             AS reclaimable_bytes
+    FROM g GROUP BY keeper_type
+    """,
+    tags=("media", "dedup", "storage"),
+)
+def q172_media_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY-payload dedup over the media table with a per-type
+    storage-reclaim report (unique payloads, duplicate rows, reclaimable
+    bytes) — the q40 digest topology applied to the binary column, and the
+    number a blob-store compaction job acts on. Unlike the q80/q95 codec
+    stages this is fully real logic: md5 + octet_length over the payload
+    bytes work on ANY binary content, no decode involved.
+
+    Dedup is CONTENT-ADDRESSED (digest-only grouping, the way a blob store
+    actually reclaims): a payload replayed under a different declared type
+    still counts as a duplicate, attributed to its keeper's (min media_id)
+    type via min_by/arg_min — the same tie rule on both engines.
+
+    Scale shape: one shuffle on the 16-byte digest with map-side combine —
+    payload bytes never shuffle (digest and length are computed scan-side);
+    the rollup output is 3 rows. Within a digest group the payload size is
+    constant by construction (same bytes), so MAX(n_bytes) is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = media_from_documents(docs).select(
+        "media_id",
+        "media_type",
+        F.md5(F.col("content")).alias("digest"),
+        F.octet_length("content").cast("bigint").alias("n_bytes"),
+    )
+    g = m.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min_by("media_type", "media_id").alias("media_type"),
+        F.max("n_bytes").alias("payload_bytes"),
+    )
+    return g.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_unique_payloads"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_duplicate_rows"),
+        F.sum((F.col("n_copies") - 1) * F.col("payload_bytes"))
+        .cast("bigint")
+        .alias("reclaimable_bytes"),
+    )

@@ -160,3 +160,33 @@ def test_q170_detects_every_planted_variant(spark, sf_dir):
             key = (d, w) if d < w else (w, d)
             assert key in pairs, f"missing deletion variant pair for {w!r}"
     assert all(d <= 1 for d in got.values())
+
+
+def test_q172_counts_planted_payload_duplicates(spark, tmp_path_factory):
+    """The pristine corpus has no duplicate payloads (q172's duplicate and
+    reclaimable columns read 0), so prove the reclaim math on a fixture with
+    re-keyed replays: every 40th doc duplicated under a fresh id must
+    surface as one duplicate row + its full payload size reclaimable."""
+    fixture = make_fixture_dir(
+        tmp_path_factory,
+        "planted_media_dupes",
+        {
+            "documents": """SELECT * FROM '{src}'
+                UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang,
+                                 source, n_chars
+                FROM '{src}' WHERE doc_id % 40 = 2 AND text IS NOT NULL"""
+        },
+    )
+    spec = get("q172_media_dedup_stats")
+    rows = {r["media_type"]: r for r in spec.build(spark, fixture).collect()}
+    assert sum(r["n_duplicate_rows"] for r in rows.values()) > 0
+    assert all(
+        r["reclaimable_bytes"] > 0
+        for r in rows.values()
+        if r["n_duplicate_rows"] > 0
+    )
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q172")
+    finally:
+        con.close()
