@@ -268,6 +268,7 @@ _ROUND8_GATE = frozenset(
         "q74b_tpch_q22_planted", "q167_controller_transcript",
         "q168_bpe_encode", "q169_embed_decontaminate", "q170_symspell_pairs",
         "q171_hybrid_rerank", "q172_media_dedup_stats",
+        "q173_bpe_fertility_by_lang", "q174_boilerplate_prefixes",
     ]
     # (b) oldest green rows: the full r3-era cohort...
     + [
@@ -294,7 +295,6 @@ _ROUND8_GATE = frozenset(
     # encoder, q08_ref/q39 to q169 decontamination and q170 the symmetric-
     # delete fuzzy join — never-checked beats refill)
     + [
-        "q14_revenue_by_nation", "q18_tpch_q5_local_suppliers",
         "q42_ngram_jaccard_pairs", "q44_simhash_neardup",
         "q50_knn_bruteforce", "q54_ivf_knn",
         "q73_tpch_q13_order_distribution",

@@ -2045,19 +2045,19 @@ vpr{r} AS (SELECT word, freq, pos, tok,
         )
     parts.append(
         f"""
-, blen AS (SELECT word, COUNT(*) AS bpe_len FROM vtok{BPE_ROUNDS} GROUP BY word)
-SELECT dw.doc_id,
-       CAST(SUM(dw.cnt) AS BIGINT) AS n_words,
-       CAST(SUM(dw.cnt * blen.bpe_len) AS BIGINT) AS n_bpe_tokens
-FROM dw JOIN blen USING (word)
-GROUP BY dw.doc_id"""
+, blen AS (SELECT word, COUNT(*) AS bpe_len FROM vtok{BPE_ROUNDS} GROUP BY word),
+perdoc AS (SELECT dw.doc_id,
+                  CAST(SUM(dw.cnt) AS BIGINT) AS n_words,
+                  CAST(SUM(dw.cnt * blen.bpe_len) AS BIGINT) AS n_bpe_tokens
+           FROM dw JOIN blen USING (word)
+           GROUP BY dw.doc_id)"""
     )
     return "".join(parts)
 
 
 @query(
     "q168_bpe_encode",
-    _bpe_encode_oracle_sql(),
+    _bpe_encode_oracle_sql() + "\nSELECT doc_id, n_words, n_bpe_tokens FROM perdoc",
     tags=("text", "tokenizer", "pipeline"),
     bench=True,
 )
@@ -2506,4 +2506,122 @@ def q171_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyb.withColumn("rnk", F.row_number().over(w2).cast("int"))
         .filter(F.col("rnk") <= HYBRID_TOP)
         .select("doc_id", "bm25", "cosine", "rnk")
+    )
+
+
+# --- tokenizer fertility by language -------------------------------------------
+@query(
+    "q173_bpe_fertility_by_lang",
+    _bpe_encode_oracle_sql()
+    + """
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(p.n_bpe_tokens) AS DOUBLE) / SUM(p.n_words), 6)
+         AS fertility
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+    tags=("text", "tokenizer", "pipeline"),
+)
+def q173_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (BPE tokens per word) per language — the metric a
+    multilingual pipeline tracks to catch a tokenizer that fragments some
+    languages into far more tokens than others (inflating their compute cost
+    and shrinking their effective context). Rides q168's per-doc encode
+    relation; the rollup is exact integer sums with one rounded ratio, so
+    both engines divide identical bigints.
+
+    Scale shape: q168's plan plus one lang-keyed rollup over per-doc rows
+    (a handful of language groups; map-side combined)."""
+    perdoc = q168_bpe_encode(spark, sf_dir)
+    langs = _documents(spark, sf_dir).select("doc_id", "lang")
+    return (
+        perdoc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6),
+        )
+    )
+
+
+# --- boilerplate prefix detection -----------------------------------------------
+BOILER_PREFIX_TOKENS = 8   # leading-token signature length
+BOILER_MIN_DOCS = 3        # a prefix shared by >= this many docs is boilerplate
+# The synthetic corpus is random text — no natural 8-token prefix repeats
+# (probed: only single leading tokens ever share) — so the relation under
+# test unions PLANTED template-prefixed replicas (the q164/q170 discipline):
+# every 20th document is replayed under a fresh id with a fixed cookie-banner
+# template prepended, and the detector MUST surface that template per source.
+BOILER_TEMPLATE = "subscribe to our newsletter accept all cookies terms apply"
+BOILER_PLANT_MOD = 20
+BOILER_PLANT_RESIDUE = 13
+BOILER_PLANT_OFFSET = 1_000_000
+
+
+@query(
+    "q174_boilerplate_prefixes",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + {BOILER_PLANT_OFFSET} AS doc_id,
+             '{BOILER_TEMPLATE} ' || text AS text, source
+      FROM documents
+      WHERE doc_id % {BOILER_PLANT_MOD} = {BOILER_PLANT_RESIDUE}
+        AND text IS NOT NULL
+    ),
+    w AS (SELECT doc_id, source, {_WORDS_SQL} AS words
+          FROM docs2 WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, source,
+                 array_to_string(words[1:{BOILER_PREFIX_TOKENS}], ' ') AS prefix
+          FROM w WHERE len(words) >= {BOILER_PREFIX_TOKENS})
+    SELECT source, prefix, COUNT(*) AS n_docs
+    FROM p GROUP BY source, prefix
+    HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+    """,
+    tags=("text", "quality", "cleaning", "planted"),
+)
+def q174_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix detection (C4/RefinedWeb-style cleaning signal):
+    per source feed, every leading-8-token signature shared by >=
+    BOILER_MIN_DOCS documents — repeated headers, cookie banners, and
+    template preambles show up exactly this way, and a cleaning pass strips
+    the flagged prefix before dedup/quality scoring (otherwise boilerplate
+    dominates n-gram statistics and near-dup signatures). The corpus is
+    unioned with deterministic template-prefixed replays so the detector is
+    proven on real positives (the pristine random corpus has none), while
+    the original documents are still scanned for natural boilerplate.
+
+    Scale shape: the prefix signature is scan-side (slice + join of the
+    already-tokenized array — no explode, one string per doc); the only
+    shuffle keys on (source, prefix) with map-side combine, and the HAVING
+    threshold prunes the long tail before it reaches the driver."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = docs.filter(
+        (F.col("doc_id") % BOILER_PLANT_MOD == BOILER_PLANT_RESIDUE)
+        & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + F.lit(BOILER_PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.lit(BOILER_TEMPLATE + " "), F.col("text")).alias("text"),
+        "source",
+    )
+    docs2 = docs.union(planted).filter(F.col("text").isNotNull())
+    p = docs2.select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(words_col(), 1, BOILER_PREFIX_TOKENS), " ").alias("prefix"),
+        F.size(words_col()).alias("n"),
+    ).filter(F.col("n") >= BOILER_PREFIX_TOKENS)
+    return (
+        p.groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
     )

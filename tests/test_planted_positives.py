@@ -190,3 +190,22 @@ def test_q172_counts_planted_payload_duplicates(spark, tmp_path_factory):
         assert_engine_parity(spec, spark, fixture, con, name="q172")
     finally:
         con.close()
+
+
+def test_q174_detects_the_planted_template(spark, sf_dir):
+    from flink_adcom_spark.queries.text import BOILER_TEMPLATE
+
+    rows = get("q174_boilerplate_prefixes").build(spark, sf_dir).collect()
+    assert rows, "planted template replicas must surface"
+    want_prefix = " ".join(BOILER_TEMPLATE.split()[:8])
+    assert any(r["prefix"] == want_prefix and r["n_docs"] >= 3 for r in rows)
+
+
+def test_q173_fertility_bounds(spark, sf_dir):
+    rows = get("q173_bpe_fertility_by_lang").build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # merges only ever SHRINK the per-word token count from its char
+        # length, and a word is always >= 1 token
+        assert 1.0 <= r["fertility"], r
+        assert r["n_bpe_tokens"] <= 8 * r["n_words"]  # max word length
