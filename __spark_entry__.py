@@ -246,17 +246,22 @@ _ROUND7_GATE = frozenset(
         "q08_tpch_q1",
     ]
 )
-# Round-8 rotation (policy: COVERAGE.md §gate): (a) the 13 never-checked
-# entries — the 10 round-7 additions q154-q163 plus this round's planted
-# positive-path twins q164/q67b/q74b, which exist precisely so the external
-# gate finally hash-matches NON-EMPTY results for the near-dup / EXCEPT /
-# anti-join paths whose every prior green row was a 0-row match (VERDICT r7
-# "vacuous greens"); (b) the oldest-green cohorts in full — all 13 entries
-# whose last green row is r3 (incl. q53/q74, the vacuous originals, and q53
-# was also refactored this round into the shared _neardup_pairs_df body) and
-# all 8 r4-era entries; (c) the flagship q08 anchor; (d) 15 r5-era refill
-# slots, bench headliners first. Worst-case green-row staleness after this
-# round: r5 (the 23 remaining r5-era rows rotate into r9).
+# Round-8 rotation (policy: COVERAGE.md §gate): (a) the 21 never-checked
+# entries — the 10 round-7 additions q154-q163, the planted positive-path
+# twins q164/q67b/q74b (which exist precisely so the external gate finally
+# hash-matches NON-EMPTY results for the near-dup / EXCEPT / anti-join paths
+# whose every prior green row was a 0-row match — VERDICT r7 "vacuous
+# greens"), and the round-8 additions q167-q174 (controller transcript, BPE
+# encode, semantic decontamination, symspell fuzzy join, hybrid rerank,
+# media dedup stats, fertility, boilerplate prefixes); (b) the oldest-green
+# cohorts in full — all 13 entries whose last green row is r3 (incl.
+# q53/q74, the vacuous originals; q53 also refactored this round into the
+# shared _neardup_pairs_df body) and all 8 r4-era entries; (c) the flagship
+# q08 anchor; (d) 7 r5-era refill slots, bench headliners first (q42, q44,
+# q50, q54, q73, q77, q99 — q08_ref/q09/q09b/q14/q18/q35/q39/q62 yielded
+# their slots to the never-checked additions as they landed). Worst-case
+# green-row staleness after this round: r5 (the 31 remaining r5-era rows
+# rotate into r9 first).
 _ROUND8_GATE = frozenset(
     # (a) never driver-checked
     [

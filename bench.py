@@ -175,8 +175,10 @@ def _stream_throughput(
     uniform and a skewed workload (nycTaxiRidesSkew30: ~30% of rows on one
     key). Here: offer 8M rows/s from the rate source through word-count
     (update mode, memory sink) — deliberately ABOVE sustainable capacity so
-    the measured max processedRowsPerSecond is the pipeline's true ceiling,
-    not the offer. The skewed variant should land close to uniform: the
+    the measured rate is the pipeline's true capacity, not the offer; the
+    RECORDED number is the median per-batch processedRowsPerSecond after
+    the ramp-up batches (steady-state, not a lucky-batch max — see the
+    sampling note below; r1-r7 recorded the max and are not comparable). The skewed variant should land close to uniform: the
     partial aggregate absorbs the hot key map-side, which is the combiner's
     whole point."""
     from pyspark.sql import functions as F

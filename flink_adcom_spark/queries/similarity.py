@@ -231,13 +231,23 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_COSINE = 0.9
 
 # Planted-duplicate parameters shared by q164 (Spark + oracle): every vector
-# with vec_id % PLANT_MOD = PLANT_RESIDUE is replayed verbatim under
-# vec_id + PLANT_OFFSET, so the detection path is PROVEN on a non-empty
+# with vec_id % PLANT_MOD = PLANT_RESIDUE is replayed verbatim under the
+# NEGATED id -vec_id - 1, so the detection path is PROVEN on a non-empty
 # relation (the synthetic corpus has no natural cosine >= 0.9 pair — q53/q88
 # returned 0 rows at every SF, which verifies plumbing but not detection).
+# Negation keeps planted keys disjoint from the non-negative id space at ANY
+# corpus size — a fixed +offset would collide once the table outgrows it
+# (review finding r8), and proving freshness would cost a max(id) job.
 PLANT_MOD = 100
 PLANT_RESIDUE = 7
-PLANT_OFFSET = 1_000_000
+
+
+def plant_id_sql(col: str) -> str:
+    return f"-{col} - 1"
+
+
+def plant_id(c: Column) -> Column:
+    return -c - F.lit(1)
 
 
 def _neardup_sql(rel: str = "embeddings", extra_cte: str = "") -> str:
@@ -305,7 +315,7 @@ def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_cte=(
             "emb AS (SELECT vec_id, embedding, label FROM embeddings"
             " UNION ALL"
-            f" SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding, label"
+            f" SELECT {plant_id_sql('vec_id')} AS vec_id, embedding, label"
             f" FROM embeddings WHERE vec_id % {PLANT_MOD} = {PLANT_RESIDUE}), "
         ),
     ),
@@ -314,11 +324,11 @@ def q53_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q164_embed_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q53's detection path proven on a NON-EMPTY relation: the corpus is
     unioned with verbatim replays of every PLANT_MOD-th vector under fresh
-    ids (the ingestion-replay shape a dedup pass exists to catch), then the
-    identical bucket-mate threshold query runs over the union. Each planted
-    copy shares its original's signs, so it lands in the same bucket at any
-    bit width and MUST surface as a (orig, orig+PLANT_OFFSET) pair at
-    cosine 1.0 — a 0-row result here is a detection failure, not a data
+    NEGATED ids (the ingestion-replay shape a dedup pass exists to catch;
+    negation stays collision-free at any corpus size), then the identical
+    bucket-mate threshold query runs over the union. Each planted copy
+    shares its original's signs, so it lands in the same bucket at any
+    bit width and MUST surface as a (-orig-1, orig) pair at cosine 1.0 — a 0-row result here is a detection failure, not a data
     property. Both engines build the same union, so the external hash match
     finally exercises the non-empty branch (q53/q88's rows were 0 at every
     SF; see VERDICT r7).
@@ -327,7 +337,7 @@ def q164_embed_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bucket equi-join."""
     e = load_table(spark, sf_dir, "embeddings")
     planted = e.filter(F.col("vec_id") % PLANT_MOD == PLANT_RESIDUE).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
+        "vec_id", plant_id(F.col("vec_id"))
     )
     u = e.select("vec_id", "embedding", "label").union(
         planted.select("vec_id", "embedding", "label")
@@ -528,7 +538,7 @@ KMEANS_ITERS = 3
 KMEANS_TARGET_CLUSTER = 64
 
 
-_EMB_COUNT_CACHE: dict[str, int] = {}
+_EMB_COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
@@ -537,9 +547,24 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     Memoized per directory: the synthetic tables are immutable for a
     process's lifetime, and the k-derivation otherwise pays one counting
     job per build (the bench builds each query 3x)."""
-    if sf_dir not in _EMB_COUNT_CACHE:
-        _EMB_COUNT_CACHE[sf_dir] = load_table(spark, sf_dir, "embeddings").count()
-    return _EMB_COUNT_CACHE[sf_dir]
+    key = (sf_dir, "")
+    if key not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
+    return _EMB_COUNT_CACHE[key]
+
+
+def _emb_train_count(spark: SparkSession, sf_dir: str, min_vec_id: int) -> int:
+    """Memoized count of the q119 TRAIN corpus (vec_id >= min_vec_id): the
+    filter defeats footer-only counting, so without the memo every build
+    pays a real counting job (the bench builds each query 3x)."""
+    key = (sf_dir, f">={min_vec_id}")
+    if key not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[key] = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") >= min_vec_id)
+            .count()
+        )
+    return _EMB_COUNT_CACHE[key]
 
 
 def derive_kmeans_k(n: int) -> int:
@@ -1090,11 +1115,7 @@ def q119_index_assign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = e.filter(F.col("vec_id") < INDEX_BATCH_MAX)
     _, centroids = lloyd_kmeans(
         train, "v", "vec_id",
-        k=derive_kmeans_k(
-            load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") >= INDEX_BATCH_MAX)
-            .count()  # vec_id-only scan, no vector projection
-        ),
+        k=derive_kmeans_k(_emb_train_count(spark, sf_dir, INDEX_BATCH_MAX)),
         iters=KMEANS_ITERS,
     )
     return assign_clusters(batch, "v", centroids).select(

@@ -2392,6 +2392,12 @@ def q170_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- hybrid retrieval: BM25 recall + embedding rerank ---------------------------
+# The exploded-embedding and norm CTEs come from similarity.py — the ONE
+# definition its 10+ vector oracles share, so a rounding/cast fix there can
+# never leave q171's cosine inputs behind.
+from .similarity import _N_SQL as _N_SQL_EMB  # noqa: E402
+from .similarity import _X_SQL as _X_SQL_EMB  # noqa: E402
+
 RERANK_POOL = 50   # BM25 candidate pool fed to the vector stage
 HYBRID_TOP = 10
 RERANK_QUERY_VEC = 0  # the query's embedding (vec_id 0, q169's eval convention)
@@ -2407,9 +2413,8 @@ RERANK_QUERY_VEC = 0  # the query's embedding (vec_id 0, q169's eval convention)
                FROM sc) t
              WHERE rnk <= {RERANK_POOL}),
     mx AS (SELECT MAX(score) AS max_score FROM pool),
-    x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                 unnest(embedding::DOUBLE[]) AS val FROM embeddings),
-    n AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm FROM x GROUP BY vec_id),
+    x AS ({_X_SQL_EMB}),
+    n AS ({_N_SQL_EMB}),
     qv AS (SELECT i, val FROM x WHERE vec_id = {RERANK_QUERY_VEC}),
     qn AS (SELECT nrm AS qnrm FROM n WHERE vec_id = {RERANK_QUERY_VEC}),
     cosd AS (SELECT p.doc_id,
@@ -2558,12 +2563,12 @@ BOILER_MIN_DOCS = 3        # a prefix shared by >= this many docs is boilerplate
 # The synthetic corpus is random text — no natural 8-token prefix repeats
 # (probed: only single leading tokens ever share) — so the relation under
 # test unions PLANTED template-prefixed replicas (the q164/q170 discipline):
-# every 20th document is replayed under a fresh id with a fixed cookie-banner
-# template prepended, and the detector MUST surface that template per source.
+# every 20th document is replayed under a fresh NEGATED id (-doc_id - 1,
+# collision-free at any corpus size) with a fixed cookie-banner template
+# prepended, and the detector MUST surface that template per source.
 BOILER_TEMPLATE = "subscribe to our newsletter accept all cookies terms apply"
 BOILER_PLANT_MOD = 20
 BOILER_PLANT_RESIDUE = 13
-BOILER_PLANT_OFFSET = 1_000_000
 
 
 @query(
@@ -2572,7 +2577,7 @@ BOILER_PLANT_OFFSET = 1_000_000
     WITH docs2 AS (
       SELECT doc_id, text, source FROM documents
       UNION ALL
-      SELECT doc_id + {BOILER_PLANT_OFFSET} AS doc_id,
+      SELECT -doc_id - 1 AS doc_id,
              '{BOILER_TEMPLATE} ' || text AS text, source
       FROM documents
       WHERE doc_id % {BOILER_PLANT_MOD} = {BOILER_PLANT_RESIDUE}
@@ -2609,7 +2614,7 @@ def q174_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % BOILER_PLANT_MOD == BOILER_PLANT_RESIDUE)
         & F.col("text").isNotNull()
     ).select(
-        (F.col("doc_id") + F.lit(BOILER_PLANT_OFFSET)).alias("doc_id"),
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
         F.concat(F.lit(BOILER_TEMPLATE + " "), F.col("text")).alias("text"),
         "source",
     )

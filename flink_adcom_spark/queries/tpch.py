@@ -475,8 +475,10 @@ def q74_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold and the NOT EXISTS, so the gate hash-matches a non-empty result.
 Q22_PLANT_MOD = 300
 Q22_PLANT_RESIDUE = 7
-Q22_PLANT_OFFSET = 1_000_000
 Q22_PLANT_BAL = "9999.99"  # above the corpus max, certainly above average
+# Planted keys are NEGATED (-c_custkey - 1): disjoint from the non-negative
+# custkey space — and hence from every o_custkey — at ANY scale factor; a
+# fixed +offset would collide once customer outgrows it (review finding r8).
 
 
 @query(
@@ -485,7 +487,7 @@ Q22_PLANT_BAL = "9999.99"  # above the corpus max, certainly above average
     WITH cust AS (
       SELECT c_custkey, c_nationkey, c_acctbal FROM customer
       UNION ALL
-      SELECT c_custkey + {Q22_PLANT_OFFSET} AS c_custkey, c_nationkey,
+      SELECT -c_custkey - 1 AS c_custkey, c_nationkey,
              CAST('{Q22_PLANT_BAL}' AS DOUBLE) AS c_acctbal
       FROM customer WHERE c_custkey % {Q22_PLANT_MOD} = {Q22_PLANT_RESIDUE}
     )
@@ -504,7 +506,7 @@ def q74b_tpch_q22_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q74 (TPC-H Q22) over the customer table unioned with no-orders
     high-balance replicas — same multiplication-form threshold, same
     left-anti join, but the result is guaranteed non-empty (the planted
-    custkeys exceed every o_custkey), so the anti-join path is finally
+    custkeys are negative, o_custkey is non-negative), so the anti-join path is finally
     verified on actual survivors. Both engines build the identical union;
     the planted balance goes through the same DECIMAL(12,2) lift as real
     balances."""
@@ -514,7 +516,7 @@ def q74b_tpch_q22_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = base.filter(
         F.col("c_custkey") % Q22_PLANT_MOD == Q22_PLANT_RESIDUE
     ).select(
-        (F.col("c_custkey") + F.lit(Q22_PLANT_OFFSET)).alias("c_custkey"),
+        (-F.col("c_custkey") - F.lit(1)).alias("c_custkey"),
         "c_nationkey",
         F.lit(Q22_PLANT_BAL).cast("double").alias("c_acctbal"),
     )

@@ -46,14 +46,15 @@ def test_neardup_oracle_parity_on_nonempty_relation(spark, planted_embeddings_di
 
 
 def test_q164_planted_twin_nonempty_at_gate_data(spark, sf_dir):
-    """The externally-gated twin: verbatim replays under fresh ids must all
-    surface at cosine 1.0 over the UNMODIFIED gate data."""
-    from flink_adcom_spark.queries.similarity import PLANT_MOD, PLANT_OFFSET, PLANT_RESIDUE
+    """The externally-gated twin: verbatim replays under fresh NEGATED ids
+    (collision-free at any corpus size) must all surface at cosine 1.0 over
+    the UNMODIFIED gate data."""
+    from flink_adcom_spark.queries.similarity import PLANT_MOD, PLANT_RESIDUE
 
     rows = get("q164_embed_neardup_planted").build(spark, sf_dir).collect()
     got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
     expected = {
-        (i, i + PLANT_OFFSET)
+        (-i - 1, i)  # the planted negative id sorts below its original
         for i in range(500)
         if i % PLANT_MOD == PLANT_RESIDUE
     }

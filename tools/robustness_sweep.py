@@ -82,9 +82,9 @@ AXES: dict[str, dict[str, str]] = {
     # crawler re-fetch or a mirrored feed produces — and the one the plain
     # dupes axis structurally cannot test for pair-producing operators, since
     # pairs require distinct ids (vec_a < vec_b never fires on identical
-    # ids). Under this axis the near-dup family (q40/q41/q43/q44/q53/q88 and
-    # q164) must DETECT the planted duplicates — the sweep prints their pair
-    # counts, and a zero is a detection failure, not parity noise.
+    # ids). Under this axis the pair-producing near-dup queries (MUST_DETECT
+    # below) must return rows — the sweep prints their pair counts, and a
+    # zero is a detection failure, not parity noise.
     "dupes_rekeyed": {
         "documents": """SELECT * FROM '{src}'
             UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang, source,
@@ -103,9 +103,14 @@ MUST_DETECT = {
     "dupes_rekeyed": {
         "q41_minhash_lsh_pairs", "q42_ngram_jaccard_pairs",
         "q44_simhash_neardup", "q53_embed_neardup_pairs",
-        "q88_embed_neardup_multiprobe",
+        "q88_embed_neardup_multiprobe", "q164_embed_neardup_planted",
     },
 }
+
+# q40 (exact dedup) and q43 (per-doc simhash) always emit one row per doc,
+# so non-emptiness is vacuous for them; their duplicate-DETECTION is instead
+# asserted by value (q40's keep flags / q144's per-source rates hash-match
+# the oracle over the rekeyed fixture, which the normal parity loop covers).
 
 
 # Expected per-axis outcomes that are NOT divergences: q80/q95 carry a loud

@@ -41,8 +41,11 @@ def main() -> None:
     summary = {
         k: {"samples": v, "min": min(v), "max": max(v)} for k, v in out.items()
     }
-    summary["skew_over_uniform_best"] = round(
-        summary["skew30"]["max"] / summary["uniform"]["max"], 3
+    # a fully saturated box can record no completed batch (all zeros); emit
+    # the samples instead of dying on the ratio
+    umax = summary["uniform"]["max"]
+    summary["skew_over_uniform_best"] = (
+        round(summary["skew30"]["max"] / umax, 3) if umax else None
     )
     print(json.dumps(summary))
 
