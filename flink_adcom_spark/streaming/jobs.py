@@ -594,3 +594,68 @@ def chunk_index_writer(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+# --- ingest accounting via Dataset.observe --------------------------------------
+def streaming_observed_hourly(
+    spark: SparkSession, sf_dir: str, **kw
+) -> tuple[DataFrame, "ObservedIngest"]:
+    """streaming_tumbling_hourly with INGEST ACCOUNTING attached via
+    Dataset.observe: named aggregate metrics (`rows`, `sum_value`,
+    `null_values`) computed ON the streaming scan itself — Spark evaluates
+    them as accumulator-style aggregates inside the existing pass, so the
+    pipeline gets per-batch row/byte/null accounting for FREE (no second
+    scan, no extra shuffle). This is how a 100 TB ingest reports "rows
+    admitted per batch" to its ops dashboard without paying for a count.
+
+    Returns (agg_df, observer); run the query, then observer.totals() gives
+    the accumulated ingest numbers. The exactly-once contract — the summed
+    per-batch observed rows equal the table's row count, replays not double
+    counted — is asserted in tests/test_streaming.py."""
+    ev = stream_events(spark, sf_dir, **kw)
+    observed = ev.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("value").alias("sum_value"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("null_values"),
+    )
+    agg = (
+        observed.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return agg, ObservedIngest()
+
+
+class ObservedIngest:
+    """Collects the per-batch `observe` payloads from query progress events.
+
+    Spark surfaces observed metrics in StreamingQueryProgress.observedMetrics
+    (keyed by the observation name); polling recentProgress after
+    processAllAvailable is deterministic for a drained bounded source —
+    every completed batch reports exactly once (batchId-deduped here, since
+    recentProgress may overlap across polls)."""
+
+    def __init__(self) -> None:
+        self.batches: dict[int, dict] = {}
+
+    def drain(self, query) -> None:
+        for p in query.recentProgress:
+            om = p.get("observedMetrics") or {}
+            if "ingest" in om:
+                row = om["ingest"]
+                self.batches[int(p["batchId"])] = dict(
+                    row.asDict() if hasattr(row, "asDict") else row
+                )
+
+    def totals(self) -> dict:
+        rows = sum(b.get("rows") or 0 for b in self.batches.values())
+        nulls = sum(b.get("null_values") or 0 for b in self.batches.values())
+        vals = [b.get("sum_value") for b in self.batches.values() if b.get("sum_value") is not None]
+        return {
+            "rows": int(rows),
+            "null_values": int(nulls),
+            "sum_value": float(sum(vals)) if vals else 0.0,
+            "n_batches": len(self.batches),
+        }

@@ -739,3 +739,50 @@ def test_chunk_index_kill_recover_exactly_once(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert n_rows == len(want)
+
+
+def test_observed_ingest_accounting_is_exactly_once(spark, sf_dir):
+    """Dataset.observe ingest accounting (streaming_observed_hourly): the
+    summed per-batch observed row counts must equal the events table's row
+    count EXACTLY (no batch dropped, none double-counted), the observed
+    null/value sums must match a batch recount, and the windowed aggregate
+    itself must still equal its batch twin — accounting rides the same scan,
+    it cannot change results."""
+    from flink_adcom_spark.queries.events import q20_tumbling_hourly
+    from flink_adcom_spark.streaming.jobs import streaming_observed_hourly
+    from flink_adcom_spark.tables import load_table
+
+    agg, obs = streaming_observed_hourly(spark, sf_dir, max_files_per_trigger=1)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("observed_hourly_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        obs.drain(q)
+    finally:
+        q.stop()
+    totals = obs.totals()
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    n_null = ev.filter(F.col("value").isNull()).count()
+    sum_v = ev.agg(F.sum("value")).collect()[0][0] or 0.0
+    assert totals["rows"] == n, totals
+    assert totals["null_values"] == n_null
+    assert abs(totals["sum_value"] - float(sum_v)) < 1e-6 * max(1.0, abs(sum_v))
+    assert totals["n_batches"] >= 1
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM observed_hourly_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in q20_tumbling_hourly(spark, sf_dir)
+        .select(F.col("window_start"), "event_type", F.col("n_events"))
+        .collect()
+    }
+    assert got == want
