@@ -106,3 +106,54 @@ def test_upsert_partitions_touches_only_present_partitions(spark, sf_dir, tmp_pa
     assert after.filter(F.col("event_type") == "click").count() < before_click
     # untouched partition intact
     assert after.filter(F.col("event_type") == "purchase").count() == before_purchase
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: after zorder_write(events, [user_id, value], 16), a
+    narrow range predicate on EITHER column must touch a small fraction of
+    the files (footer min/max skipping needs exactly this row-to-file
+    clustering), while a plain hash layout spreads every predicate over
+    ~all files. This is the multi-dimension guarantee hive partitioning
+    (one dim) and linear sort (first dim only) cannot give simultaneously."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.operators.storage import zorder_write
+    from flink_adcom_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    zpath = str(tmp_path / "events_z")
+    hpath = str(tmp_path / "events_hash")
+    zorder_write(ev, zpath, ["user_id", "value"], n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(hpath)
+
+    lo_u, hi_u = 10, 17        # ~5% of the user range
+    lo_v, hi_v = 100.0, 120.0  # narrow value band
+
+    def files_touched(path, cond):
+        return (
+            spark.read.parquet(path)
+            .filter(cond)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    n_z_files = (
+        spark.read.parquet(zpath).select(F.input_file_name()).distinct().count()
+    )
+    assert n_z_files >= 12  # range partitioner may merge a few empty ranges
+
+    u_cond = (F.col("user_id") >= lo_u) & (F.col("user_id") <= hi_u)
+    v_cond = (F.col("value") >= lo_v) & (F.col("value") <= hi_v)
+    zu, zv = files_touched(zpath, u_cond), files_touched(zpath, v_cond)
+    hu, hv = files_touched(hpath, u_cond), files_touched(hpath, v_cond)
+
+    # hash layout: every file holds every key range -> predicates touch ~all
+    assert hu >= 15 and hv >= 15, (hu, hv)
+    # z layout: each dimension's narrow band lives in a minority of files
+    assert zu <= n_z_files // 2, (zu, n_z_files)
+    assert zv <= n_z_files // 2, (zv, n_z_files)
+    # and the layout rewrite must not lose or duplicate rows
+    assert spark.read.parquet(zpath).count() == ev.count()
