@@ -257,10 +257,10 @@ _ROUND7_GATE = frozenset(
 # cohorts in full — all 13 entries whose last green row is r3 (incl.
 # q53/q74, the vacuous originals; q53 also refactored this round into the
 # shared _neardup_pairs_df body) and all 8 r4-era entries; (c) the flagship
-# q08 anchor; (d) 7 r5-era refill slots, bench headliners first (q42, q44,
-# q50, q54, q73, q77, q99 — q08_ref/q09/q09b/q14/q18/q35/q39/q62 yielded
+# q08 anchor; (d) 6 r5-era refill slots, bench headliners first (q42, q44,
+# q50, q54, q77, q99 — q08_ref/q09/q09b/q14/q18/q35/q39/q62/q73 yielded
 # their slots to the never-checked additions as they landed). Worst-case
-# green-row staleness after this round: r5 (the 31 remaining r5-era rows
+# green-row staleness after this round: r5 (the 32 remaining r5-era rows
 # rotate into r9 first).
 _ROUND8_GATE = frozenset(
     # (a) never driver-checked
@@ -274,6 +274,7 @@ _ROUND8_GATE = frozenset(
         "q168_bpe_encode", "q169_embed_decontaminate", "q170_symspell_pairs",
         "q171_hybrid_rerank", "q172_media_dedup_stats",
         "q173_bpe_fertility_by_lang", "q174_boilerplate_prefixes",
+        "q175_dataset_token_report",
     ]
     # (b) oldest green rows: the full r3-era cohort...
     + [
@@ -302,7 +303,6 @@ _ROUND8_GATE = frozenset(
     + [
         "q42_ngram_jaccard_pairs", "q44_simhash_neardup",
         "q50_knn_bruteforce", "q54_ivf_knn",
-        "q73_tpch_q13_order_distribution",
         "q77_unigram_logprob", "q99_tpch_q8_market_share",
     ]
 )

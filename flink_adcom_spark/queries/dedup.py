@@ -691,10 +691,11 @@ CONTAM_MAX = 0.5  # drop docs with >= 50% benchmark-shingle overlap
 MANIFEST_MIN_TOKENS = 10
 
 
-@query(
-    "q110_training_manifest",
-    f"""
-    WITH RECURSIVE wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+def _manifest_ctes() -> str:
+    """q110's oracle chain WITHOUT the WITH RECURSIVE prefix, ending at a
+    `manifest` CTE (doc_id, lang, n_tokens, split) — composable with other
+    chains (q175 joins it to text.py's BPE encode chain)."""
+    return f"""wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
     h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
     bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
     sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits),
@@ -719,17 +720,23 @@ MANIFEST_MIN_TOKENS = 10
               WHERE CAST(n_hit AS DOUBLE) / n_shingles >= {CONTAM_MAX}),
     toks AS (SELECT doc_id, lang,
                     CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
-             FROM documents)
-    SELECT doc_id, lang, n_tokens,
-           CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
-                WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
-                ELSE 'test' END AS split
-    FROM toks
-    WHERE doc_id % {BENCH_MOD} <> 0
-      AND n_tokens >= {MANIFEST_MIN_TOKENS}
-      AND doc_id NOT IN (SELECT doc_id FROM drop_dups)
-      AND doc_id NOT IN (SELECT doc_id FROM dirty)
-    """,
+             FROM documents),
+    manifest AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+                  WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM toks
+      WHERE doc_id % {BENCH_MOD} <> 0
+        AND n_tokens >= {MANIFEST_MIN_TOKENS}
+        AND doc_id NOT IN (SELECT doc_id FROM drop_dups)
+        AND doc_id NOT IN (SELECT doc_id FROM dirty))"""
+
+
+@query(
+    "q110_training_manifest",
+    "WITH RECURSIVE " + _manifest_ctes()
+    + "\nSELECT doc_id, lang, n_tokens, split FROM manifest",
     tags=("dedup", "text", "pipeline", "composite"),
 )
 def q110_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,4 +982,56 @@ def q144_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 6
         ).alias("dup_rate"),
+    )
+
+
+def _bpe_encode_ctes_for_manifest() -> str:
+    from .text import _bpe_encode_ctes
+
+    return _bpe_encode_ctes()
+
+
+# --- dataset-card token report (manifest ∘ tokenizer) ---------------------------
+@query(
+    "q175_dataset_token_report",
+    # The two verified chains composed: q110's manifest (WITH RECURSIVE for
+    # the near-dup closure) + text.py's BPE encode chain, joined on doc_id
+    # and rolled up per (split, lang). CTE names are disjoint by
+    # construction (the encode chain's corpus scan is `btoks`).
+    "WITH RECURSIVE " + _manifest_ctes() + ",\n" + _bpe_encode_ctes_for_manifest()
+    + """
+SELECT m.split, m.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(m.n_tokens) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+FROM manifest m JOIN perdoc p USING (doc_id)
+GROUP BY m.split, m.lang
+""",
+    tags=("dedup", "text", "tokenizer", "pipeline", "composite"),
+)
+def q175_dataset_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE dataset card table: for every (split, language) of the final
+    training manifest — after near-dup dedup, decontamination, and the
+    quality gate (q110) — the document count, whitespace-token count, and
+    MODEL-token count under the trained BPE tokenizer (q168). n_bpe_tokens
+    per split is the number a pretraining run budgets compute against and
+    the headline figure every dataset paper reports; composing the two
+    verified chains in one plan means the report can never disagree with
+    the manifest or the tokenizer it describes.
+
+    Scale shape: q110's plan (scan-shared signals, broadcast contamination
+    side) + q168's vocabulary-bound encode, joined doc-keyed, rolled up to
+    a handful of (split, lang) groups."""
+    from .text import q168_bpe_encode
+
+    manifest = q110_training_manifest(spark, sf_dir)
+    perdoc = q168_bpe_encode(spark, sf_dir)
+    return (
+        manifest.join(perdoc, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_ws_tokens"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
     )

@@ -1858,9 +1858,9 @@ def _bpe_train_ctes() -> str:
     WITHOUT the leading WITH or a final SELECT — composable by q159 (emit the
     merge table) and q168 (apply the trained merges to the whole corpus)."""
     parts = [
-        f"""toks AS (SELECT unnest({_WORDS_SQL}) AS word
+        f"""btoks AS (SELECT unnest({_WORDS_SQL}) AS word
               FROM documents WHERE text IS NOT NULL),
-wc AS (SELECT word, COUNT(*) AS freq FROM toks
+wc AS (SELECT word, COUNT(*) AS freq FROM btoks
        GROUP BY word ORDER BY freq DESC, word LIMIT {BPE_VOCAB_TOP}),
 tok0 AS (SELECT word, freq,
                 generate_subscripts(string_split(word, ''), 1) AS pos,
@@ -2019,12 +2019,12 @@ def _bpe_train(
     return merges, tops
 
 
-def _bpe_encode_oracle_sql() -> str:
-    """Trained merges applied to EVERY distinct corpus word, rolled up to
-    per-document BPE token counts (the vocabulary-encode trick: the merge
-    machinery runs once per distinct word, never once per occurrence)."""
+def _bpe_encode_ctes() -> str:
+    """Training + corpus-encode CTE chain WITHOUT the WITH prefix, ending at
+    `perdoc` (doc_id, n_words, n_bpe_tokens) — composable with other CTE
+    chains (q175 joins it to the q110 manifest chain)."""
     parts = [
-        "WITH " + _bpe_train_ctes(),
+        _bpe_train_ctes(),
         f""",
 dw AS (SELECT doc_id, word, COUNT(*) AS cnt
        FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS word
@@ -2053,6 +2053,10 @@ perdoc AS (SELECT dw.doc_id,
            GROUP BY dw.doc_id)"""
     )
     return "".join(parts)
+
+
+def _bpe_encode_oracle_sql() -> str:
+    return "WITH " + _bpe_encode_ctes()
 
 
 @query(
