@@ -246,14 +246,15 @@ _ROUND7_GATE = frozenset(
         "q08_tpch_q1",
     ]
 )
-# Round-8 rotation (policy: COVERAGE.md §gate): (a) the 21 never-checked
+# Round-8 rotation (policy: COVERAGE.md §gate): (a) the 22 never-checked
 # entries — the 10 round-7 additions q154-q163, the planted positive-path
 # twins q164/q67b/q74b (which exist precisely so the external gate finally
 # hash-matches NON-EMPTY results for the near-dup / EXCEPT / anti-join paths
 # whose every prior green row was a 0-row match — VERDICT r7 "vacuous
 # greens"), and the round-8 additions q167-q174 (controller transcript, BPE
 # encode, semantic decontamination, symspell fuzzy join, hybrid rerank,
-# media dedup stats, fertility, boilerplate prefixes); (b) the oldest-green
+# media dedup stats, fertility, boilerplate prefixes) and q175 (dataset
+# token report); (b) the oldest-green
 # cohorts in full — all 13 entries whose last green row is r3 (incl.
 # q53/q74, the vacuous originals; q53 also refactored this round into the
 # shared _neardup_pairs_df body) and all 8 r4-era entries; (c) the flagship

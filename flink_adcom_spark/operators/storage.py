@@ -115,19 +115,39 @@ Z_BITS = 16  # per-dimension resolution; 2 dims -> a 32-bit z key
 
 def zorder_key(cols: list[str], mins: list[float], maxs: list[float]) -> Column:
     """Interleaved-bit Morton key over 2+ numeric columns, each equi-width
-    scaled to Z_BITS bits against its (min, max). Pure scan-side integer
-    expressions (shift/or over longs, whole-stage codegen) — the same key
-    Delta/Iceberg compute for their OPTIMIZE ZORDER BY."""
+    scaled against its (min, max). Pure scan-side integer expressions
+    (shift/or over longs, whole-stage codegen) — the same key Delta/Iceberg
+    compute for their OPTIMIZE ZORDER BY.
+
+    Per-dimension resolution is min(Z_BITS, 62 // n_dims) so the interleaved
+    index never reaches the long's sign bit (bit 63) — at Z_BITS=16 a 4th
+    column would otherwise set the sign bit and INVERT the range order for
+    half the rows, and 5+ columns would alias shifts mod 64 (Java shift
+    semantics) and scramble the key entirely. NULLs in a clustered column
+    quantize to bucket 0 (explicitly, via the isNull guard — Spark's
+    greatest/least would otherwise silently send them to the MAX bucket)."""
+    if len(cols) < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    for c, lo, hi in zip(cols, mins, maxs):
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder_key: column {c!r} has no min/max (empty input or "
+                "all-NULL column) — nothing to cluster on"
+            )
+    bits = min(Z_BITS, 62 // len(cols))
     quant = []
     for c, lo, hi in zip(cols, mins, maxs):
-        span = (hi - lo) or 1.0
+        span = (float(hi) - float(lo)) or 1.0
         q = F.floor(
-            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(span))
-            * F.lit(float((1 << Z_BITS) - 1))
+            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+            * F.lit(float((1 << bits) - 1))
         ).cast("long")
-        quant.append(F.greatest(F.lit(0), F.least(q, F.lit((1 << Z_BITS) - 1))))
+        q = F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+            F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1)))
+        )
+        quant.append(q)
     z = F.lit(0).cast("long")
-    for i in range(Z_BITS):
+    for i in range(bits):
         for d, q in enumerate(quant):
             bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * len(quant) + d))

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
-from .text import _FOLD_TEXT_SQL, _WORDS_SQL, fold_col, words_col
+from .text import _FOLD_TEXT_SQL, _WORDS_SQL, _bpe_encode_ctes, fold_col, words_col
 
 SHINGLE_K = 3  # words per shingle
 JACCARD_THRESHOLD = 0.05
@@ -985,12 +985,6 @@ def q144_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_ctes_for_manifest() -> str:
-    from .text import _bpe_encode_ctes
-
-    return _bpe_encode_ctes()
-
-
 # --- dataset-card token report (manifest ∘ tokenizer) ---------------------------
 @query(
     "q175_dataset_token_report",
@@ -998,7 +992,7 @@ def _bpe_encode_ctes_for_manifest() -> str:
     # the near-dup closure) + text.py's BPE encode chain, joined on doc_id
     # and rolled up per (split, lang). CTE names are disjoint by
     # construction (the encode chain's corpus scan is `btoks`).
-    "WITH RECURSIVE " + _manifest_ctes() + ",\n" + _bpe_encode_ctes_for_manifest()
+    "WITH RECURSIVE " + _manifest_ctes() + ",\n" + _bpe_encode_ctes()
     + """
 SELECT m.split, m.lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -55,14 +55,19 @@ def _events_stream(
 
 
 def stream_events(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str | None = "events.parquet",
 ) -> DataFrame:
     """File-replay source over events.parquet (the Spark-idiomatic stand-in
     for the reference's gzip replay source, SURVEY.md S1-S4: source
-    parallelism and replay rate are file-split and maxFilesPerTrigger here)."""
+    parallelism and replay rate are file-split and maxFilesPerTrigger here).
+    glob=None reads every parquet file in sf_dir — the multi-file feed shape
+    (tests re-shard events into N part files for real multi-batch runs)."""
     # the file source needs a directory; pathGlobFilter selects the table
     return _events_stream(
-        spark, sf_dir, glob="events.parquet", maxFilesPerTrigger=max_files_per_trigger
+        spark, sf_dir, glob=glob, maxFilesPerTrigger=max_files_per_trigger
     )
 
 
@@ -632,22 +637,69 @@ class ObservedIngest:
     """Collects the per-batch `observe` payloads from query progress events.
 
     Spark surfaces observed metrics in StreamingQueryProgress.observedMetrics
-    (keyed by the observation name); polling recentProgress after
-    processAllAvailable is deterministic for a drained bounded source —
-    every completed batch reports exactly once (batchId-deduped here, since
-    recentProgress may overlap across polls)."""
+    (keyed by the observation name). Two collection paths:
+
+    - attach(spark) / detach(spark): a StreamingQueryListener that captures
+      EVERY onQueryProgress event — the complete mechanism, required for
+      long runs (recentProgress retains only the last
+      spark.sql.streaming.numRecentProgressUpdates = 100 entries).
+    - drain(query): post-hoc poll of recentProgress — convenient for
+      bounded runs, but it RAISES if the retention window may have
+      overflowed rather than silently under-counting."""
 
     def __init__(self) -> None:
         self.batches: dict[int, dict] = {}
+        self._listener = None
+
+    def _record(self, progress_dict: dict) -> None:
+        om = progress_dict.get("observedMetrics") or {}
+        if "ingest" in om:
+            row = om["ingest"]
+            self.batches[int(progress_dict["batchId"])] = dict(
+                row.asDict() if hasattr(row, "asDict") else row
+            )
+
+    def attach(self, spark: SparkSession) -> None:
+        """Register a listener capturing every progress event (complete even
+        past the 100-entry recentProgress retention)."""
+        import json as _json
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                outer._record(_json.loads(event.progress.json))
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+
+    def detach(self, spark: SparkSession) -> None:
+        if self._listener is not None:
+            spark.streams.removeListener(self._listener)
+            self._listener = None
 
     def drain(self, query) -> None:
-        for p in query.recentProgress:
-            om = p.get("observedMetrics") or {}
-            if "ingest" in om:
-                row = om["ingest"]
-                self.batches[int(p["batchId"])] = dict(
-                    row.asDict() if hasattr(row, "asDict") else row
-                )
+        recent = query.recentProgress
+        if len(recent) >= 100:
+            raise RuntimeError(
+                "ObservedIngest.drain: recentProgress is at its retention "
+                "cap — earlier batches may have been evicted and the totals "
+                "would silently under-count; use attach(spark) for runs "
+                "longer than ~100 micro-batches"
+            )
+        for p in recent:
+            self._record(p)
 
     def totals(self) -> dict:
         rows = sum(b.get("rows") or 0 for b in self.batches.values())

@@ -4,6 +4,7 @@ relies on across its no-combiner / static / AdCom variants (SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pytest
@@ -741,10 +742,12 @@ def test_chunk_index_kill_recover_exactly_once(spark, sf_dir, tmp_path):
     assert n_rows == len(want)
 
 
-def test_observed_ingest_accounting_is_exactly_once(spark, sf_dir):
-    """Dataset.observe ingest accounting (streaming_observed_hourly): the
-    summed per-batch observed row counts must equal the events table's row
-    count EXACTLY (no batch dropped, none double-counted), the observed
+def test_observed_ingest_accounting_is_exactly_once(spark, sf_dir, tmp_path):
+    """Dataset.observe ingest accounting (streaming_observed_hourly): over a
+    MULTI-batch run (events re-written as 4 part files, one per trigger),
+    the summed per-batch observed row counts must equal the table's row
+    count EXACTLY (no batch dropped, none double-counted — the listener
+    path, complete past recentProgress's 100-entry retention), the observed
     null/value sums must match a batch recount, and the windowed aggregate
     itself must still equal its batch twin — accounting rides the same scan,
     it cannot change results."""
@@ -752,7 +755,13 @@ def test_observed_ingest_accounting_is_exactly_once(spark, sf_dir):
     from flink_adcom_spark.streaming.jobs import streaming_observed_hourly
     from flink_adcom_spark.tables import load_table
 
-    agg, obs = streaming_observed_hourly(spark, sf_dir, max_files_per_trigger=1)
+    feed = str(tmp_path / "feed")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(feed)
+
+    agg, obs = streaming_observed_hourly(
+        spark, feed, max_files_per_trigger=1, glob=None
+    )
+    obs.attach(spark)
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -761,13 +770,16 @@ def test_observed_ingest_accounting_is_exactly_once(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
-        obs.drain(q)
+        obs.drain(q)  # idempotent with the listener: batchId-keyed
     finally:
         q.stop()
+        obs.detach(spark)
     totals = obs.totals()
+    assert totals["n_batches"] >= 4  # the multi-batch path really ran
 
     ev = load_table(spark, sf_dir, "events")
     n = ev.count()
+    assert spark.read.parquet(feed).count() == n
     n_null = ev.filter(F.col("value").isNull()).count()
     sum_v = ev.agg(F.sum("value")).collect()[0][0] or 0.0
     assert totals["rows"] == n, totals
