@@ -246,22 +246,23 @@ _ROUND7_GATE = frozenset(
         "q08_tpch_q1",
     ]
 )
-# Round-8 rotation (policy: COVERAGE.md §gate): (a) the 22 never-checked
+# Round-8 rotation (policy: COVERAGE.md §gate): (a) the 24 never-checked
 # entries — the 10 round-7 additions q154-q163, the planted positive-path
 # twins q164/q67b/q74b (which exist precisely so the external gate finally
 # hash-matches NON-EMPTY results for the near-dup / EXCEPT / anti-join paths
 # whose every prior green row was a 0-row match — VERDICT r7 "vacuous
 # greens"), and the round-8 additions q167-q174 (controller transcript, BPE
 # encode, semantic decontamination, symspell fuzzy join, hybrid rerank,
-# media dedup stats, fertility, boilerplate prefixes) and q175 (dataset
-# token report); (b) the oldest-green
+# media dedup stats, fertility, boilerplate prefixes), q175 (dataset
+# token report), q176 (point-in-time training features), and q177
+# (deterministic negative sampling); (b) the oldest-green
 # cohorts in full — all 13 entries whose last green row is r3 (incl.
 # q53/q74, the vacuous originals; q53 also refactored this round into the
 # shared _neardup_pairs_df body) and all 8 r4-era entries; (c) the flagship
-# q08 anchor; (d) 6 r5-era refill slots, bench headliners first (q42, q44,
-# q50, q54, q77, q99 — q08_ref/q09/q09b/q14/q18/q35/q39/q62/q73 yielded
+# q08 anchor; (d) 4 r5-era refill slots, bench headliners first (q50,
+# q54, q77, q99 — q08_ref/q09/q09b/q14/q18/q35/q39/q42/q44/q62/q73 yielded
 # their slots to the never-checked additions as they landed). Worst-case
-# green-row staleness after this round: r5 (the 32 remaining r5-era rows
+# green-row staleness after this round: r5 (the 34 remaining r5-era rows
 # rotate into r9 first).
 _ROUND8_GATE = frozenset(
     # (a) never driver-checked
@@ -275,7 +276,8 @@ _ROUND8_GATE = frozenset(
         "q168_bpe_encode", "q169_embed_decontaminate", "q170_symspell_pairs",
         "q171_hybrid_rerank", "q172_media_dedup_stats",
         "q173_bpe_fertility_by_lang", "q174_boilerplate_prefixes",
-        "q175_dataset_token_report",
+        "q175_dataset_token_report", "q176_pit_training_features",
+        "q177_negative_samples",
     ]
     # (b) oldest green rows: the full r3-era cohort...
     + [
@@ -302,7 +304,6 @@ _ROUND8_GATE = frozenset(
     # encoder, q08_ref/q39 to q169 decontamination and q170 the symmetric-
     # delete fuzzy join — never-checked beats refill)
     + [
-        "q42_ngram_jaccard_pairs", "q44_simhash_neardup",
         "q50_knn_bruteforce", "q54_ivf_knn",
         "q77_unigram_logprob", "q99_tpch_q8_market_share",
     ]

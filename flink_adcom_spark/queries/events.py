@@ -1172,3 +1172,87 @@ def q163_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_value"),
         )
     )
+
+
+# --- point-in-time training features (leakage-free label/feature join) ----------
+@query(
+    "q176_pit_training_features",
+    """
+    WITH e AS (SELECT event_id, ts, user_id, event_type, value FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    f AS (SELECT *,
+                 COUNT(*) FILTER (event_type = 'view') OVER w AS prior_views,
+                 COUNT(*) FILTER (event_type = 'purchase') OVER w
+                   AS prior_purchases,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(20,6)) END) OVER w
+                      AS DOUBLE) AS prior_purchase_value,
+                 MIN(ts) OVER w2 AS first_seen
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id AS label_event_id, user_id, ts,
+           COALESCE(prior_views, 0) AS prior_views,
+           COALESCE(prior_purchases, 0) AS prior_purchases,
+           COALESCE(prior_purchase_value, CAST('0' AS DOUBLE))
+             AS prior_purchase_value,
+           CAST(date_diff('second', first_seen, ts) AS BIGINT)
+             AS account_age_s
+    FROM f WHERE event_type = 'purchase'
+    """,
+    tags=("events", "window", "features", "pipeline"),
+)
+def q176_pit_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME training-set construction — the feature-store
+    correctness problem: for every label event (a purchase), the user's
+    behavioral features computed STRICTLY BEFORE the label (prior view and
+    purchase counts, prior purchase value, account age), so the training
+    set can never leak the label into its own features. The strictly-prior
+    frame (ROWS ... AND 1 PRECEDING, ordered (ts, event_id) — the q163
+    total-order discipline) is the declarative form of what a feature
+    store's as-of join does; value sums go through the exact-decimal lift.
+
+    Scale shape: ONE user-keyed shuffle feeds every window frame, the
+    label filter then prunes to purchases — no self-join, no per-label
+    scans; at 100 TB this is the standard snapshot job shape."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.when(F.col("event_type") == "view", 1)
+    is_buy = F.when(F.col("event_type") == "purchase", 1)
+    buy_val = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(20,6)")
+    )
+    f = (
+        e.withColumn("prior_views", F.count(is_view).over(w))
+        .withColumn("prior_purchases", F.count(is_buy).over(w))
+        .withColumn(
+            "prior_purchase_value", F.sum(buy_val).over(w).cast("double")
+        )
+        .withColumn("first_seen", F.min("ts").over(w2))
+    )
+    return f.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        "ts",
+        F.coalesce("prior_views", F.lit(0)).alias("prior_views"),
+        F.coalesce("prior_purchases", F.lit(0)).alias("prior_purchases"),
+        F.coalesce("prior_purchase_value", F.lit(0.0)).alias("prior_purchase_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("first_seen"))
+        .cast("bigint")
+        .alias("account_age_s"),
+    )

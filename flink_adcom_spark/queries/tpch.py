@@ -1551,3 +1551,104 @@ def q145_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap").cast("bigint").alias("max_days"),
         )
     )
+
+
+# --- deterministic negative sampling over the interaction graph ----------------
+NEG_K = 5          # negatives kept per customer
+NEG_CAND = 10      # oversampled candidates (2x: survives positives/collisions)
+NEG_MULT = 2654435761  # Knuth (q38 discipline)
+NEG_STEP = 1000003     # per-candidate stride (prime)
+
+
+@query(
+    "q177_negative_samples",
+    f"""
+    WITH np AS (SELECT COUNT(*) AS n_parts FROM part),
+    pos AS (SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    cand AS (SELECT c.c_custkey, j,
+                    ((c.c_custkey % 2147483648) * {NEG_MULT} + j * {NEG_STEP})
+                      % 4294967296 % np.n_parts AS p_partkey
+             FROM customer c
+             CROSS JOIN (SELECT unnest(range({NEG_CAND})) AS j) js
+             CROSS JOIN np),
+    valid AS (SELECT cand.c_custkey, cand.p_partkey, MIN(cand.j) AS j
+              FROM cand JOIN part p ON cand.p_partkey = p.p_partkey
+              GROUP BY 1, 2),
+    neg AS (SELECT v.c_custkey, v.p_partkey, v.j
+            FROM valid v LEFT JOIN pos
+              ON v.c_custkey = pos.c_custkey AND v.p_partkey = pos.p_partkey
+            WHERE pos.c_custkey IS NULL)
+    SELECT c_custkey, p_partkey, CAST(rnk AS INT) AS rnk FROM (
+      SELECT c_custkey, p_partkey,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY j) AS rnk
+      FROM neg) t
+    WHERE rnk <= {NEG_K}
+    """,
+    tags=("tpch", "sampling", "features", "pipeline"),
+)
+def q177_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for recommendation/contrastive
+    training over the customer x part interaction graph: per customer,
+    NEG_K parts they have NEVER ordered, chosen by a seeded hash sequence.
+    The scalable trick is sample-then-filter: generate NEG_CAND hash
+    candidates per customer (scan-side integer math, oversampled 2x),
+    validate against the part dim, anti-join the true interactions, keep
+    the first NEG_K by candidate index — the complement set (customers x
+    non-interacted parts, ~quadratic) is NEVER materialized. Deterministic
+    in (custkey, j) on both engines (q38 overflow discipline), so training
+    reruns see identical negatives.
+
+    Scale shape: candidates are |customers| * NEG_CAND narrow rows; the
+    only wide work is the distinct interaction pair set (one shuffle —
+    any implicit-feedback pipeline builds it anyway) and the anti join on
+    (cust, part); the rank window sees <= NEG_CAND rows per customer."""
+    from pyspark.sql import Window
+
+    n_parts_df = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    pos = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_custkey").alias("c_custkey"))
+        .join(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                F.col("l_partkey").alias("p_partkey"),
+            ),
+            "o_orderkey",
+        )
+        .select("c_custkey", "p_partkey")
+        .distinct()
+    )
+    cand = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .crossJoin(F.broadcast(n_parts_df))
+        .select(
+            "c_custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_CAND - 1))).alias("j"),
+            "n_parts",
+        )
+        .withColumn(
+            "p_partkey",
+            ((F.col("c_custkey") % F.lit(2147483648)) * F.lit(NEG_MULT)
+             + F.col("j") * F.lit(NEG_STEP))
+            % F.lit(4294967296) % F.col("n_parts"),
+        )
+    )
+    valid = (
+        cand.join(
+            F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey")),
+            "p_partkey",
+        )
+        .groupBy("c_custkey", "p_partkey")
+        .agg(F.min("j").alias("j"))
+    )
+    neg = valid.join(pos, ["c_custkey", "p_partkey"], "left_anti")
+    w = Window.partitionBy("c_custkey").orderBy("j")
+    return (
+        neg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= NEG_K)
+        .select("c_custkey", "p_partkey", "rnk")
+    )
