@@ -1194,8 +1194,7 @@ def q163_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                w2 AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT event_id AS label_event_id, user_id, ts,
-           COALESCE(prior_views, 0) AS prior_views,
-           COALESCE(prior_purchases, 0) AS prior_purchases,
+           prior_views, prior_purchases,
            COALESCE(prior_purchase_value, CAST('0' AS DOUBLE))
              AS prior_purchase_value,
            CAST(date_diff('second', first_seen, ts) AS BIGINT)
@@ -1249,8 +1248,8 @@ def q176_pit_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("label_event_id"),
         "user_id",
         "ts",
-        F.coalesce("prior_views", F.lit(0)).alias("prior_views"),
-        F.coalesce("prior_purchases", F.lit(0)).alias("prior_purchases"),
+        "prior_views",
+        "prior_purchases",
         F.coalesce("prior_purchase_value", F.lit(0.0)).alias("prior_purchase_value"),
         (F.unix_timestamp("ts") - F.unix_timestamp("first_seen"))
         .cast("bigint")

@@ -241,6 +241,10 @@ def test_q177_negatives_are_sound_and_deterministic(spark, sf_dir):
     per_cust: dict = {}
     for c, p in neg:
         per_cust[c] = per_cust.get(c, 0) + 1
+    # EVERY customer must be represented (a dropped customer would otherwise
+    # silently shrink the denominator of the quota check below)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert len(per_cust) == n_cust, (len(per_cust), n_cust)
     # quota is best-effort by design (oversample 2x, then validate+anti-join):
     # at the tiny test SF the part space is small enough that a customer can
     # run out of clean candidates — never over quota, mostly full quota
@@ -248,8 +252,15 @@ def test_q177_negatives_are_sound_and_deterministic(spark, sf_dir):
     full = sum(1 for v in per_cust.values() if v == NEG_K)
     assert full >= 0.8 * len(per_cust), (full, len(per_cust))
 
-    again = {
-        (r["c_custkey"], r["p_partkey"], r["rnk"])
-        for r in spec.build(spark, sf_dir).repartition(7).collect()
-    }
+    # re-run under a DIFFERENT shuffle layout (the test_partition_invariance
+    # recipe): every upstream exchange really re-executes with 7 partitions
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = {
+            (r["c_custkey"], r["p_partkey"], r["rnk"])
+            for r in spec.build(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert again == {(r["c_custkey"], r["p_partkey"], r["rnk"]) for r in rows}
