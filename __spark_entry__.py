@@ -308,14 +308,64 @@ _ROUND8_GATE = frozenset(
         "q77_unigram_logprob", "q99_tpch_q8_market_share",
     ]
 )
-_GATE = _ROUND8_GATE
+# Round 9 drains the rotation debt: after r8 the ONLY entries whose newest
+# green row predates r6 are the 34 r5-era rows below (tier 3, oldest-green)
+# — re-greening them makes every registry entry's newest external green row
+# r6+ for the first time since the gate began. Tier 2 (modified since green):
+# q177, whose candidate hash was remapped onto [1, n_parts] this round
+# (ADVICE r8 — key 0 was unsampleable and partkey n_parts excluded). The
+# round-9 additions (tier 1, never checked) fill the remaining slots as they
+# land.
+_ROUND9_PENDING = frozenset(
+    # (a) round-9 additions — listed up front so the gate freezes with them;
+    # entries not yet registered are skipped by queries() until they land
+    # (all must be registered by round close: tools check `_ROUND9_PENDING -
+    # set(registry.all_specs()) == set()`)
+    [
+        "q178_quality_classifier", "q179_unigram_lm_tokenizer",
+        "q180_shard_export", "q181_zorder_pruning_stats",
+    ]
+)
+_ROUND9_GATE = frozenset(
+    # (a) never driver-checked: round-9 additions
+    list(_ROUND9_PENDING)
+    # (b) modified since last green row
+    + [
+        "q177_negative_samples",
+    ]
+    # (c) oldest-green: the full r5-era cohort (34)
+    + [
+        "q08_tpch_q1_ref", "q09_tpch_q6", "q09b_order_revenue",
+        "q100_vocab_coverage", "q101_quantize_embeddings",
+        "q102_stream_sketch_rollup", "q103_time_range_rolling",
+        "q104_props_extract", "q105_activity_streaks",
+        "q106_conversion_funnel", "q107_tpch_q15_top_supplier",
+        "q108_tpch_q19_disjunctive", "q110_training_manifest",
+        "q14_revenue_by_nation", "q15_top_customers", "q16_mktsegment_stats",
+        "q17_orders_without_lineitems", "q18_tpch_q5_local_suppliers",
+        "q19_tpch_q4_order_priority", "q19b_tpch_q14_promo_share",
+        "q32_lang_id", "q34_regex_token_count", "q35_tfidf_top_terms",
+        "q36_bigram_counts", "q39_corpus_select", "q42_ngram_jaccard_pairs",
+        "q44_simhash_neardup", "q49_train_split", "q62_tpch_q3",
+        "q70_approx_distinct_users", "q73_tpch_q13_order_distribution",
+        "q89_tpch_q10_returned_items", "q96_sketch_rollup",
+        "q98_tpch_q7_nation_volume",
+    ]
+    # (d) flagship anchor (every round)
+    + [
+        "q08_tpch_q1",
+    ]
+)
+_GATE = _ROUND9_GATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """This round's gate set (<= 50 entries, see rotation note above); every
     implemented operator from SURVEY.md §2 is in registry.all_specs()."""
     specs = registry.all_specs()
-    missing = _GATE - set(specs)
+    # tier-(a) names may land mid-round; anything NOT in tier (a) drifting
+    # from the registry is a real error
+    missing = _GATE - set(specs) - _ROUND9_PENDING
     assert not missing, f"gate names drifted from registry: {missing}"
     return {
         name: spec.build

@@ -141,8 +141,12 @@ def main() -> None:
                 "canary_ref_machine": CANARY_REF_MACHINE,
                 "load_factor": load_factor,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                "stream_wordcount_rows_per_sec": stream_rps,
-                "stream_wordcount_skew30_rows_per_sec": stream_rps_skew,
+                "stream_wordcount_rows_per_sec": stream_rps["rows_per_sec"],
+                "stream_wordcount_n_steady_batches": stream_rps["n_steady_batches"],
+                "stream_wordcount_ramp_excluded": stream_rps["ramp_excluded"],
+                "stream_wordcount_skew30_rows_per_sec": stream_rps_skew["rows_per_sec"],
+                "stream_wordcount_skew30_n_steady_batches": stream_rps_skew["n_steady_batches"],
+                "stream_wordcount_skew30_ramp_excluded": stream_rps_skew["ramp_excluded"],
                 **({"errors": errors} if errors else {}),
                 **bundle,
             }
@@ -167,8 +171,11 @@ def _load_canary(spark) -> float:
 
 def _stream_throughput(
     spark, offer_rps: int = 8_000_000, run_s: float = 12.0, skewed: bool = False
-) -> int:
-    """Sustained streaming keyed-count throughput (rows/s).
+) -> dict:
+    """Sustained streaming keyed-count throughput: {rows_per_sec,
+    n_steady_batches, ramp_excluded} — the batch count and ramp flag ride
+    into the bench JSON so a short run that blended ramp-up batches into
+    the median is distinguishable from a true steady-state sample.
 
     The reference's benchmark axis is source rate sustained by the combiner
     pipeline (BASELINE.md: busy-sleep sources up to 2M rec/s), on BOTH a
@@ -216,10 +223,20 @@ def _stream_throughput(
     finally:
         q.stop()
     if not batches:
-        return 0
-    steady = [batches[b] for b in sorted(batches)][4:] or list(batches.values())
+        return {"rows_per_sec": 0, "n_steady_batches": 0, "ramp_excluded": False}
+    steady = [batches[b] for b in sorted(batches)][4:]
+    # Fewer than 5 completed batches: fall back to all of them, but FLAG it —
+    # a ramp-contaminated sample must be distinguishable from a true
+    # steady-state median in the recorded JSON.
+    ramp_excluded = bool(steady)
+    if not steady:
+        steady = list(batches.values())
     steady.sort()
-    return int(steady[len(steady) // 2])
+    return {
+        "rows_per_sec": int(steady[len(steady) // 2]),
+        "n_steady_batches": len(steady),
+        "ramp_excluded": ramp_excluded,
+    }
 
 
 def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0) -> dict:

@@ -538,16 +538,40 @@ KMEANS_ITERS = 3
 KMEANS_TARGET_CLUSTER = 64
 
 
-_EMB_COUNT_CACHE: dict[tuple[str, str], int] = {}
+_EMB_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def _emb_fingerprint(sf_dir: str) -> str:
+    """mtime_ns + size of the embeddings parquet path (file, or every file
+    in a directory) — keys the count memo so an in-place rewrite of the
+    table invalidates the cached count instead of silently desynchronizing
+    the Spark-derived k from the live-counting DuckDB oracle."""
+    import os
+
+    from flink_adcom_spark.tables import table_path
+
+    path = table_path(sf_dir, "embeddings")
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            parts = [f"{st.st_mtime_ns}:{st.st_size}"]
+            for entry in sorted(os.listdir(path)):
+                es = os.stat(os.path.join(path, entry))
+                parts.append(f"{entry}:{es.st_mtime_ns}:{es.st_size}")
+            return "|".join(parts)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "unstat-able"
 
 
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     """COUNT(*) on the BARE table (parquet footer counts — ~2x cheaper than
     counting the projected+norm frame; measured 0.22 s vs 0.50 s at sf0.1).
-    Memoized per directory: the synthetic tables are immutable for a
-    process's lifetime, and the k-derivation otherwise pays one counting
-    job per build (the bench builds each query 3x)."""
-    key = (sf_dir, "")
+    Memoized per (directory, file fingerprint): the synthetic tables are
+    immutable in practice, and the k-derivation otherwise pays one counting
+    job per build (the bench builds each query 3x); the fingerprint keeps a
+    rewritten-in-place table from serving a stale count."""
+    key = (sf_dir, "", _emb_fingerprint(sf_dir))
     if key not in _EMB_COUNT_CACHE:
         _EMB_COUNT_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
     return _EMB_COUNT_CACHE[key]
@@ -557,7 +581,7 @@ def _emb_train_count(spark: SparkSession, sf_dir: str, min_vec_id: int) -> int:
     """Memoized count of the q119 TRAIN corpus (vec_id >= min_vec_id): the
     filter defeats footer-only counting, so without the memo every build
     pays a real counting job (the bench builds each query 3x)."""
-    key = (sf_dir, f">={min_vec_id}")
+    key = (sf_dir, f">={min_vec_id}", _emb_fingerprint(sf_dir))
     if key not in _EMB_COUNT_CACHE:
         _EMB_COUNT_CACHE[key] = (
             load_table(spark, sf_dir, "embeddings")

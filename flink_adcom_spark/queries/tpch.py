@@ -1568,7 +1568,7 @@ NEG_STEP = 1000003     # per-candidate stride (prime)
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
     cand AS (SELECT c.c_custkey, j,
                     ((c.c_custkey % 2147483648) * {NEG_MULT} + j * {NEG_STEP})
-                      % 4294967296 % np.n_parts AS p_partkey
+                      % 4294967296 % np.n_parts + 1 AS p_partkey
              FROM customer c
              CROSS JOIN (SELECT unnest(range({NEG_CAND})) AS j) js
              CROSS JOIN np),
@@ -1595,7 +1595,9 @@ def q177_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates per customer (scan-side integer math, oversampled 2x),
     validate against the part dim, anti-join the true interactions, keep
     the first NEG_K by candidate index — the complement set (customers x
-    non-interacted parts, ~quadratic) is NEVER materialized. Deterministic
+    non-interacted parts, ~quadratic) is NEVER materialized. The hash maps
+    onto [1, n_parts] (TPC-H partkeys are 1-based), so every part is
+    sampleable and no candidate slot is wasted on key 0. Deterministic
     in (custkey, j) on both engines (q38 overflow discipline), so training
     reruns see identical negatives.
 
@@ -1634,7 +1636,7 @@ def q177_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             ((F.col("c_custkey") % F.lit(2147483648)) * F.lit(NEG_MULT)
              + F.col("j") * F.lit(NEG_STEP))
-            % F.lit(4294967296) % F.col("n_parts"),
+            % F.lit(4294967296) % F.col("n_parts") + F.lit(1),
         )
     )
     valid = (

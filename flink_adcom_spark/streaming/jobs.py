@@ -689,14 +689,28 @@ class ObservedIngest:
             spark.streams.removeListener(self._listener)
             self._listener = None
 
-    def drain(self, query) -> None:
+    def drain(self, query, spark: SparkSession | None = None) -> None:
+        # recentProgress retains spark.sql.streaming.numRecentProgressUpdates
+        # entries (default 100) — read the live conf rather than hard-coding
+        # 100, so a lowered retention still trips the guard and a raised one
+        # doesn't raise spuriously on safe runs.
+        retention = 100
+        if spark is not None:
+            try:
+                retention = int(
+                    spark.conf.get(
+                        "spark.sql.streaming.numRecentProgressUpdates", "100"
+                    )
+                )
+            except Exception:
+                pass
         recent = query.recentProgress
-        if len(recent) >= 100:
+        if len(recent) >= retention:
             raise RuntimeError(
                 "ObservedIngest.drain: recentProgress is at its retention "
-                "cap — earlier batches may have been evicted and the totals "
-                "would silently under-count; use attach(spark) for runs "
-                "longer than ~100 micro-batches"
+                f"cap ({retention}) — earlier batches may have been evicted "
+                "and the totals would silently under-count; use "
+                "attach(spark) for runs longer than the retention window"
             )
         for p in recent:
             self._record(p)

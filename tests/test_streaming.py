@@ -770,7 +770,7 @@ def test_observed_ingest_accounting_is_exactly_once(spark, sf_dir, tmp_path):
     )
     try:
         q.processAllAvailable()
-        obs.drain(q)  # idempotent with the listener: batchId-keyed
+        obs.drain(q, spark)  # idempotent with the listener: batchId-keyed
     finally:
         q.stop()
         obs.detach(spark)

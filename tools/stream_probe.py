@@ -36,8 +36,8 @@ def main() -> None:
     # 0.69 skew ratio that was partly ordering, not the hot key.
     out: dict[str, list[int]] = {"uniform": [], "skew30": []}
     for _ in range(n):
-        out["uniform"].append(_stream_throughput(spark))
-        out["skew30"].append(_stream_throughput(spark, skewed=True))
+        out["uniform"].append(_stream_throughput(spark)["rows_per_sec"])
+        out["skew30"].append(_stream_throughput(spark, skewed=True)["rows_per_sec"])
     summary = {
         k: {"samples": v, "min": min(v), "max": max(v)} for k, v in out.items()
     }
