@@ -2634,3 +2634,197 @@ def q174_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
     )
+
+
+# --- trained quality classifier (hashed-feature perceptron) --------------------
+# The one standard LLM-curation stage beyond rule gates (q114) and importance
+# ratios (q130): a LEARNED quality score. Every major corpus (GPT-3, LLaMA,
+# C4) gates on a trained classifier over cheap text features; the canonical
+# implementation is fastText-style hashed n-gram features + a linear model.
+# Here: a batch perceptron over md5-hashed bigram count features — chosen
+# over logistic regression because its training fold is PURE INTEGER
+# arithmetic (weights, margins, gradients all int64 with learning rate 1),
+# so K unrolled rounds are bit-identical across engines with no float
+# discipline at all (the q152/q163 lesson applied to model training).
+CLF_BUCKETS = 64   # hashed feature dimensionality (bias rides as bucket 64)
+CLF_ROUNDS = 3     # unrolled batch-perceptron rounds (q159 discipline)
+
+_CLF_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1)"
+    f" % {CLF_BUCKETS}"
+)
+
+
+def _clf_oracle() -> str:
+    """Unrolled-CTE restatement of the CLF_ROUNDS-round batch perceptron.
+
+    Round 1 uses the identity that at w=0 every doc has margin 0 and
+    y*0 <= 0, i.e. ALL docs are misclassified — so w1 is just the label-
+    weighted feature sum, no margin pass needed (both engines skip it).
+    Every SUM is CAST AS BIGINT (DuckDB HUGEINT renders float64 otherwise)."""
+    rounds = []
+    prev = "w1"
+    for r in range(2, CLF_ROUNDS + 1):
+        rounds.append(f"""
+    m{r} AS (SELECT fl.doc_id, fl.bucket, fl.cnt, fl.y,
+                   CAST(SUM(fl.cnt * COALESCE({prev}.w, 0))
+                        OVER (PARTITION BY fl.doc_id) AS BIGINT) AS margin
+            FROM fl LEFT JOIN {prev} ON fl.bucket = {prev}.bucket),
+    g{r} AS (SELECT bucket, CAST(SUM(y * cnt) AS BIGINT) AS g
+            FROM m{r} WHERE y * margin <= 0 GROUP BY bucket),
+    w{r} AS (SELECT COALESCE({prev}.bucket, g{r}.bucket) AS bucket,
+                   CAST(COALESCE({prev}.w, 0) + COALESCE(g{r}.g, 0) AS BIGINT) AS w
+            FROM {prev} FULL JOIN g{r} ON {prev}.bucket = g{r}.bucket)""")
+        prev = f"w{r}"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    lab AS (SELECT doc_id,
+                   CASE WHEN 2 * len(list_distinct(w)) >= len(w)
+                        THEN 1 ELSE -1 END AS y
+            FROM toks),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]),
+                                         s -> s[1] || ' ' || s[2])) AS bigram
+            FROM toks WHERE len(w) >= 2),
+    fb AS (SELECT doc_id, {_CLF_BUCKET_SQL} AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM big GROUP BY 1, 2
+           UNION ALL
+           SELECT doc_id, {CLF_BUCKETS} AS bucket, 1 AS cnt FROM documents),
+    fl AS (SELECT f.doc_id, f.bucket, f.cnt, l.y
+           FROM fb f JOIN lab l USING (doc_id)),
+    w1 AS (SELECT bucket, CAST(SUM(y * cnt) AS BIGINT) AS w
+           FROM fl GROUP BY bucket),{",".join(rounds)}
+    SELECT fl.doc_id,
+           CAST(MIN(fl.y) AS INT) AS label,
+           CAST(SUM(fl.cnt * COALESCE({prev}.w, 0)) AS BIGINT) AS score,
+           (MIN(fl.y) * CAST(SUM(fl.cnt * COALESCE({prev}.w, 0)) AS BIGINT) > 0)
+             AS correct
+    FROM fl LEFT JOIN {prev} ON fl.bucket = {prev}.bucket
+    GROUP BY fl.doc_id
+    """
+
+
+def clf_features_and_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, cnt, y) hashed-bigram count features + bias + weak
+    label, the training relation for perceptron_train. Labels are the
+    deterministic lexical-diversity rule 2*|distinct words| >= |words|
+    (good = not repetition-heavy) — a weak-label stand-in for human labels;
+    the classifier's job is to compress it into CLF_BUCKETS+1 weights that
+    score UNLABELED corpora (exactly how C4's/GPT-3's quality gates use a
+    reference corpus as weak positive labels)."""
+    w = words_col()
+    toks = docs.select("doc_id", w.alias("w"))
+    lab = toks.select(
+        "doc_id",
+        F.when(
+            2 * F.size(F.array_distinct("w")) >= F.size("w"), F.lit(1)
+        ).otherwise(F.lit(-1)).alias("y"),
+    )
+    n = F.size("w")
+    bigrams = F.zip_with(
+        F.slice("w", 1, n - 1),
+        F.slice("w", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bucket = (
+        (F.expr("instr('0123456789abcdef', substring(md5(bigram), 1, 1))") - 1)
+        * 16
+        + F.expr("instr('0123456789abcdef', substring(md5(bigram), 2, 1))")
+        - 1
+    ) % CLF_BUCKETS
+    fb = (
+        toks.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit(CLF_BUCKETS).alias("bucket"),
+                F.lit(1).cast("bigint").alias("cnt"),
+            )
+        )
+    )
+    return fb.join(lab, "doc_id")
+
+
+def perceptron_train(fl: DataFrame, rounds: int = CLF_ROUNDS) -> list[int]:
+    """K unrolled batch-perceptron rounds over the (doc_id, bucket, cnt, y)
+    relation; returns the CLF_BUCKETS+1 integer weight vector.
+
+    Execution shape (the classic driver-held-model / data-parallel-gradient
+    loop — the same topology MLlib's LogisticRegression uses, with the
+    collected weights playing the broadcast coefficient vector): per round,
+    margins ride ONE doc_id window shuffle with the current weights inlined
+    as a 65-int literal array (zero model join), the misclassified-doc
+    gradient is a bucket-keyed map-side-combined aggregate (<= 65 groups),
+    and only the 65-int gradient crosses to the driver. Round 1 skips the
+    margin pass: at w=0 every doc is misclassified by definition. All
+    arithmetic is int64 — learning rate 1, integer features/labels — so the
+    trained weights are bit-identical on any engine and partitioning."""
+    from pyspark.sql import Window
+
+    w = [0] * (CLF_BUCKETS + 1)
+    for rnd in range(rounds):
+        if rnd == 0:
+            grad_df = fl.groupBy("bucket").agg(
+                F.sum(F.col("y") * F.col("cnt")).alias("g")
+            )
+        else:
+            w_arr = F.array(*[F.lit(int(v)) for v in w])
+            margin = F.sum(
+                F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)
+            ).over(Window.partitionBy("doc_id"))
+            grad_df = (
+                fl.withColumn("margin", margin)
+                .filter(F.col("y") * F.col("margin") <= 0)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
+            )
+        for row in grad_df.collect():  # <= CLF_BUCKETS+1 rows: bounded
+            w[int(row["bucket"])] += int(row["g"])
+    return w
+
+
+@query(
+    "q178_quality_classifier",
+    _clf_oracle(),
+    tags=("text", "quality", "ml", "pipeline"),
+    bench=True,
+)
+def q178_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier over the corpus: hashed-bigram perceptron
+    (fastText-style linear model; see module constants) trained for
+    CLF_ROUNDS unrolled rounds on deterministic weak labels, then the whole
+    corpus scored with the final weights. Output: per-doc (label, integer
+    margin score, correct flag) — the learned quality gate a curation
+    pipeline thresholds on.
+
+    Scale shape: the feature relation is linear in corpus bigrams and
+    collapses to <= |docs| * (CLF_BUCKETS+1) rows after the count groupBy;
+    each round is one doc_id window shuffle + one 65-group aggregate; the
+    model never exceeds 65 ints on the driver. At 100 TB the same loop runs
+    with the feature build's exchange reused across rounds via the
+    localCheckpoint (one materialization, K reads)."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    fl = clf_features_and_labels(docs).localCheckpoint(eager=False)
+    w = perceptron_train(fl)
+    w_arr = F.array(*[F.lit(int(v)) for v in w])
+    return (
+        fl.groupBy("doc_id")
+        .agg(
+            F.min("y").cast("int").alias("label"),
+            F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1))
+            .cast("bigint")
+            .alias("score"),
+        )
+        .select(
+            "doc_id",
+            "label",
+            "score",
+            (F.col("label") * F.col("score") > 0).alias("correct"),
+        )
+    )
