@@ -181,3 +181,54 @@ def zorder_write(df: DataFrame, path: str, cols: list[str], n_files: int = 16) -
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+N_EXPORT_SHARDS_FILES = 16
+
+
+def shard_export_write(docs: DataFrame, path: str) -> DataFrame:
+    """Materialize the q180 deterministic shard export: the corpus under its
+    seeded global permutation, written as shard_id=N partitioned parquet
+    (one balanced shard per partition directory, rows sorted in permutation
+    order within each shard) with the manifest relation returned for the
+    caller to persist alongside (`<path>/_manifest` by convention).
+
+    Idempotence: the assignment is a pure function of doc_id and the
+    module seeds, so a re-run overwrites each partition with identical
+    content — the manifest digests prove it (tests/test_storage.py).
+
+    At 100 TB: one repartition on shard_id (16-way — or files-per-shard
+    via a composite (shard_id, skey-range) key), writers stream in sorted
+    order; no global sort, no driver materialization beyond the
+    PACK_SHARDS prefix offsets and the 16-row manifest."""
+    from flink_adcom_spark.queries.text import shard_assignments
+
+    asg = shard_assignments(docs).localCheckpoint(eager=False)
+    (
+        asg.select("doc_id", "skey", "n_tokens", "start_tok", "shard_id")
+        .join(docs, "doc_id")
+        .repartition(N_EXPORT_SHARDS_FILES, "shard_id")
+        .sortWithinPartitions("shard_id", "skey", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return (
+        asg.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("skey", "doc_id", "fp"))
+                        ),
+                        lambda x: x["fp"],
+                    ),
+                )
+            ).alias("digest"),
+        )
+    )
+

@@ -2828,3 +2828,122 @@ def q178_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") * F.col("score") > 0).alias("correct"),
         )
     )
+
+
+# --- deterministic shard export (global shuffle + balanced shard manifest) -----
+# The last step of a training-data pipeline after selection (q110) and
+# accounting (q175): training jobs consume a SHUFFLED corpus cut into
+# fixed-count shards with a manifest. Reproducibility demands the shuffle be
+# a seeded permutation (portable-hash order, q38 discipline), not rand().
+SHARD_MULT = 2654435761   # Knuth multiplicative constant (q38)
+SHARD_SEED = 2654435769   # golden-ratio additive seed: distinct permutation
+N_EXPORT_SHARDS = 16
+_SHARD_KEY_W = 4294967296 // PACK_SHARDS  # prefix-sum shards = key ranges
+
+_SHARD_KEY_SQL = (
+    f"((doc_id % 2147483648) * {SHARD_MULT} + {SHARD_SEED}) % 4294967296"
+)
+
+
+def shard_assignments(docs: DataFrame) -> DataFrame:
+    """(doc_id, skey, n_tokens, fp, start_tok, total_tok, shard_id): every
+    doc's position in the seeded global permutation and its balanced shard.
+
+    Permutation: skey = Knuth-multiplicative hash of doc_id (+ seed), total
+    order (skey, doc_id) — reproducible across runs, engines, partitionings,
+    unlike a rand() shuffle. Balance: shard boundaries are TOKEN-mass
+    quantiles, not doc-count quantiles — shard_id = start_tok * N // total —
+    so shards cost the same compute downstream even when doc lengths skew.
+
+    Scale shape: the global prefix sum never global-sorts — skey is uniform
+    in [0, 2^32), so fixed-width key ranges are order-aligned shards for
+    sharded_prefix_sum (per-range window sorts run in parallel; only the
+    <= PACK_SHARDS range totals visit the driver)."""
+    w = words_col()
+    toks = docs.select(
+        "doc_id",
+        (((F.col("doc_id") % 2147483648) * SHARD_MULT + SHARD_SEED)
+         % 4294967296).alias("skey"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+    ).withColumn("shard", F.expr(f"skey div {_SHARD_KEY_W}"))
+    prefix = sharded_prefix_sum(toks, "n_tokens", "skey", "doc_id")
+    tot = toks.agg(F.sum("n_tokens").cast("bigint").alias("total_tok"))
+    return (
+        prefix.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "shard_id",
+            F.least(
+                F.expr(
+                    f"(start_tok * {N_EXPORT_SHARDS}) div greatest(total_tok, 1)"
+                ),
+                F.lit(N_EXPORT_SHARDS - 1),
+            ).cast("bigint"),
+        )
+        .drop("shard")
+    )
+
+
+@query(
+    "q180_shard_export",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHARD_KEY_SQL} AS skey,
+             CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+             md5(coalesce(text, '')) AS fp
+      FROM documents
+    ),
+    offs AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY skey, doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                     AS BIGINT) AS start_tok
+      FROM toks
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tok FROM toks),
+    asg AS (
+      SELECT o.*, CAST(LEAST((o.start_tok * {N_EXPORT_SHARDS})
+                               // GREATEST(t.total_tok, 1),
+                             {N_EXPORT_SHARDS - 1}) AS BIGINT) AS shard_id
+      FROM offs o CROSS JOIN tot t
+    )
+    SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(fp, '' ORDER BY skey, doc_id)) AS digest
+    FROM asg GROUP BY shard_id
+    """,
+    tags=("text", "export", "shuffle", "pipeline"),
+)
+def q180_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-export MANIFEST: the corpus under a seeded global permutation,
+    cut into N_EXPORT_SHARDS token-balanced shards; per shard its doc count,
+    token count, and an order-sensitive content digest (md5 over the shard's
+    doc fingerprints in permutation order — pins BOTH membership and order,
+    so a re-export that shuffled differently fails the manifest check).
+    operators/storage.py::shard_export_write materializes the same
+    assignment as a partitioned parquet layout; this relation is what lands
+    next to it as the manifest file.
+
+    Scale note: the digest concatenates 32-byte fingerprints per shard in
+    one reducer — linear in shard size, the same cost as writing the shard
+    itself; a 100 TB export with huge shards would roll the digest up
+    hierarchically (fixed-size digest pages, then md5 of page digests — the
+    Merkle form), which changes the constant, not the topology."""
+    return (
+        shard_assignments(_documents(spark, sf_dir).select("doc_id", "text"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("skey", "doc_id", "fp"))
+                        ),
+                        lambda x: x["fp"],
+                    ),
+                )
+            ).alias("digest"),
+        )
+    )

@@ -157,3 +157,48 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
     assert zv <= n_z_files // 2, (zv, n_z_files)
     # and the layout rewrite must not lose or duplicate rows
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_shard_export_balance_and_idempotence(spark, sf_dir, tmp_path):
+    """The q180 writer: (a) every shard directory exists and token mass is
+    balanced across shards (max/min within 3x of the ideal share on the tiny
+    SF — boundaries quantize at doc granularity), (b) a second write is
+    byte-identical in content: same per-shard membership, order, and
+    manifest digests, (c) the returned manifest equals the q180 gate
+    relation exactly."""
+    import os
+
+    from flink_adcom_spark.operators.storage import shard_export_write
+    from flink_adcom_spark.queries.text import (
+        N_EXPORT_SHARDS,
+        q180_shard_export,
+    )
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "export")
+    manifest1 = {r["shard_id"]: r.asDict() for r in shard_export_write(docs, out).collect()}
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(dirs) == N_EXPORT_SHARDS
+    assert set(manifest1) == set(range(N_EXPORT_SHARDS))
+
+    toks = {s: m["n_tokens"] for s, m in manifest1.items()}
+    total = sum(toks.values())
+    ideal = total / N_EXPORT_SHARDS
+    assert max(toks.values()) <= 3 * ideal, toks
+    assert min(toks.values()) >= ideal / 3, toks
+
+    # written rows round-trip: membership matches the manifest, order is the
+    # permutation order within each shard
+    back = spark.read.parquet(out)
+    counts = {r["shard_id"]: r["n"] for r in back.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {s: m["n_docs"] for s, m in manifest1.items()}
+
+    # idempotence: overwrite in place, manifests identical
+    manifest2 = {r["shard_id"]: r.asDict() for r in shard_export_write(docs, out).collect()}
+    assert manifest1 == manifest2
+
+    # the writer's manifest IS the q180 gate relation
+    gate = {r["shard_id"]: r.asDict() for r in q180_shard_export(spark, sf_dir).collect()}
+    assert gate == manifest1
