@@ -232,3 +232,36 @@ def shard_export_write(docs: DataFrame, path: str) -> DataFrame:
         )
     )
 
+
+
+def zorder_write_zrange(df: DataFrame, path: str, cols: list[str], prefix_bits: int = 4):
+    """zorder_write's DETERMINISTIC sibling: files are fixed z-RANGE buckets
+    (zfile = the z key's top `prefix_bits` bits) instead of sampled
+    equal-row ranges. Trades file-size balance on skewed data for a file
+    assignment that is a pure function of the row — reproducible across
+    runs and engines, so a layout audit (q181) can restate every file's
+    membership and min/max stats in SQL and hash-match them externally.
+    Returns (mins, maxs) used for quantization so the caller can restate
+    the law."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    mins = [stats[f"mn_{c}"] for c in cols]
+    maxs = [stats[f"mx_{c}"] for c in cols]
+    bits = min(Z_BITS, 62 // len(cols))
+    z = zorder_key(cols, mins, maxs)
+    (
+        df.withColumn("__z", z)
+        .withColumn(
+            "zfile",
+            F.shiftright(F.col("__z"), len(cols) * bits - prefix_bits).cast("bigint"),
+        )
+        .repartition("zfile")
+        .sortWithinPartitions("zfile", "__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy("zfile")
+        .parquet(path)
+    )
+    return mins, maxs

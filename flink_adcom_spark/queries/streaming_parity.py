@@ -514,3 +514,105 @@ def q167_controller_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "step INT, util DOUBLE, interval_ms INT"
     )
+
+
+# --- q181: the Z-order layout law under the external gate -----------------------
+def _zorder_oracle() -> str:
+    """Restate zorder_key's quantize + interleave + z-range file assignment
+    (operators/storage.py::zorder_key / zorder_write_zrange) in DuckDB SQL:
+    per-dimension equi-width quantization to 16 bits against the data's own
+    min/max (NULL -> bucket 0, clamped), bit interleave with dim 0 on even
+    bits, file = top 4 bits of the 32-bit key. The interleave is the same
+    32-term shift/mask expression Spark runs, generated here so the two
+    can't drift."""
+    terms = " | ".join(
+        f"(((q0 >> {i}) & 1) << {2 * i}) | (((q1 >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+
+    def quant(col: str, mn: str, mx: str) -> str:
+        span = f"(CASE WHEN {mx} - {mn} = 0 THEN CAST(1 AS DOUBLE) ELSE {mx} - {mn} END)"
+        q = (
+            f"CAST(FLOOR((CAST({col} AS DOUBLE) - {mn}) / {span}"
+            f" * CAST(65535 AS DOUBLE)) AS BIGINT)"
+        )
+        return (
+            f"CASE WHEN {col} IS NULL THEN 0"
+            f" ELSE GREATEST(0, LEAST({q}, 65535)) END"
+        )
+
+    return f"""
+    WITH b AS (SELECT MIN(CAST(user_id AS DOUBLE)) AS mn0,
+                      MAX(CAST(user_id AS DOUBLE)) AS mx0,
+                      MIN(CAST(value AS DOUBLE)) AS mn1,
+                      MAX(CAST(value AS DOUBLE)) AS mx1
+               FROM events),
+    q AS (SELECT user_id, value,
+                 {quant("user_id", "mn0", "mx0")} AS q0,
+                 {quant("value", "mn1", "mx1")} AS q1
+          FROM events CROSS JOIN b),
+    z AS (SELECT user_id, value, ({terms}) AS zkey FROM q)
+    SELECT CAST(zkey >> 28 AS BIGINT) AS zfile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           (MIN(user_id) <= 56 AND MAX(user_id) >= 37) AS touched_user_probe,
+           (MIN(value) <= CAST('150.0' AS DOUBLE)
+            AND MAX(value) >= CAST('100.0' AS DOUBLE)) AS touched_value_probe
+    FROM z GROUP BY 1
+    """
+
+
+@query(
+    "q181_zorder_pruning_stats",
+    _zorder_oracle(),
+    tags=("storage", "zorder", "layout"),
+)
+def q181_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB layout claim under the same external discipline as
+    everything else: events (user_id, value) is WRITTEN through
+    zorder_write_zrange — Morton-clustered files with a deterministic
+    z-range file assignment — then the layout is READ BACK from disk and
+    each file's footer-equivalent stats are emitted: row count, per-dim
+    min/max, and whether a mid-range probe on EITHER single dimension would
+    touch the file. The oracle restates quantization, bit interleave, and
+    file assignment from the source table, so a green row proves the
+    write/readback roundtrip preserved membership AND that the interleave
+    law gives both dimensions selective per-file ranges (the Z-order
+    property q-tests assert as <= 50% files touched; here the exact flags
+    hash-match).
+
+    Scale shape: the layout write is the one range shuffle any OPTIMIZE
+    pays; the audit is a scan + 16-group aggregate over footer-stat-sized
+    data."""
+    from ..operators.storage import zorder_write_zrange
+
+    out = tempfile.mkdtemp(prefix="q181_zorder_")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    zorder_write_zrange(ev, out, ["user_id", "value"], prefix_bits=4)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("zfile").cast("bigint").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "zfile",
+            "n_rows",
+            "min_user",
+            "max_user",
+            "min_value",
+            "max_value",
+            ((F.col("min_user") <= 56) & (F.col("max_user") >= 37)).alias(
+                "touched_user_probe"
+            ),
+            (
+                (F.col("min_value") <= 150.0) & (F.col("max_value") >= 100.0)
+            ).alias("touched_value_probe"),
+        )
+    )

@@ -202,3 +202,44 @@ def test_shard_export_balance_and_idempotence(spark, sf_dir, tmp_path):
     # the writer's manifest IS the q180 gate relation
     gate = {r["shard_id"]: r.asDict() for r in q180_shard_export(spark, sf_dir).collect()}
     assert gate == manifest1
+
+
+def test_zrange_write_is_deterministic_and_prunes(spark, sf_dir, tmp_path):
+    """zorder_write_zrange: (a) rewriting the same input yields the IDENTICAL
+    file assignment (per-file membership digest — the property sampled
+    repartitionByRange cannot give), (b) a narrow probe on either single
+    dimension touches <= 50% of files (the Z-order selectivity contract,
+    same bar as test_zorder_clusters_both_dimensions)."""
+    from flink_adcom_spark.operators.storage import zorder_write_zrange
+    from flink_adcom_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def layout(path):
+        zorder_write_zrange(ev, path, ["user_id", "value"], prefix_bits=4)
+        rows = spark.read.parquet(path).collect()
+        files = {}
+        for r in rows:
+            files.setdefault(r["zfile"], set()).add(r["event_id"])
+        return files
+
+    f1 = layout(str(tmp_path / "z1"))
+    f2 = layout(str(tmp_path / "z2"))
+    assert f1 == f2
+
+    stats = (
+        spark.read.parquet(str(tmp_path / "z1"))
+        .groupBy("zfile")
+        .agg(
+            F.min("user_id").alias("mnu"), F.max("user_id").alias("mxu"),
+            F.min("value").alias("mnv"), F.max("value").alias("mxv"),
+        )
+        .collect()
+    )
+    n = len(stats)
+    u_lo, u_hi = 37, 56
+    v_lo, v_hi = 100.0, 150.0
+    touched_u = sum(1 for r in stats if r["mnu"] <= u_hi and r["mxu"] >= u_lo)
+    touched_v = sum(1 for r in stats if r["mnv"] <= v_hi and r["mxv"] >= v_lo)
+    assert touched_u <= n / 2, (touched_u, n)
+    assert touched_v <= n / 2, (touched_v, n)
