@@ -2292,7 +2292,7 @@ def _fuzzy_vocab_sql() -> str:
                SELECT unnest({_WORDS_SQL}) AS word
                FROM documents WHERE text IS NOT NULL) t
              WHERE regexp_matches(word, '{_ASCII_WORD_RE}')),
-    vocab AS (
+    vocab AS MATERIALIZED (
       SELECT word FROM base WHERE length(word) >= {FUZZY_MIN_LEN}
       UNION SELECT word || 'x' FROM base WHERE length(word) >= {FUZZY_MIN_LEN}
       UNION SELECT substr(word, 1, length(word) - 1) FROM base
@@ -2945,5 +2945,320 @@ def q180_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             ).alias("digest"),
+        )
+    )
+
+
+# --- unigram-LM (SentencePiece-style) tokenizer -------------------------------
+# The complement to BPE (q159/q168): where BPE greedily MERGES, the unigram
+# LM scores SEGMENTATIONS — Viterbi over a piece inventory maximizing
+# sum(ln p(piece)), with per-round pruning of the least-useful pieces
+# (Kudo 2018). Full EM over a candidate lattice is out of scope; what a
+# pipeline runs at scale — and what this implements — is the standard
+# Viterbi-segmentation scoring pass against a FIXED inventory, with
+# usage-based pruning between rounds (2 unrolled rounds, q159 discipline).
+#
+# Engine-parity design: piece log-probs are computed ENGINE-SIDE
+# (ln(cnt/total), the q77/q130 divide-before-ln discipline) and flow into
+# the DP as data; the DP itself only ADDS pairs of doubles and COMPARES
+# (score, n_pieces, seg) tuples — IEEE-exact and order-fixed, so Spark's
+# Arrow-batched per-word DP and DuckDB's unrolled-CTE DP are bit-identical.
+# Pieces cap at ULM_PIECE_MAX chars, so the DP is a sliding window of depth
+# 4: the oracle needs only the previous 4 position CTEs, and the per-word
+# Python DP is O(len * 4). ASCII-contracted like q170 (codepoint-vs-grapheme
+# length semantics diverge between engines on combining marks).
+ULM_PIECE_MAX = 4   # max piece length -> DP lookahead window
+ULM_TOP_MULTI = 48  # multi-char inventory size before pruning
+ULM_PRUNE_K = 40    # pieces pruned between rounds (lowest usage first);
+                    # sized so pruning reaches USED pieces (the corpus
+                    # uses ~19 of the 48 multi-char pieces at every SF —
+                    # a smaller K removes only never-used pieces and
+                    # round 2 would be vacuously identical to round 1)
+ULM_WMAX = 16       # words longer than this are excluded (both engines)
+
+
+def _ulm_cand_sql(sc: str, j: int, L: int) -> str:
+    """One Viterbi candidate at end-position j via a length-L piece: the
+    (negated score, n_pieces, segmentation) struct, or NULL if the piece is
+    not in the inventory. p{L} aliases the d_{j-L} state."""
+    piece = f"substr(v.word, {j - L + 1}, {L})"
+    lookup = f"(SELECT logp FROM {sc} WHERE piece = {piece})"
+    return (
+        f"CASE WHEN {lookup} IS NOT NULL THEN "
+        f"{{'s': -(p{L}.s + {lookup}), 'n': p{L}.n + 1, "
+        f"'seg': CASE WHEN p{L}.seg = '' THEN {piece} "
+        f"ELSE p{L}.seg || '|' || {piece} END}} "
+        f"ELSE NULL END"
+    )
+
+
+def _ulm_dp_sql(tag: str, sc: str) -> str:
+    """The chained-CTE Viterbi DP for one round: d{tag}_j holds every
+    word's best (score, n_pieces, seg) over its first j characters;
+    final{tag} picks each word's full-length state. Candidate selection is
+    list_sort on (negated score, n_pieces, seg) structs — DuckDB struct
+    ordering is field-lexicographic, the exact mirror of the Python DP's
+    tuple sort."""
+    ctes = [
+        f"d{tag}_0 AS MATERIALIZED (SELECT word, wlen, CAST(0 AS DOUBLE) AS s, 0 AS n,"
+        f" '' AS seg FROM vocab)"
+    ]
+    for j in range(1, ULM_WMAX + 1):
+        ls = range(1, min(ULM_PIECE_MAX, j) + 1)
+        cands = ", ".join(_ulm_cand_sql(sc, j, L) for L in ls)
+        joins = " ".join(
+            f"LEFT JOIN d{tag}_{j - L} p{L} ON p{L}.word = v.word" for L in ls
+        )
+        ctes.append(
+            f"d{tag}_{j} AS MATERIALIZED (SELECT word, wlen, -(st.s) AS s, st.n AS n,"
+            f" st.seg AS seg FROM ("
+            f"SELECT v.word AS word, v.wlen AS wlen,"
+            f" list_sort(list_filter([{cands}], x -> x IS NOT NULL))[1] AS st"
+            f" FROM vocab v {joins} WHERE v.wlen >= {j}) q)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT word, s, n, seg FROM d{tag}_{j} WHERE wlen = {j}"
+        for j in range(1, ULM_WMAX + 1)
+    )
+    ctes.append(f"final{tag} AS MATERIALIZED ({final})")
+    return ",\n    ".join(ctes)
+
+
+def _ulm_oracle() -> str:
+    return f"""
+    WITH vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(length(word) AS INT) AS wlen
+      FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents) t
+      WHERE regexp_matches(word, '{_ASCII_WORD_RE}')
+        AND length(word) BETWEEN 1 AND {ULM_WMAX}
+      GROUP BY word
+    ),
+    subs AS MATERIALIZED (
+      SELECT substr(word, i, L) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT word, freq,
+                   unnest(generate_series(1, length(word))) AS i
+            FROM vocab) p
+      CROSS JOIN (SELECT unnest(range(1, {ULM_PIECE_MAX + 1})) AS L) ls
+      WHERE i + L - 1 <= length(word)
+      GROUP BY 1
+    ),
+    inv1 AS MATERIALIZED (
+      SELECT piece, cnt FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rnk
+        FROM subs WHERE length(piece) >= 2) r
+      WHERE rnk <= {ULM_TOP_MULTI}
+    ),
+    tot1 AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM inv1),
+    sc1 AS MATERIALIZED (SELECT piece, ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS logp
+            FROM inv1 CROSS JOIN tot1),
+    {_ulm_dp_sql("1", "sc1")},
+    usage AS MATERIALIZED (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS usage FROM (
+        SELECT v.freq, unnest(string_split(f.seg, '|')) AS piece
+        FROM final1 f JOIN vocab v ON v.word = f.word) u
+      WHERE length(piece) >= 2 GROUP BY 1
+    ),
+    pruned AS MATERIALIZED (
+      SELECT piece FROM (
+        SELECT i.piece,
+               ROW_NUMBER() OVER (ORDER BY COALESCE(u.usage, 0) ASC,
+                                  i.piece ASC) AS rnk
+        FROM (SELECT piece FROM inv1 WHERE length(piece) >= 2) i
+        LEFT JOIN usage u ON u.piece = i.piece) r
+      WHERE rnk <= {ULM_PRUNE_K}
+    ),
+    inv2 AS MATERIALIZED (
+      SELECT piece, cnt FROM inv1 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM inv1
+      WHERE length(piece) >= 2
+        AND piece NOT IN (SELECT piece FROM pruned)
+    ),
+    tot2 AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM inv2),
+    sc2 AS MATERIALIZED (SELECT piece, ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS logp
+            FROM inv2 CROSS JOIN tot2),
+    {_ulm_dp_sql("2", "sc2")}
+    SELECT f2.word, v.freq,
+           CAST(f1.n AS INT) AS n_pieces_r1,
+           CAST(f2.n AS INT) AS n_pieces,
+           f2.seg AS seg,
+           ROUND(f2.s, 6) AS score
+    FROM final2 f2
+    JOIN final1 f1 ON f1.word = f2.word
+    JOIN vocab v ON v.word = f2.word
+    """
+
+
+_ULM_DP_SCHEMA = "word string, s double, n int, seg string"
+
+
+def _ulm_viterbi(matches: DataFrame) -> DataFrame:
+    """Arrow-batched per-word Viterbi over the (word, wlen, j, L, logp)
+    match relation: for each word group, best[j] = the lexicographic min of
+    (-(best[j-L].score + logp), pieces+1, seg) over matching pieces ending
+    at j. The Python body performs ONLY double adds and tuple compares on
+    engine-computed logp values — the same two operations the oracle's
+    unrolled CTEs perform, in the same order, so the DP is bit-identical
+    across engines. One word never leaves one Arrow batch; the stage is
+    vocabulary-bound (Heaps' law), not corpus-bound."""
+
+    def dp(pdf):
+        import pandas as pd
+
+        word = pdf["word"].iloc[0]
+        wlen = int(pdf["wlen"].iloc[0])
+        byj: dict[int, list[tuple[int, float]]] = {}
+        for j, L, logp in zip(pdf["j"], pdf["L"], pdf["logp"]):
+            byj.setdefault(int(j), []).append((int(L), float(logp)))
+        best: dict[int, tuple[float, int, str]] = {0: (0.0, 0, "")}
+        for j in range(1, wlen + 1):
+            cands = []
+            for L, logp in byj.get(j, []):
+                prev = best.get(j - L)
+                if prev is None:
+                    continue
+                piece = word[j - L : j]
+                seg = piece if prev[2] == "" else prev[2] + "|" + piece
+                cands.append((-(prev[0] + logp), prev[1] + 1, seg))
+            if cands:
+                s, n, seg = sorted(cands)[0]
+                best[j] = (-s, n, seg)
+        fs = best[wlen]
+        return pd.DataFrame(
+            [[word, fs[0], fs[1], fs[2]]], columns=["word", "s", "n", "seg"]
+        )
+
+    return matches.groupBy("word").applyInPandas(dp, _ULM_DP_SCHEMA)
+
+
+def _ulm_matches(vocab: DataFrame, scores: DataFrame) -> DataFrame:
+    """(word, wlen, j, L, logp): every inventory piece occurrence ending at
+    position j of each vocab word — the DP's entire input. Built scan-side
+    (position/length grid + substr) with the inventory BROADCAST; at 100 TB
+    the inventory is vocabulary-statistics-sized (ULM_TOP_MULTI + alphabet),
+    always broadcastable."""
+    grid = vocab.select(
+        "word", "wlen", F.explode(F.sequence(F.lit(1), F.col("wlen"))).alias("j")
+    )
+    cands = (
+        grid.select(
+            "word", "wlen", "j",
+            F.explode(
+                F.array(*[F.lit(l) for l in range(1, ULM_PIECE_MAX + 1)])
+            ).alias("L"),
+        )
+        .filter(F.col("L") <= F.col("j"))
+        .withColumn(
+            "piece", F.col("word").substr(F.col("j") - F.col("L") + 1, F.col("L"))
+        )
+    )
+    return cands.join(F.broadcast(scores), "piece").select(
+        "word", "wlen", "j", "L", "logp"
+    )
+
+
+def _ulm_scores(inv: DataFrame) -> DataFrame:
+    """(piece, logp) with logp = ln(cnt / total) over the CURRENT inventory
+    (renormalized per round, as unigram-LM pruning requires). Divide before
+    ln — the q77/q130 parity discipline."""
+    tot = inv.agg(F.sum("cnt").cast("bigint").alias("tot"))
+    return inv.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.ln(F.col("cnt").cast("double") / F.col("tot").cast("double")).alias("logp"),
+    )
+
+
+@query(
+    "q179_unigram_lm_tokenizer",
+    _ulm_oracle(),
+    tags=("text", "tokenizer", "ml", "pipeline"),
+    bench=True,
+)
+def q179_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (see the module-constant block above): round 1
+    Viterbi-segments the distinct vocabulary against the seeded inventory
+    (all single chars + top-ULM_TOP_MULTI substrings by corpus-weighted
+    frequency); between rounds the ULM_PRUNE_K lowest-usage multi-char
+    pieces are pruned and probabilities renormalized; round 2 re-segments.
+    Output per word: corpus freq, piece counts before/after pruning, the
+    final segmentation, and its log-prob score — the fertility ablation
+    partner to q173's BPE numbers.
+
+    Scale shape: everything past the one wordcount shuffle is
+    vocabulary-bound (Heaps' law, the q168 trick): the substring histogram,
+    inventory top-K (TakeOrdered, no global window), both DP passes (Arrow
+    batches over vocab words, inventory broadcast), and the usage rollup.
+    The corpus-sized work is exactly one exchange."""
+    w = words_col()
+    vocab = (
+        _documents(spark, sf_dir)
+        .select(F.explode(w).alias("word"))
+        .filter(F.col("word").rlike(_ASCII_WORD_RE))
+        .filter(F.length("word").between(1, ULM_WMAX))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("wlen", F.length("word").cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    subs = (
+        vocab.select(
+            "word", "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            "word", "freq", "i",
+            F.explode(
+                F.array(*[F.lit(l) for l in range(1, ULM_PIECE_MAX + 1)])
+            ).alias("L"),
+        )
+        .filter(F.col("i") + F.col("L") - 1 <= F.length("word"))
+        .select(F.col("word").substr(F.col("i"), F.col("L")).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    singles = subs.filter(F.length("piece") == 1)
+    multi1 = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(ULM_TOP_MULTI)
+    )
+    inv1 = singles.unionByName(multi1)
+    r1 = _ulm_viterbi(_ulm_matches(vocab, _ulm_scores(inv1))).localCheckpoint(
+        eager=False
+    )
+    usage = (
+        r1.join(vocab.select("word", "freq"), "word")
+        .select("freq", F.explode(F.split("seg", "\\|")).alias("piece"))
+        .filter(F.length("piece") >= 2)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("usage"))
+    )
+    pruned = (
+        multi1.select("piece")
+        .join(usage, "piece", "left")
+        .withColumn("usage", F.coalesce("usage", F.lit(0)))
+        .orderBy(F.col("usage").asc(), F.col("piece").asc())
+        .limit(ULM_PRUNE_K)
+        .select("piece")
+    )
+    inv2 = singles.unionByName(multi1.join(pruned, "piece", "left_anti"))
+    r2 = _ulm_viterbi(_ulm_matches(vocab, _ulm_scores(inv2)))
+    return (
+        r2.join(
+            r1.select("word", F.col("n").alias("n_pieces_r1")), "word"
+        )
+        .join(vocab.select("word", "freq"), "word")
+        .select(
+            "word",
+            "freq",
+            F.col("n_pieces_r1").cast("int").alias("n_pieces_r1"),
+            F.col("n").cast("int").alias("n_pieces"),
+            "seg",
+            F.round("s", 6).alias("score"),
         )
     )
