@@ -324,6 +324,7 @@ _ROUND9_PENDING = frozenset(
     [
         "q178_quality_classifier", "q179_unigram_lm_tokenizer",
         "q180_shard_export", "q181_zorder_pruning_stats",
+        "q183_tokenizer_ablation",
     ]
 )
 _ROUND9_GATE = frozenset(

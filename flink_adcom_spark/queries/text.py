@@ -3262,3 +3262,98 @@ def q179_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 6).alias("score"),
         )
     )
+
+
+# --- tokenizer-family ablation (BPE vs unigram LM) -----------------------------
+def _q183_oracle() -> str:
+    """Both tokenizer oracles composed in ONE statement (the q175 verified-
+    CTE-chain discipline): q168's encode CTEs feed the BPE side, q179's full
+    pipeline rides as a nested-WITH materialized relation, and the final
+    join lines their per-language fertilities up. Composing the verified
+    chains — rather than restating either tokenizer — means the ablation
+    can never disagree with the tokenizers it compares."""
+    return f"""
+    WITH {_bpe_encode_ctes()},
+    bpe AS MATERIALIZED (
+      SELECT d.lang,
+             CAST(SUM(p.n_words) AS BIGINT) AS n_words_bpe,
+             CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+      FROM perdoc p JOIN documents d USING (doc_id)
+      GROUP BY d.lang
+    ),
+    ulm_words AS MATERIALIZED (SELECT * FROM ({_ulm_oracle()}) t),
+    occ AS MATERIALIZED (
+      SELECT d.lang, u.n_pieces
+      FROM (SELECT lang, unnest({_WORDS_SQL}) AS word FROM documents) d
+      JOIN ulm_words u ON u.word = d.word
+    ),
+    ulm AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words_ulm,
+             CAST(SUM(n_pieces) AS BIGINT) AS n_ulm_pieces
+      FROM occ GROUP BY lang
+    )
+    SELECT b.lang, b.n_words_bpe, b.n_bpe_tokens,
+           ROUND(CAST(b.n_bpe_tokens AS DOUBLE) / b.n_words_bpe, 6)
+             AS bpe_fertility,
+           u.n_words_ulm, u.n_ulm_pieces,
+           ROUND(CAST(u.n_ulm_pieces AS DOUBLE) / u.n_words_ulm, 6)
+             AS unigram_fertility
+    FROM bpe b JOIN ulm u USING (lang)
+    """
+
+
+@query(
+    "q183_tokenizer_ablation",
+    _q183_oracle(),
+    tags=("text", "tokenizer", "ablation", "pipeline"),
+)
+def q183_tokenizer_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-FAMILY ablation: per language, BPE fertility (q168's encode
+    under q159's trained merges) next to unigram-LM fertility (q179's
+    Viterbi piece counts weighted by corpus occurrence) — the comparison a
+    multilingual pipeline runs before committing to a tokenizer, and the
+    reason two trained families exist in the engine at all (one family's
+    fertility table can't tell you whether a language is intrinsically
+    expensive or just mis-tokenized). Both sides are the ALREADY-VERIFIED
+    relations composed in one plan, so the ablation cannot disagree with
+    the tokenizers it compares.
+
+    Scale shape: q168's and q179's own scale stories (both vocabulary-bound
+    past one corpus shuffle) plus two language-keyed rollups and a 5-row
+    join."""
+    perdoc = q168_bpe_encode(spark, sf_dir)
+    langs = _documents(spark, sf_dir).select("doc_id", "lang")
+    bpe = (
+        perdoc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("bigint").alias("n_words_bpe"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    ulm_words = q179_unigram_lm_tokenizer(spark, sf_dir).select("word", "n_pieces")
+    occ = (
+        _documents(spark, sf_dir)
+        .select("lang", F.explode(words_col()).alias("word"))
+        .join(ulm_words, "word")
+    )
+    ulm = occ.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words_ulm"),
+        F.sum("n_pieces").cast("bigint").alias("n_ulm_pieces"),
+    )
+    return (
+        bpe.join(ulm, "lang")
+        .select(
+            "lang",
+            "n_words_bpe",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words_bpe"), 6
+            ).alias("bpe_fertility"),
+            "n_words_ulm",
+            "n_ulm_pieces",
+            F.round(
+                F.col("n_ulm_pieces").cast("double") / F.col("n_words_ulm"), 6
+            ).alias("unigram_fertility"),
+        )
+    )
