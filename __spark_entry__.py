@@ -316,20 +316,14 @@ _ROUND8_GATE = frozenset(
 # (ADVICE r8 — key 0 was unsampleable and partkey n_parts excluded). The
 # round-9 additions (tier 1, never checked) fill the remaining slots as they
 # land.
-_ROUND9_PENDING = frozenset(
-    # (a) round-9 additions — listed up front so the gate freezes with them;
-    # entries not yet registered are skipped by queries() until they land
-    # (all must be registered by round close: tools check `_ROUND9_PENDING -
-    # set(registry.all_specs()) == set()`)
+_ROUND9_GATE = frozenset(
+    # (a) never driver-checked: round-9 additions (all registered — the gate
+    # assert below holds strictly again)
     [
         "q178_quality_classifier", "q179_unigram_lm_tokenizer",
         "q180_shard_export", "q181_zorder_pruning_stats",
         "q183_tokenizer_ablation",
     ]
-)
-_ROUND9_GATE = frozenset(
-    # (a) never driver-checked: round-9 additions
-    list(_ROUND9_PENDING)
     # (b) modified since last green row
     + [
         "q177_negative_samples",
@@ -364,9 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """This round's gate set (<= 50 entries, see rotation note above); every
     implemented operator from SURVEY.md §2 is in registry.all_specs()."""
     specs = registry.all_specs()
-    # tier-(a) names may land mid-round; anything NOT in tier (a) drifting
-    # from the registry is a real error
-    missing = _GATE - set(specs) - _ROUND9_PENDING
+    missing = _GATE - set(specs)
     assert not missing, f"gate names drifted from registry: {missing}"
     return {
         name: spec.build

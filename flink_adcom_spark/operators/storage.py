@@ -213,24 +213,9 @@ def shard_export_write(docs: DataFrame, path: str) -> DataFrame:
         .partitionBy("shard_id")
         .parquet(path)
     )
-    return (
-        asg.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("skey", "doc_id", "fp"))
-                        ),
-                        lambda x: x["fp"],
-                    ),
-                )
-            ).alias("digest"),
-        )
-    )
+    from flink_adcom_spark.queries.text import shard_manifest
+
+    return shard_manifest(asg)
 
 
 

@@ -542,26 +542,13 @@ _EMB_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
 
 
 def _emb_fingerprint(sf_dir: str) -> str:
-    """mtime_ns + size of the embeddings parquet path (file, or every file
-    in a directory) — keys the count memo so an in-place rewrite of the
-    table invalidates the cached count instead of silently desynchronizing
-    the Spark-derived k from the live-counting DuckDB oracle."""
-    import os
+    """Keys the count memo so an in-place rewrite of the embeddings table
+    invalidates the cached count instead of silently desynchronizing the
+    Spark-derived k from the live-counting DuckDB oracle. Shares the
+    fingerprint law with load_table's normalized-handle cache."""
+    from flink_adcom_spark.tables import table_fingerprint, table_path
 
-    from flink_adcom_spark.tables import table_path
-
-    path = table_path(sf_dir, "embeddings")
-    try:
-        st = os.stat(path)
-        if os.path.isdir(path):
-            parts = [f"{st.st_mtime_ns}:{st.st_size}"]
-            for entry in sorted(os.listdir(path)):
-                es = os.stat(os.path.join(path, entry))
-                parts.append(f"{entry}:{es.st_mtime_ns}:{es.st_size}")
-            return "|".join(parts)
-        return f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        return "unstat-able"
+    return table_fingerprint(table_path(sf_dir, "embeddings"))
 
 
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:

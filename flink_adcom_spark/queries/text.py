@@ -2884,6 +2884,27 @@ def shard_assignments(docs: DataFrame) -> DataFrame:
     )
 
 
+def shard_manifest(asg: DataFrame) -> DataFrame:
+    """The q180 manifest relation from a shard_assignments frame: per shard
+    its doc count, token count, and order-sensitive digest (md5 over doc
+    fingerprints in permutation order). ONE definition shared by the gate
+    query and operators/storage.py::shard_export_write — the writer==gate
+    manifest-equality contract depends on them never diverging."""
+    return asg.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("skey", "doc_id", "fp"))),
+                    lambda x: x["fp"],
+                ),
+            )
+        ).alias("digest"),
+    )
+
+
 @query(
     "q180_shard_export",
     f"""
@@ -2928,24 +2949,8 @@ def q180_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself; a 100 TB export with huge shards would roll the digest up
     hierarchically (fixed-size digest pages, then md5 of page digests — the
     Merkle form), which changes the constant, not the topology."""
-    return (
+    return shard_manifest(
         shard_assignments(_documents(spark, sf_dir).select("doc_id", "text"))
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("skey", "doc_id", "fp"))
-                        ),
-                        lambda x: x["fp"],
-                    ),
-                )
-            ).alias("digest"),
-        )
     )
 
 

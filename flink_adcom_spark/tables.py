@@ -224,16 +224,44 @@ def _normalize_to_declared(df: DataFrame, name: str) -> DataFrame:
 # call (measured at sf0.1) — pure Python/analysis overhead that re-runs for
 # every build of every query against the same immutable table. DataFrames
 # are immutable plan handles, so reusing one across queries is free and
-# safe; keyed by Spark applicationId (a new session gets fresh handles) and
-# the table path. Bounded: #apps x #dirs x 10 tables.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# safe; keyed by Spark applicationId (a new session gets fresh handles), the
+# table path, AND the files' mtime+size fingerprint — a cached handle's file
+# index pins the listing at read time, so an in-place rewrite must miss the
+# cache or every consumer reads deleted part files. Bounded: #apps x #dirs x
+# 10 tables x rewrites.
+_TABLE_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
+def table_fingerprint(path: str) -> str:
+    """mtime_ns + size of a parquet path (file, or every entry of a
+    directory) — the cache-invalidation key for anything that memoizes
+    per-table state (the normalized-handle cache here, the embeddings count
+    memo in queries/similarity.py)."""
+    import os
+
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            parts = [f"{st.st_mtime_ns}:{st.st_size}"]
+            for entry in sorted(os.listdir(path)):
+                es = os.stat(os.path.join(path, entry))
+                parts.append(f"{entry}:{es.st_mtime_ns}:{es.st_size}")
+            return "|".join(parts)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "unstat-able"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     _pin_session_confs(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        table_fingerprint(table_path(sf_dir, name)),
+    )
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     df = spark.read.parquet(table_path(sf_dir, name))

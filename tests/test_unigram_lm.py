@@ -91,6 +91,8 @@ def _py_unigram_lm(word_freq: dict[str, int]):
 
 
 def _word_freq_from_corpus(spark, sf_dir) -> dict[str, int]:
+    import re
+
     from flink_adcom_spark.queries.text import words_col
     from flink_adcom_spark.tables import load_table
 
@@ -101,7 +103,11 @@ def _word_freq_from_corpus(spark, sf_dir) -> dict[str, int]:
         .agg(F.count(F.lit(1)).alias("f"))
         .collect()
     )
-    return {r["word"]: int(r["f"]) for r in rows}
+    # mirror q179's ASCII contract (_ASCII_WORD_RE) so the reference pipeline
+    # sees the same vocabulary even if the corpus grows non-ASCII words
+    return {
+        r["word"]: int(r["f"]) for r in rows if re.fullmatch(r"[!-~]+", r["word"])
+    }
 
 
 def test_q179_matches_python_reference(spark, sf_dir):
