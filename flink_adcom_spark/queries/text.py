@@ -3362,3 +3362,56 @@ def q183_tokenizer_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unigram_fertility"),
         )
     )
+
+
+# --- classifier-gated corpus selection -----------------------------------------
+@query(
+    "q182_classifier_gated_corpus",
+    f"""
+    WITH clf AS MATERIALIZED (SELECT * FROM ({_clf_oracle()}) t),
+    keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rnk
+        FROM documents) r
+      WHERE rnk = 1
+    )
+    SELECT c.doc_id, d.lang, c.score
+    FROM clf c
+    JOIN keep k ON k.doc_id = c.doc_id
+    JOIN documents d ON d.doc_id = c.doc_id
+    WHERE c.score > 0
+    """,
+    tags=("text", "quality", "ml", "dedup", "pipeline"),
+)
+def q182_classifier_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-based corpus filtering (the FineWeb-Edu / GPT-3 quality-gate
+    shape): the corpus kept where the TRAINED classifier's margin is
+    positive AND the doc is the first occurrence of its content fingerprint
+    — learned quality composed with exact dedup in one selection plan, the
+    stage that replaces q114's hand rules once a trained model exists.
+    Output: the surviving (doc_id, lang, score) slice a mixture sampler
+    (q94/q132) consumes next.
+
+    Scale shape: q178's training topology plus one md5-window dedup (the
+    q40 exchange) and two doc_id-keyed joins; the classifier gate is a
+    scan-side predicate on the scored relation — no new corpus-scale
+    stage."""
+    from pyspark.sql import Window
+
+    scored = q178_quality_classifier(spark, sf_dir)
+    docs = _documents(spark, sf_dir)
+    dw = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id").asc())
+    keep = (
+        docs.select("doc_id", "text")
+        .withColumn("rnk", F.row_number().over(dw))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id")
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .join(keep, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "score")
+    )

@@ -329,3 +329,40 @@ def test_cdc_chunks_single_exchange(spark, sf_dir):
     plan = explain.formatted_plan(df)
     win_block = plan.split("Window")[1] if "Window" in plan else plan
     assert "lambdafunction" not in win_block.split("HashAggregate")[0].lower(), plan[:1500]
+
+
+def test_shard_export_never_global_sorts(spark, sf_dir):
+    """q180's whole point: the seeded global permutation + balanced shard
+    assignment must NOT plan a global Sort/range-partitioning — the prefix
+    sum shards on fixed-width key ranges and the only exchanges are
+    hash-partitioned (shard-local window sorts are fine; a rangepartitioning
+    exchange would mean Spark is globally sorting the corpus)."""
+    from flink_adcom_spark.queries.text import q180_shard_export
+    from flink_adcom_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q180_shard_export(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+def test_classifier_scoring_inlines_model_as_literal(spark, sf_dir):
+    """q178's scoring pass must carry the trained weights as a LITERAL array
+    (the driver-held-model topology) — no join against a model relation, so
+    the plan has exactly the one aggregation exchange."""
+    from flink_adcom_spark.plans.explain import formatted_plan, num_exchanges
+    from flink_adcom_spark.queries.text import q178_quality_classifier
+
+    df = q178_quality_classifier(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert num_exchanges(df) == 1, plan[:2000]
+
+
+def test_unigram_matches_broadcast_inventory(spark, sf_dir):
+    """q179's piece-match join must BROADCAST the inventory (it is
+    vocabulary-statistics-sized at any corpus scale); a shuffled hash join
+    here would re-shuffle the word grid once per round."""
+    from flink_adcom_spark.plans.explain import formatted_plan
+    from flink_adcom_spark.queries.text import q179_unigram_lm_tokenizer
+
+    plan = formatted_plan(q179_unigram_lm_tokenizer(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
