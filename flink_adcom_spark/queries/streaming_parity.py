@@ -616,3 +616,40 @@ def q181_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("touched_value_probe"),
         )
     )
+
+
+from .text import _clf_oracle
+
+
+@query(
+    "q184_stream_classifier_scores",
+    # identical relation to q178: the streamed scorer must reproduce the
+    # batch classifier exactly (shared training + shared scoring body)
+    _clf_oracle(),
+    tags=("streaming", "quality", "ml", "pipeline"),
+)
+def q184_stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-offline / score-online, externally gated: the perceptron is
+    trained in batch on the static corpus (q178's exact topology), then the
+    SAME corpus replayed as a 4-micro-batch document stream is scored by
+    streaming_classifier_scores_materialize; the drained batch_id-
+    partitioned score table must hash-match q178's batch relation (and the
+    DuckDB restatement of the whole train+score pipeline). Proves the
+    serving path applies bit-identical arithmetic to the training path —
+    the contract a production scorer has to hold or its quality gate
+    silently drifts from the model's training distribution."""
+    from ..queries.text import clf_features_and_labels, perceptron_train
+
+    work = tempfile.mkdtemp(prefix="clf_stream_gate_")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "scores")
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw.repartition(4).write.mode("overwrite").parquet(feed)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fl = clf_features_and_labels(docs).localCheckpoint(eager=False)
+    weights = perceptron_train(fl)
+    jobs.streaming_classifier_scores_materialize(
+        spark, feed, out, weights,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select("doc_id", "label", "score", "correct")

@@ -2789,6 +2789,29 @@ def perceptron_train(fl: DataFrame, rounds: int = CLF_ROUNDS) -> list[int]:
     return w
 
 
+def clf_score(fl: DataFrame, w: list[int]) -> DataFrame:
+    """Score a (doc_id, bucket, cnt, y) feature relation with a trained
+    weight vector: (doc_id, label, score, correct). ONE definition shared by
+    the batch gate (q178) and the streaming scorer (q184) — train-offline /
+    score-online must apply the identical arithmetic."""
+    w_arr = F.array(*[F.lit(int(v)) for v in w])
+    return (
+        fl.groupBy("doc_id")
+        .agg(
+            F.min("y").cast("int").alias("label"),
+            F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1))
+            .cast("bigint")
+            .alias("score"),
+        )
+        .select(
+            "doc_id",
+            "label",
+            "score",
+            (F.col("label") * F.col("score") > 0).alias("correct"),
+        )
+    )
+
+
 @query(
     "q178_quality_classifier",
     _clf_oracle(),
@@ -2811,23 +2834,7 @@ def q178_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint (one materialization, K reads)."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     fl = clf_features_and_labels(docs).localCheckpoint(eager=False)
-    w = perceptron_train(fl)
-    w_arr = F.array(*[F.lit(int(v)) for v in w])
-    return (
-        fl.groupBy("doc_id")
-        .agg(
-            F.min("y").cast("int").alias("label"),
-            F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1))
-            .cast("bigint")
-            .alias("score"),
-        )
-        .select(
-            "doc_id",
-            "label",
-            "score",
-            (F.col("label") * F.col("score") > 0).alias("correct"),
-        )
-    )
+    return clf_score(fl, perceptron_train(fl))
 
 
 # --- deterministic shard export (global shuffle + balanced shard manifest) -----

@@ -725,3 +725,43 @@ class ObservedIngest:
             "sum_value": float(sum(vals)) if vals else 0.0,
             "n_batches": len(self.batches),
         }
+
+
+def streaming_classifier_scores_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Train-offline / score-online: apply a TRAINED quality-classifier
+    weight vector (queries/text.py::perceptron_train) to a document stream,
+    materializing per-doc scores as the stream arrives — the serving face
+    of q178's batch gate. Each micro-batch builds its own hashed-bigram
+    features and scores them with the SHARED clf_score body (one row = one
+    doc, so features never span batches and no streaming aggregation state
+    exists); the scored rows land as a batch_id-partitioned layout via
+    dynamic partition overwrite, so a checkpoint-replayed batch REPLACES
+    its own partition instead of appending duplicates (exactly-once by
+    idempotent epoch write — the q161 discipline, epoch-keyed because score
+    rows, unlike union-distinct digests, are not self-deduplicating).
+
+    At 100 TB this is the standard model-scoring ingest: the model is a
+    65-int broadcast literal, per-batch cost is O(batch bigrams), and no
+    state store grows."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.text import clf_features_and_labels, clf_score
+
+    docs = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scored = clf_score(
+            clf_features_and_labels(batch_df.select("doc_id", "text")), weights
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        upsert_partitions(scored, out_path, ["batch_id"])
+
+    writer = docs.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -798,3 +798,45 @@ def test_observed_ingest_accounting_is_exactly_once(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_classifier_scores_batching_invariant(spark, sf_dir, tmp_path):
+    """Train-offline / score-online (q184's job): the same corpus streamed
+    as 1 micro-batch and as 4 must yield the IDENTICAL score set (per-doc
+    features never span batches, the model is frozen), and both must equal
+    the batch classifier exactly."""
+    from flink_adcom_spark.queries.text import (
+        clf_features_and_labels,
+        perceptron_train,
+        q178_quality_classifier,
+    )
+    from flink_adcom_spark.streaming.jobs import (
+        streaming_classifier_scores_materialize,
+    )
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = perceptron_train(clf_features_and_labels(docs))
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run(n_files: int, tag: str) -> dict:
+        feed = str(tmp_path / f"feed{tag}")
+        out = str(tmp_path / f"scores{tag}")
+        raw.repartition(n_files).write.parquet(feed)
+        streaming_classifier_scores_materialize(
+            spark, feed, out, weights,
+            checkpoint=str(tmp_path / f"ckpt{tag}"), maxFilesPerTrigger=1,
+        )
+        return {
+            r["doc_id"]: (r["label"], r["score"], r["correct"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    one = run(1, "a")
+    four = run(4, "b")
+    assert one == four
+    batch = {
+        r["doc_id"]: (r["label"], r["score"], r["correct"])
+        for r in q178_quality_classifier(spark, sf_dir).collect()
+    }
+    assert four == batch
