@@ -323,7 +323,7 @@ _ROUND9_GATE = frozenset(
         "q178_quality_classifier", "q179_unigram_lm_tokenizer",
         "q180_shard_export", "q181_zorder_pruning_stats",
         "q182_classifier_gated_corpus", "q183_tokenizer_ablation",
-        "q184_stream_classifier_scores",
+        "q184_stream_classifier_scores", "q185_epoch_repetition",
     ]
     # (b) modified since last green row
     + [

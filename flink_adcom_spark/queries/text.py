@@ -3422,3 +3422,70 @@ def q182_classifier_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "score")
     )
+
+
+# --- epoch repetition factors (deterministic upsampling) ------------------------
+REP_MULT = 2654435761  # Knuth (q38 discipline)
+
+
+@query(
+    "q185_epoch_repetition",
+    f"""
+    WITH lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang),
+    m AS (SELECT MAX(n) AS mx FROM lc),
+    k AS (SELECT d.doc_id, d.lang,
+                 CAST(m.mx // lc.n
+                      + CASE WHEN ((d.doc_id % 2147483648) * {REP_MULT})
+                               % 4294967296 % lc.n < (m.mx % lc.n)
+                             THEN 1 ELSE 0 END AS BIGINT) AS copies
+          FROM documents d JOIN lc USING (lang) CROSS JOIN m)
+    SELECT doc_id, lang, copies,
+           CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+    FROM k
+    """,
+    tags=("text", "sampling", "mixture", "pipeline"),
+)
+def q185_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UPSAMPLING by repetition factors — the complement to
+    q132's subset sampling: under-represented languages are repeated until
+    every language contributes ~max-language mass (the LLaMA/Gopher
+    "repeat curated domains k times" recipe). Per doc: copies =
+    floor(M/n_lang) base epochs plus one extra iff the doc's Knuth hash
+    mod n_lang falls under the remainder — integer-exact, reproducible
+    across runs/engines/partitionings (q38/q152 discipline), and
+    expectation-exact per language (n*floor + ~rem extra copies = M). The
+    output (doc_id, epoch) relation is what a training loader consumes; a
+    doc's epochs are adjacent in it, so downstream q180 shuffling
+    separates the copies.
+
+    Scale shape: one 5-group language count (broadcast back), then a
+    scan-side explode — output is O(epoch-weighted corpus), the size the
+    training job reads anyway; no shuffle beyond the count."""
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = lc.agg(F.max("n").alias("mx"))
+    k = (
+        docs.join(F.broadcast(lc), "lang")
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "copies",
+            (
+                F.expr("mx div n")
+                + F.when(
+                    ((F.col("doc_id") % 2147483648) * REP_MULT)
+                    % 4294967296 % F.col("n")
+                    < F.col("mx") % F.col("n"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint"),
+        )
+    )
+    return k.select(
+        "doc_id",
+        "lang",
+        "copies",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("copies"))).alias(
+            "epoch"
+        ),
+    )
