@@ -143,6 +143,18 @@ EXPECTED_CONTRACT = {
         # copies' token positions; a pipeline dedups replays (q40) before
         # chunking, so the PK contract is the documented behavior.
         "q158_cdc_chunks",
+        # q160/q161 compose q158's chunker (batch-local per micro-batch vs
+        # the oracle's whole-relation window), so they inherit exactly its
+        # PK contract: duplicated doc_id rows interleave in the oracle's
+        # token windows but chunk independently per batch on the Spark side.
+        "q160_chunk_novelty",
+        "q161_stream_chunk_index",
+        # q184: doc_id is the scorer's grouping key; copies of one doc_id
+        # that land in DIFFERENT micro-batches score once per copy (one
+        # feature build each) while the batch oracle groups them into one
+        # doubled-count row. The serving contract assumes deduped ingest
+        # (q40/q90 upstream), same as every doc_id-keyed operator above.
+        "q184_stream_classifier_scores",
     },
 }
 
