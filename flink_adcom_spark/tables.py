@@ -124,13 +124,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_PINNED_APPS: set[str] = set()
+
+
 def _pin_session_confs(spark: SparkSession) -> None:
     """Pin the runtime confs the engine's semantics depend on, so queries are
     correct on ANY caller-provided session (the external driver builds its
     own): nanos-timestamp reading and UTC timestamp semantics (dayofyear /
-    date_trunc / window must agree with the UTC-naive oracle engine)."""
+    date_trunc / window must agree with the UTC-naive oracle engine).
+    Pinned once per application — each conf.set is a py4j round trip, and
+    this runs on every load_table call."""
+    app = spark.sparkContext.applicationId
+    if app in _PINNED_APPS:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _PINNED_APPS.add(app)
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:

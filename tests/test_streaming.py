@@ -840,3 +840,41 @@ def test_streaming_classifier_scores_batching_invariant(spark, sf_dir, tmp_path)
         for r in q178_quality_classifier(spark, sf_dir).collect()
     }
     assert four == batch
+
+
+def test_streaming_classifier_epoch_write_is_replay_idempotent(spark, sf_dir, tmp_path):
+    """q184's exactly-once mechanism: a checkpoint-replayed micro-batch
+    re-runs the foreachBatch sink with the SAME batch_id — dynamic partition
+    overwrite must REPLACE that epoch partition, leaving the total score set
+    identical (an append sink would duplicate it)."""
+    from flink_adcom_spark.operators.storage import upsert_partitions
+    from flink_adcom_spark.queries.text import (
+        clf_features_and_labels,
+        clf_score,
+        perceptron_train,
+    )
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = perceptron_train(clf_features_and_labels(docs))
+    out = str(tmp_path / "scores")
+
+    def write_epoch(batch_df, batch_id):
+        scored = clf_score(clf_features_and_labels(batch_df), w).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        upsert_partitions(scored, out, ["batch_id"])
+
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    write_epoch(half, 0)
+    write_epoch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = sorted(
+        (r["doc_id"], r["batch_id"], r["score"])
+        for r in spark.read.parquet(out).collect()
+    )
+    write_epoch(half, 0)  # the replay
+    twice = sorted(
+        (r["doc_id"], r["batch_id"], r["score"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert once == twice
