@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from ..registry import query
 from ..streaming import jobs
 from ..tables import load_table
-from .text import _cdc_chunks_sql
+from .text import _cdc_chunks_sql, _clf_oracle
 
 # Decimal-cast sum matches functions/exact.py::dec_sum (engine-stable sums).
 _SUM_VALUE_SQL = "CAST(SUM(CAST(value AS DECIMAL(20, 6))) AS DOUBLE)"
@@ -616,9 +616,6 @@ def q181_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("touched_value_probe"),
         )
     )
-
-
-from .text import _clf_oracle
 
 
 @query(

@@ -3437,7 +3437,7 @@ REP_MULT = 2654435761  # Knuth (q38 discipline)
     k AS (SELECT d.doc_id, d.lang,
                  CAST(m.mx // lc.n
                       + CASE WHEN ((d.doc_id % 2147483648) * {REP_MULT})
-                               % 4294967296 % lc.n < (m.mx % lc.n)
+                               % lc.n < (m.mx % lc.n)
                              THEN 1 ELSE 0 END AS BIGINT) AS copies
           FROM documents d JOIN lc USING (lang) CROSS JOIN m)
     SELECT doc_id, lang, copies,
@@ -3455,6 +3455,10 @@ def q185_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod n_lang falls under the remainder — integer-exact, reproducible
     across runs/engines/partitionings (q38/q152 discipline), and
     expectation-exact per language (n*floor + ~rem extra copies = M). The
+    ~62-bit hash product is reduced mod n_lang DIRECTLY (no 32-bit
+    truncation first), so the remainder correction keeps its (mx%n)/n
+    acceptance rate even when a language holds billions of documents —
+    a 32-bit pre-reduction would saturate the comparison at data scale. The
     output (doc_id, epoch) relation is what a training loader consumes; a
     doc's epochs are adjacent in it, so downstream q180 shuffling
     separates the copies.
@@ -3473,8 +3477,7 @@ def q185_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.expr("mx div n")
                 + F.when(
-                    ((F.col("doc_id") % 2147483648) * REP_MULT)
-                    % 4294967296 % F.col("n")
+                    ((F.col("doc_id") % 2147483648) * REP_MULT) % F.col("n")
                     < F.col("mx") % F.col("n"),
                     1,
                 ).otherwise(0)

@@ -14,6 +14,7 @@ plans/explain.py::scan_columns).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -124,7 +125,7 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-_PINNED_APPS: set[str] = set()
+_PINNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _pin_session_confs(spark: SparkSession) -> None:
@@ -132,14 +133,16 @@ def _pin_session_confs(spark: SparkSession) -> None:
     correct on ANY caller-provided session (the external driver builds its
     own): nanos-timestamp reading and UTC timestamp semantics (dayofyear /
     date_trunc / window must agree with the UTC-naive oracle engine).
-    Pinned once per application — each conf.set is a py4j round trip, and
-    this runs on every load_table call."""
-    app = spark.sparkContext.applicationId
-    if app in _PINNED_APPS:
+    Pinned once per SESSION (timeZone/nanosAsLong are SQLConf, i.e.
+    per-session — a fresh newSession() over the same application must be
+    re-pinned) — each conf.set is a py4j round trip, and this runs on every
+    load_table call. A caller mutating these confs after its session's
+    first load_table is out of contract."""
+    if spark in _PINNED_SESSIONS:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    _PINNED_APPS.add(app)
+    _PINNED_SESSIONS.add(spark)
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -232,13 +235,14 @@ def _normalize_to_declared(df: DataFrame, name: str) -> DataFrame:
 # _normalize_to_declared cost ~0.15 s of DRIVER-side plan construction per
 # call (measured at sf0.1) — pure Python/analysis overhead that re-runs for
 # every build of every query against the same immutable table. DataFrames
-# are immutable plan handles, so reusing one across queries is free and
-# safe; keyed by Spark applicationId (a new session gets fresh handles), the
-# table path, AND the files' mtime+size fingerprint — a cached handle's file
-# index pins the listing at read time, so an in-place rewrite must miss the
-# cache or every consumer reads deleted part files. Bounded: #apps x #dirs x
-# 10 tables x rewrites.
-_TABLE_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+# are immutable plan handles BOUND TO THEIR SESSION, so the memo is a
+# WeakKeyDictionary keyed on the SparkSession (a new/replacement session
+# gets fresh handles and never sees another session's plans; a dropped
+# session releases its entries), with the inner key carrying the table path
+# and the files' mtime+size fingerprint — a cached handle's file index pins
+# the listing at read time, so an in-place rewrite must miss the cache or
+# every consumer reads deleted part files.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def table_fingerprint(path: str) -> str:
@@ -265,21 +269,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     _pin_session_confs(spark)
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        name,
-        table_fingerprint(table_path(sf_dir, name)),
-    )
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name, table_fingerprint(table_path(sf_dir, name)))
+    if key in per_session:
+        return per_session[key]
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # runs before the generic cast: epoch-nanos BIGINT needs DIV 1000,
         # which a plain cast-to-timestamp would get wrong by 1000x.
         df = normalize_event_ts(df)
     out = _normalize_to_declared(df, name)
-    _TABLE_CACHE[key] = out
+    per_session[key] = out
     return out
 
 
