@@ -746,6 +746,22 @@ def streaming_classifier_scores_materialize(
     At 100 TB this is the standard model-scoring ingest: the model is a
     65-int broadcast literal, per-batch cost is O(batch bigrams), and no
     state store grows."""
+    q = classifier_scores_writer(
+        spark, docs_dir, out_path, weights, checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def classifier_scores_writer(
+    spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_classifier_scores_materialize —
+    exposed so the kill/recovery test can start, kill, and restart the SAME
+    pipeline from its checkpoint (the chunk_index_writer convention)."""
     from ..operators.storage import upsert_partitions
     from ..queries.text import clf_features_and_labels, clf_score
 
@@ -760,8 +776,4 @@ def streaming_classifier_scores_materialize(
     writer = docs.writeStream.outputMode("append").foreachBatch(sink)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    return writer

@@ -878,3 +878,52 @@ def test_streaming_classifier_epoch_write_is_replay_idempotent(spark, sf_dir, tm
         for r in spark.read.parquet(out).collect()
     )
     assert once == twice
+
+
+def test_classifier_scores_kill_recover_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the q184 scorer mid-stream, restart from its checkpoint: the
+    recovered run must replay the in-flight epoch idempotently (dynamic
+    partition overwrite) and finish with EXACTLY the batch classifier's
+    score set — no doc lost, none double-scored."""
+    import time
+
+    from flink_adcom_spark.queries.text import (
+        clf_features_and_labels,
+        perceptron_train,
+        q178_quality_classifier,
+    )
+    from flink_adcom_spark.streaming.jobs import classifier_scores_writer
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = perceptron_train(clf_features_and_labels(docs))
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(6).write.parquet(feed)
+
+    q = classifier_scores_writer(
+        spark, feed, out, weights, ckpt, maxFilesPerTrigger=1
+    ).start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop()  # mid-stream kill after >= 1 committed batch
+
+    q2 = classifier_scores_writer(
+        spark, feed, out, weights, ckpt, maxFilesPerTrigger=1
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        r["doc_id"]: (r["label"], r["score"], r["correct"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["label"], r["score"], r["correct"])
+        for r in q178_quality_classifier(spark, sf_dir).collect()
+    }
+    assert got == want
