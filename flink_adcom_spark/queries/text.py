@@ -3492,3 +3492,118 @@ def q185_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epoch"
         ),
     )
+
+
+# --- needle-in-haystack eval-sample construction --------------------------------
+# The eval-set CONSTRUCTION counterpart to the decontamination checks
+# (q48/q169): long-context "needle" probes are built by packing the corpus
+# into fixed-length contexts and splicing a retrievable fact at a
+# deterministic depth per sample (stratified by depth decile — the axis the
+# published needle evals report). Deterministic construction means the eval
+# set is reproducible and its digests can be manifest-pinned like q180's.
+NEEDLE_CTX = 256          # tokens per haystack sample
+NEEDLE_MULT = 2654435761  # Knuth (q38 discipline)
+
+
+@query(
+    "q186_needle_eval_samples",
+    f"""
+    WITH toks AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id, i) - 1 AS BIGINT) AS pos,
+             t
+      FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS t,
+                   unnest(generate_series(1, len({_WORDS_SQL}))) AS i
+            FROM documents) x
+    ),
+    win AS (
+      SELECT CAST(pos // {NEEDLE_CTX} AS BIGINT) AS win,
+             list(t ORDER BY pos) AS toks
+      FROM toks GROUP BY 1
+      HAVING COUNT(*) = {NEEDLE_CTX}
+    ),
+    d AS (
+      SELECT win, toks,
+             CAST(((win % 2147483648) * {NEEDLE_MULT}) % 4294967296 % 10
+                  AS INT) AS depth_decile
+      FROM win
+    ),
+    s AS (
+      SELECT win, depth_decile,
+             CAST(depth_decile * {NEEDLE_CTX} // 10 AS INT) AS k,
+             'needle ' || win || ' secret ' ||
+               ((win % 2147483648) * {NEEDLE_MULT}) % 4294967296
+                 % 1000003 AS needle,
+             toks
+      FROM d
+    )
+    SELECT win, depth_decile, k,
+           CAST({NEEDLE_CTX} + 4 AS INT) AS n_tokens,
+           md5(concat_ws(' ',
+               nullif(array_to_string(toks[1:k], ' '), ''),
+               needle,
+               nullif(array_to_string(toks[k+1:{NEEDLE_CTX}], ' '), '')))
+             AS digest
+    FROM s
+    """,
+    tags=("text", "eval", "longcontext", "pipeline"),
+)
+def q186_needle_eval_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack eval-sample construction: the corpus token stream
+    is packed into NEEDLE_CTX-token haystacks (q86's order-aligned prefix
+    sum — no global sort), each sample gets a deterministic depth decile
+    (Knuth hash of its window id) and a unique needle fact spliced at that
+    depth, and the constructed sample is pinned by an md5 digest — the
+    manifest a context-extension eval publishes so results are
+    reproducible. The needle value embeds the window id, so every sample's
+    retrieval target is distinct (no cross-sample answer leakage).
+
+    Scale shape: one tokenized scan + the sharded prefix sum's exchange +
+    one window-id rollup; splicing is array slicing on the grouped sample,
+    linear in corpus tokens."""
+    w = words_col()
+    toks = (
+        _documents(spark, sf_dir)
+        .select("doc_id", F.size(w).cast("bigint").alias("n_tokens"), w.alias("ws"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    toks = _with_order_shard(toks.select("doc_id", "n_tokens", "ws"))
+    offs = sharded_prefix_sum(toks, "n_tokens", "doc_id")
+    flat = offs.select(
+        "start_tok", F.posexplode("ws").alias("i", "t")
+    ).select((F.col("start_tok") + F.col("i")).alias("pos"), "t")
+    win = (
+        flat.groupBy(F.expr(f"pos div {NEEDLE_CTX}").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                lambda x: x["t"],
+            ).alias("toks"),
+        )
+        .filter(F.col("n") == NEEDLE_CTX)
+    )
+    h = (F.col("win") % 2147483648) * NEEDLE_MULT % F.lit(4294967296)
+    d = win.select(
+        "win",
+        "toks",
+        (h % 10).cast("int").alias("depth_decile"),
+        (h % F.lit(1000003)).alias("hv"),
+    ).withColumn("k", F.expr(f"depth_decile * {NEEDLE_CTX} div 10").cast("int"))
+    needle = F.concat(
+        F.lit("needle "), F.col("win").cast("string"),
+        F.lit(" secret "), F.col("hv").cast("string"),
+    )
+    part1 = F.nullif(F.array_join(F.slice("toks", 1, F.col("k")), " "), F.lit(""))
+    part2 = F.nullif(
+        F.array_join(
+            F.slice("toks", F.col("k") + 1, F.lit(NEEDLE_CTX) - F.col("k")), " "
+        ),
+        F.lit(""),
+    )
+    return d.select(
+        "win",
+        "depth_decile",
+        "k",
+        F.lit(NEEDLE_CTX + 4).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", part1, needle, part2)).alias("digest"),
+    )

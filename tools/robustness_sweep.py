@@ -137,6 +137,10 @@ EXPECTED_CONTRACT = {
     "dupes": {
         "q37_repetition_ratio", "q48_contamination", "q56_hybrid_search",
         "q86_sequence_pack", "q134_chunked_pack", "q135_bitext_mining",
+        # q186 packs the corpus in doc_id order (the q86 prefix sum), so
+        # duplicated doc_id rows make the global token order ill-defined —
+        # the same packing-family PK contract as q86/q134.
+        "q186_needle_eval_samples",
         # q158: doc_id is the chunker's primary key — the Spark side chunks
         # each physical row independently (duplicate rows -> duplicate chunk
         # rows) while the oracle's LAG-window restatement interleaves the
