@@ -900,7 +900,13 @@ def test_classifier_scores_kill_recover_exactly_once(spark, sf_dir, tmp_path):
     feed = str(tmp_path / "feed")
     out = str(tmp_path / "scores")
     ckpt = str(tmp_path / "ckpt")
-    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(6).write.parquet(feed)
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # stage the feed in two halves: the restart DETERMINISTICALLY has new
+    # files to process (a fast box can drain the whole first half before the
+    # poll lands the kill, which would otherwise make recovery vacuous)
+    first = raw.filter(F.col("doc_id") % 2 == 0)
+    second = raw.filter(F.col("doc_id") % 2 == 1)
+    first.repartition(3).write.parquet(feed)
 
     q = classifier_scores_writer(
         spark, feed, out, weights, ckpt, maxFilesPerTrigger=1
@@ -908,8 +914,9 @@ def test_classifier_scores_kill_recover_exactly_once(spark, sf_dir, tmp_path):
     deadline = time.time() + 30
     while time.time() < deadline and not q.recentProgress:
         time.sleep(0.2)
-    q.stop()  # mid-stream kill after >= 1 committed batch
+    q.stop()  # kill after >= 1 committed batch
 
+    second.repartition(3).write.mode("append").parquet(feed)
     q2 = classifier_scores_writer(
         spark, feed, out, weights, ckpt, maxFilesPerTrigger=1
     ).start()
