@@ -158,3 +158,61 @@ def test_unigram_lm_learns_compounds_on_planted_corpus():
     # the 4-char morphemes themselves should appear in segmentations
     seen = {p for v in out.values() for p in v[3].split("|")}
     assert {"data", "base", "load", "work"} & seen, seen
+
+
+# --- property: the Viterbi DP equals brute-force segmentation search ------------
+def _brute_force_best(word: str, sc: dict[str, float]):
+    """Enumerate EVERY segmentation of `word` into inventory pieces (length
+    <= ULM_PIECE_MAX) and return the (score, n_pieces, seg) the DP's
+    ordering contract should pick: max score, then fewest pieces, then
+    lexicographically smallest seg string."""
+    results = []
+
+    def rec(i: int, score: float, pieces: list[str]):
+        if i == len(word):
+            results.append((score, len(pieces), "|".join(pieces)))
+            return
+        for L in range(1, ULM_PIECE_MAX + 1):
+            if i + L > len(word):
+                break
+            p = word[i : i + L]
+            if p in sc:
+                rec(i + L, score + sc[p], pieces + [p])
+
+    rec(0, 0.0, [])
+    if not results:
+        return None
+    return sorted(results, key=lambda r: (-r[0], r[1], r[2]))[0]
+
+
+def test_viterbi_dp_matches_brute_force_enumeration():
+    """Hypothesis sweep: on random small corpora the reference pipeline's
+    per-word result (which q179's Spark DP equals exactly, by
+    test_q179_matches_python_reference) must match an exhaustive search
+    over all segmentations — proving the sliding-window DP and its
+    (score, n_pieces, seg) tie-break are not just self-consistent but
+    OPTIMAL."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(words=words, freqs=st.lists(st.integers(1, 50), min_size=6, max_size=6))
+    def run(words, freqs):
+        wf = {w: f for w, f in zip(words, freqs)}
+        out, sc2 = _py_unigram_lm(wf)
+        for w, (freq, n1, n2, seg, score) in out.items():
+            best = _brute_force_best(w, sc2)
+            assert best is not None
+            b_score, b_n, b_seg = best
+            assert seg == b_seg, (w, seg, b_seg)
+            assert n2 == b_n
+            assert abs(round(b_score, 6) - score) < 1e-9
+
+    run()
