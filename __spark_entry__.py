@@ -324,7 +324,7 @@ _ROUND9_GATE = frozenset(
         "q180_shard_export", "q181_zorder_pruning_stats",
         "q182_classifier_gated_corpus", "q183_tokenizer_ablation",
         "q184_stream_classifier_scores", "q185_epoch_repetition",
-        "q186_needle_eval_samples",
+        "q186_needle_eval_samples", "q187_decontamination_report",
     ]
     # (b) modified since last green row
     + [

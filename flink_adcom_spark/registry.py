@@ -118,4 +118,5 @@ def _load_modules() -> None:
         media,
         prep,
         streaming_parity,
+        composed,
     )
