@@ -352,6 +352,13 @@ _ROUND9_GATE = frozenset(
     + [
         "q08_tpch_q1",
     ]
+    # (e) spare-slot refill per the standing policy: after (a)-(d) the gate
+    # held 46, so the 4 OLDEST r6-era greens (name order) take the free
+    # slots — advancing the next-oldest cohort's rotation a round early
+    + [
+        "q01_ride_count", "q109_quantized_rescore_knn",
+        "q111_span_dedup", "q112_semdedup_keep",
+    ]
 )
 _GATE = _ROUND9_GATE
 
