@@ -235,6 +235,13 @@ def zorder_write_zrange(df: DataFrame, path: str, cols: list[str], prefix_bits: 
     mins = [stats[f"mn_{c}"] for c in cols]
     maxs = [stats[f"mx_{c}"] for c in cols]
     bits = min(Z_BITS, 62 // len(cols))
+    if not 0 < prefix_bits <= len(cols) * bits:
+        # a prefix wider than the z key would make the shiftright count
+        # negative and scramble the zfile assignment (ADVICE r9)
+        raise ValueError(
+            f"prefix_bits={prefix_bits} outside (0, {len(cols) * bits}] "
+            f"for {len(cols)} cols x {bits} bits"
+        )
     z = zorder_key(cols, mins, maxs)
     (
         df.withColumn("__z", z)

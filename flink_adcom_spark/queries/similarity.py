@@ -560,8 +560,17 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     rewritten-in-place table from serving a stale count."""
     key = (sf_dir, "", _emb_fingerprint(sf_dir))
     if key not in _EMB_COUNT_CACHE:
+        _evict_stale_counts(key)
         _EMB_COUNT_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
     return _EMB_COUNT_CACHE[key]
+
+
+def _evict_stale_counts(key: tuple[str, str, str]) -> None:
+    """Drop memoized counts for the same (sf_dir, selector) under OLDER
+    fingerprints — a session that rewrites the table repeatedly should not
+    accumulate one dead entry per generation (ADVICE r9)."""
+    for stale in [k for k in _EMB_COUNT_CACHE if k[:2] == key[:2]]:
+        del _EMB_COUNT_CACHE[stale]
 
 
 def _emb_train_count(spark: SparkSession, sf_dir: str, min_vec_id: int) -> int:
@@ -570,6 +579,7 @@ def _emb_train_count(spark: SparkSession, sf_dir: str, min_vec_id: int) -> int:
     pays a real counting job (the bench builds each query 3x)."""
     key = (sf_dir, f">={min_vec_id}", _emb_fingerprint(sf_dir))
     if key not in _EMB_COUNT_CACHE:
+        _evict_stale_counts(key)
         _EMB_COUNT_CACHE[key] = (
             load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") >= min_vec_id)

@@ -18,7 +18,6 @@ from the outside.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +27,7 @@ from pyspark.sql.window import Window
 from ..registry import query
 from ..streaming import jobs
 from ..tables import load_table
+from ..workdirs import gate_workdir
 from .text import _cdc_chunks_sql, _clf_oracle
 
 # Decimal-cast sum matches functions/exact.py::dec_sum (engine-stable sums).
@@ -49,7 +49,7 @@ def q83_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     one file per micro-batch (so the partition-merge path really runs on
     batches 2..4, not just the empty-table branch), then return the
     materialized daily-stats table. Must equal a plain batch GROUP BY."""
-    work = tempfile.mkdtemp(prefix="mv_gate_")
+    work = gate_workdir("mv_gate")
     feed = os.path.join(work, "feed")
     out = os.path.join(work, "mv")
     # re-shard the feed with the RAW nanos ts the streaming reader expects
@@ -141,7 +141,7 @@ def q90_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the oracle's plain SELECT)."""
     import shutil
 
-    work = tempfile.mkdtemp(prefix="dedup_gate_")
+    work = gate_workdir("dedup_gate")
     src = os.path.join(sf_dir, "events.parquet")
     shutil.copyfile(src, os.path.join(work, "copy_a.parquet"))
     shutil.copyfile(src, os.path.join(work, "copy_b.parquet"))
@@ -196,7 +196,7 @@ def q102_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving path."""
     from ..tables import load_table
 
-    work = tempfile.mkdtemp(prefix="sketch_gate_")
+    work = gate_workdir("sketch_gate")
     feed = os.path.join(work, "feed")
     out = os.path.join(work, "rollup")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -287,7 +287,7 @@ def q118_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in spark.sql("SHOW DATABASES LIKE 'q118_*'").collect():
         spark.sql(f"DROP DATABASE IF EXISTS {row[0]} CASCADE")
     db = f"q118_{uuid.uuid4().hex[:8]}"
-    loc = tempfile.mkdtemp(prefix="q118_wh_")
+    loc = gate_workdir("q118_wh")
     spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     dim = load_table(spark, sf_dir, "customer").select(
@@ -347,7 +347,7 @@ def q131_stream_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_table
     from .sketches import CMS_BOUND_FACTOR, CMS_TOPK
 
-    work = tempfile.mkdtemp(prefix="cms_gate_")
+    work = gate_workdir("cms_gate")
     feed = os.path.join(work, "feed")
     out = os.path.join(work, "rollup")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -397,11 +397,13 @@ def q161_stream_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc_chunks_df by construction). This is the serving table q160's
     novelty join probes; ingestion keeps it fresh with O(batch) work per
     micro-batch."""
-    work = tempfile.mkdtemp(prefix="chunk_index_gate_")
+    work = gate_workdir("chunk_index_gate")
     feed = os.path.join(work, "feed")
     out = os.path.join(work, "index")
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    raw.repartition(4).write.mode("overwrite").parquet(feed)
+    # normalized feed: same load_table contract as the batch/oracle side
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(feed)
     jobs.streaming_chunk_index_materialize(
         spark, feed, out, checkpoint=os.path.join(work, "ckpt"),
         maxFilesPerTrigger=1,
@@ -588,7 +590,7 @@ def q181_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     data."""
     from ..operators.storage import zorder_write_zrange
 
-    out = tempfile.mkdtemp(prefix="q181_zorder_")
+    out = gate_workdir("q181_zorder")
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     zorder_write_zrange(ev, out, ["user_id", "value"], prefix_bits=4)
     back = spark.read.parquet(out)
@@ -637,11 +639,15 @@ def q184_stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame
     silently drifts from the model's training distribution."""
     from ..queries.text import clf_features_and_labels, perceptron_train
 
-    work = tempfile.mkdtemp(prefix="clf_stream_gate_")
+    work = gate_workdir("clf_stream_gate")
     feed = os.path.join(work, "feed")
     out = os.path.join(work, "scores")
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    raw.repartition(4).write.mode("overwrite").parquet(feed)
+    # feed through load_table so the streamed side shares the batch/oracle
+    # side's _normalize_to_declared contract (ADVICE r9: a raw read here
+    # would feed unnormalized rows to the scorer only, on schema drift)
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(feed)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fl = clf_features_and_labels(docs).localCheckpoint(eager=False)
     weights = perceptron_train(fl)

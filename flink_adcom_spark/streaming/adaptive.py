@@ -17,13 +17,13 @@ the AdCom paper demonstrates.
 
 from __future__ import annotations
 
-import tempfile
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
+from ..workdirs import fresh_workdir
 from .controller import BandController, TriggerControllerListener
 
 
@@ -57,7 +57,7 @@ class AdaptiveQueryRunner:
             trigger_ms_getter=lambda: self.controller.interval_ms,
             period_s=decision_period_s,
         )
-        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="adcom_ckpt_")
+        self.checkpoint_dir = checkpoint_dir or fresh_workdir("adcom_ckpt_")
         self.report = RunnerReport()
 
     def run_for(self, duration_s: float, poll_s: float = 0.25) -> RunnerReport:

@@ -246,19 +246,24 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyD
 
 
 def table_fingerprint(path: str) -> str:
-    """mtime_ns + size of a parquet path (file, or every entry of a
-    directory) — the cache-invalidation key for anything that memoizes
-    per-table state (the normalized-handle cache here, the embeddings count
-    memo in queries/similarity.py)."""
+    """mtime_ns + size of a parquet path (file, or every file under a
+    directory tree — os.walk, so a hive-partitioned layout's leaf rewrite
+    changes the fingerprint even when no top-level mtime moves) — the
+    cache-invalidation key for anything that memoizes per-table state (the
+    normalized-handle cache here, the embeddings count memo in
+    queries/similarity.py)."""
     import os
 
     try:
         st = os.stat(path)
         if os.path.isdir(path):
             parts = [f"{st.st_mtime_ns}:{st.st_size}"]
-            for entry in sorted(os.listdir(path)):
-                es = os.stat(os.path.join(path, entry))
-                parts.append(f"{entry}:{es.st_mtime_ns}:{es.st_size}")
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                rel = os.path.relpath(root, path)
+                for entry in sorted(files):
+                    es = os.stat(os.path.join(root, entry))
+                    parts.append(f"{rel}/{entry}:{es.st_mtime_ns}:{es.st_size}")
             return "|".join(parts)
         return f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
@@ -273,6 +278,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (sf_dir, name, table_fingerprint(table_path(sf_dir, name)))
     if key in per_session:
         return per_session[key]
+    # Evict handles for the same (sf_dir, name) under older fingerprints —
+    # a session that rewrites a table repeatedly would otherwise accumulate
+    # dead DataFrame handles for every generation it ever read.
+    for stale in [k for k in per_session if k[:2] == key[:2]]:
+        del per_session[stale]
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # runs before the generic cast: epoch-nanos BIGINT needs DIV 1000,
