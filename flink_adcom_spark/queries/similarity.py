@@ -1382,6 +1382,258 @@ def q156_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pool-bounded contrastive mining (q156's linear-scale successor) -----------
+# SRP-LSH recall pool: signatures are signs of md5-derived Rademacher (+-1)
+# hyperplane dots over the INT8-QUANTIZED code (q101's quantizer) — integer
+# sums, so the signature is immune to float addition order across engines
+# AND partitionings. Band width scales with the corpus (r = clamp(
+# ceil(log2(N/64)), 2, 16)), so expected bucket occupancy stays ~64 and the
+# candidate volume is ~SRP_BANDS * 64 * N — LINEAR, vs q156's cluster-scoped
+# N^1.5 (the engine's one superlinear hot spot per VERDICT r9).
+SRP_BANDS = 4
+SRP_TARGET_BUCKET = 64
+SRP_MIN_BITS = 2
+SRP_MAX_BITS = 16
+POOL_M = 8  # exact-rescore pool size per anchor
+
+
+def derive_srp_bits(n: int) -> int:
+    """ceil(log2(n / SRP_TARGET_BUCKET)) clamped to [2, 16] — IEEE-exact in
+    both engines (DuckDB mirrors it as LEAST/GREATEST/CEIL/LOG2; the
+    _n_bucket_bits / derive_kmeans_k precedent)."""
+    import math
+
+    if n <= SRP_TARGET_BUCKET:
+        return SRP_MIN_BITS
+    return min(
+        SRP_MAX_BITS, max(SRP_MIN_BITS, math.ceil(math.log2(n / SRP_TARGET_BUCKET)))
+    )
+
+
+def _srp_planes(h: int, dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic Rademacher hyperplanes: entry (p, i) is +1 when the
+    first hex nibble of md5('p:i') has its top bit set, else -1 — the same
+    md5 both engines evaluate, so the planes (and every downstream pool)
+    are identical without shipping any random state."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] in "89abcdef" else -1
+            for i in range(dim)
+        ]
+        for p in range(h)
+    ]
+
+
+_SRP_R_SQL = (
+    f"SELECT LEAST({SRP_MAX_BITS}, GREATEST({SRP_MIN_BITS}, "
+    f"CAST(CEIL(LOG2(COUNT(*) / {SRP_TARGET_BUCKET}.0)) AS INT))) AS r "
+    "FROM embeddings"
+)
+
+
+@query(
+    "q156b_contrastive_pool",
+    f"""
+    WITH rr AS MATERIALIZED ({_SRP_R_SQL}),
+    planes AS MATERIALIZED (
+      SELECT p, i,
+             CASE WHEN substr(md5(concat(CAST(p AS VARCHAR), ':',
+                                         CAST(i AS VARCHAR))), 1, 1)
+                  IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(generate_series(0, {SRP_BANDS * SRP_MAX_BITS - 1})) AS p),
+           (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS i)
+      WHERE p < {SRP_BANDS} * (SELECT r FROM rr)
+    ),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+    sv AS (SELECT vec_id, vec,
+                  list_max(list_transform(vec, x -> abs(x))) AS amax
+           FROM v),
+    qz AS (SELECT vec_id,
+                  CASE WHEN amax > 0
+                       THEN list_transform(vec,
+                              x -> CAST(round(x / (amax / CAST(127 AS DOUBLE)))
+                                        AS BIGINT))
+                       ELSE list_transform(vec, x -> CAST(0 AS BIGINT)) END AS q
+           FROM sv),
+    x8 AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS qv FROM qz),
+    sig AS MATERIALIZED (
+      SELECT x8.vec_id, planes.p,
+             CASE WHEN SUM(x8.qv * planes.s) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM x8 JOIN planes ON x8.i = planes.i + 1
+      GROUP BY 1, 2
+    ),
+    bk AS MATERIALIZED (
+      SELECT vec_id, p // (SELECT r FROM rr) AS band,
+             CAST(SUM(bit * (1 << (p % (SELECT r FROM rr)))) AS BIGINT) AS bkey
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+                         AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    pool AS MATERIALIZED (
+      SELECT anchor_id, cand_id FROM (
+        SELECT anchor_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY n_shared DESC, cand_id) AS prn
+        FROM cand) t
+      WHERE prn <= {POOL_M}
+    ),
+    x AS ({_X_SQL}),
+    n AS ({_N_SQL}),
+    d AS (SELECT pl.anchor_id, pl.cand_id, SUM(a.val * b.val) AS dot
+          FROM pool pl JOIN x a ON a.vec_id = pl.anchor_id
+                       JOIN x b ON b.vec_id = pl.cand_id AND a.i = b.i
+          GROUP BY 1, 2),
+    ranked AS MATERIALIZED (
+      SELECT d.anchor_id, d.cand_id,
+             ROUND(d.dot / (na.nrm * nb.nrm), 6) AS c,
+             ROW_NUMBER() OVER (PARTITION BY d.anchor_id
+                                ORDER BY ROUND(d.dot / (na.nrm * nb.nrm), 6) DESC,
+                                         d.cand_id) AS rn
+      FROM d JOIN n na ON d.anchor_id = na.vec_id
+             JOIN n nb ON d.cand_id = nb.vec_id
+    )
+    SELECT p.anchor_id, p.cand_id AS pos_id, p.c AS pos_cos,
+           q.cand_id AS neg_id, q.c AS neg_cos
+    FROM (SELECT anchor_id, cand_id, c FROM ranked WHERE rn = 1) p
+    JOIN (SELECT anchor_id, cand_id, c FROM ranked WHERE rn = 2) q
+      USING (anchor_id)
+    """,
+    tags=("similarity", "contrastive", "lsh", "pipeline"),
+    bench=True,
+)
+def q156b_contrastive_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q156's linear-scale successor (VERDICT r9 #1): contrastive triples
+    mined from an ANN-RECALLED candidate pool instead of cluster-scoped
+    quadratics. Per anchor: SRP-LSH band collisions propose candidates,
+    the top-{POOL_M} by collision count (tie-break id) form the pool, the
+    pool alone is rescored at full float precision, and the triple is
+    (positive = rank-1 pool member by exact cosine, hard negative =
+    rank-2) — the standard "next-best retrieved" hard negative of
+    DPR/SimCLR mining pipelines. Anchors with fewer than two pool members
+    yield no triple (inner join), matching a miner that skips unpaireable
+    anchors.
+
+    Determinism across engines AND partitionings: the hyperplanes are
+    md5-derived Rademacher rows (_srp_planes), the signature dot is an
+    INTEGER sum over the int8-quantized code (no float addition order at
+    all in the recall path), the band width r is engine-derived from the
+    same COUNT(*) (derive_srp_bits), and pool membership uses integer
+    collision counts with id tie-breaks — so DuckDB rebuilds the exact
+    pool and only the {POOL_M}-candidate exact rescoring touches floats
+    (q50 round-to-6 discipline).
+
+    Scale shape — LINEAR where q156 is N^1.5: bucket occupancy is pinned
+    at ~{SRP_TARGET_BUCKET} by the derived r, so candidate volume is
+    ~{SRP_BANDS} * {SRP_TARGET_BUCKET} * N band-join rows (pure codegen
+    equi-join + integer count agg; no per-pair float fold), and the
+    expensive 64-dim exact cosine folds run on N * {POOL_M} pool rows
+    only. No k-means, no centroid broadcast, no cluster-sized shuffle
+    partitions; the signature pass is one scan with H ~ {SRP_BANDS} *
+    log2(N/64) integer folds per row."""
+    from pyspark.sql import Window
+
+    from ..operators.vectors import quantize_int8
+
+    n = _emb_count(spark, sf_dir)
+    r = derive_srp_bits(n)
+    planes = _srp_planes(SRP_BANDS * r)
+
+    e = _emb(spark, sf_dir)
+    qz = e.select(
+        "vec_id", F.col("v"), F.col("nrm"),
+        quantize_int8(F.col("v")).getField("q").alias("q8"),
+    )
+    # Signature dots in EXPLODED-ROW form, not a per-plane HOF fold: a
+    # transform-over-planes lambda referencing q8 gets CollapseProject'd so
+    # the quantizer re-evaluates inside every interpreted lambda element —
+    # the measured 200x q158 trap (BENCH_HISTORY r7). posexplode evaluates
+    # q8 ONCE per row in the Generate node, and the plane join + integer
+    # sum stay in whole-stage codegen end to end.
+    qx = qz.select("vec_id", F.posexplode("q8").alias("i", "qv"))
+    planes_df = spark.createDataFrame(
+        [(p, i, s) for p, row in enumerate(planes) for i, s in enumerate(row)],
+        "p INT, i INT, s INT",
+    )
+    sig = (
+        qx.join(F.broadcast(planes_df), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("qv").cast("long") * F.col("s")).alias("dot"))
+        .select(
+            "vec_id", "p", (F.col("dot") >= 0).cast("long").alias("bit")
+        )
+    )
+    # N x SRP_BANDS rows; checkpointed so the band self-join below doesn't
+    # recompute the signature pass for each side (the q156 asg pattern)
+    bands = (
+        sig.groupBy(
+            "vec_id", F.expr(f"p div {r}").cast("int").alias("band")
+        )
+        .agg(
+            F.sum(
+                F.expr(f"bit * shiftleft(CAST(1 AS BIGINT), p % {r})")
+            ).alias("bkey")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    cand = (
+        bands.select(F.col("vec_id").alias("anchor_id"), "band", "bkey")
+        .join(
+            bands.select(F.col("vec_id").alias("cand_id"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .groupBy("anchor_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(F.desc("n_shared"), F.asc("cand_id"))
+    pool = (
+        cand.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= POOL_M)
+        .select("anchor_id", "cand_id")
+    )
+
+    full = qz.select("vec_id", "v", "nrm")
+    scored = (
+        pool.join(
+            full.select(
+                F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"),
+                F.col("nrm").alias("an"),
+            ),
+            "anchor_id",
+        )
+        .join(
+            full.select(
+                F.col("vec_id").alias("cand_id"), F.col("v").alias("bv"),
+                F.col("nrm").alias("bn"),
+            ),
+            "cand_id",
+        )
+        .withColumn("c", F.round(_dot("av", "bv") / (F.col("an") * F.col("bn")), 6))
+        .select("anchor_id", "cand_id", "c")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    pos = ranked.filter(F.col("rn") == 1).select(
+        "anchor_id", F.col("cand_id").alias("pos_id"), F.col("c").alias("pos_cos")
+    )
+    neg = ranked.filter(F.col("rn") == 2).select(
+        "anchor_id", F.col("cand_id").alias("neg_id"), F.col("c").alias("neg_cos")
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"
+    )
+
+
 # --- embedding-level benchmark decontamination ---------------------------------
 DECON_COS = 0.4  # the synthetic embeddings are near-random (max eval-corpus
 # cosine ~0.48 at every SF), so a production-style 0.9 would never fire; 0.4

@@ -264,3 +264,39 @@ def test_q177_negatives_are_sound_and_deterministic(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert again == {(r["c_custkey"], r["p_partkey"], r["rnk"]) for r in rows}
+
+
+# --- q156b pool-bounded contrastive mining: planted twins become positives ----
+
+
+def test_q156b_pool_recalls_planted_twins_as_positives(spark, planted_embeddings_dir):
+    """The SRP-LSH pool must RECALL the planted near-duplicates: for anchors
+    that carry a perturbed twin (cosine 0.92-0.9999, far above everything
+    else in the near-random corpus), the mined positive should be that twin.
+    Recall is probabilistic in the banding (4 bands x r bits), so assert a
+    floor rather than totality — the construction is fully deterministic, so
+    this is a fixed number, not flake: measured 1.0 on the fixture."""
+    fixture, expected_pairs = planted_embeddings_dir
+    rows = get("q156b_contrastive_pool").build(spark, fixture).collect()
+    pos_by_anchor = {r["anchor_id"]: (r["pos_id"], r["pos_cos"]) for r in rows}
+    hits = 0
+    for lo, hi in expected_pairs:
+        if lo in pos_by_anchor and pos_by_anchor[lo][0] == hi:
+            assert pos_by_anchor[lo][1] >= 0.92
+            hits += 1
+    assert hits >= 0.8 * len(expected_pairs), (hits, len(expected_pairs))
+    # and the triple structure is sound: pos_cos >= neg_cos everywhere
+    assert all(r["pos_cos"] >= r["neg_cos"] for r in rows)
+
+
+def test_q156b_oracle_parity_on_planted_fixture(spark, planted_embeddings_dir):
+    """Engine parity where the positives are REAL near-duplicates, not just
+    the near-random gate corpus."""
+    fixture, _ = planted_embeddings_dir
+    con = open_views(fixture)
+    try:
+        spec = get("q156b_contrastive_pool")
+        assert spec.build(spark, fixture).count() > 0
+        assert_engine_parity(spec, spark, fixture, con, name="q156b")
+    finally:
+        con.close()

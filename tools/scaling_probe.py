@@ -33,6 +33,11 @@ SF1_PROBES = frozenset([
     "q153_inverted_index", "q149_source_caps", "q152_weighted_sample",
     "q178_quality_classifier", "q180_shard_export", "q183_tokenizer_ablation",
     "q186_needle_eval_samples",
+    # round-10: the pool-bounded q156 successor must show ~linear wall; the
+    # composed/flat-cost operators prove their vocabulary-/pool-boundness
+    # holds at 10x (VERDICT r9 #7)
+    "q156b_contrastive_pool", "q175_dataset_token_report",
+    "q110_training_manifest", "q187_decontamination_report",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -100,6 +105,10 @@ PROBES = [
     "q183_tokenizer_ablation",
     "q185_epoch_repetition",
     "q186_needle_eval_samples",
+    # round-10 additions
+    "q110_training_manifest",
+    "q156b_contrastive_pool",
+    "q187_decontamination_report",
 ]
 
 
