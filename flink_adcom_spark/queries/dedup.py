@@ -871,6 +871,104 @@ def q111_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- any-length duplicated-substring detection (suffix-array style) ------------
+SUBSTR_L = 16  # minimum duplicated span length in tokens (Lee et al. use 50
+# BPE tokens; 16 words is the comparable scale for the word-token corpus and
+# matches q111's span width so the two stages are directly comparable)
+
+
+@query(
+    "q188_substring_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+          WHERE len(w) >= {SUBSTR_L}),
+    g AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(range(n - {SUBSTR_L} + 1)) AS k,
+             unnest(list_transform(range(n - {SUBSTR_L} + 1),
+                    k -> md5(array_to_string(
+                             list_slice(w, k + 1, k + {SUBSTR_L}), ' ')))) AS gd
+      FROM t),
+    dup AS MATERIALIZED (
+      SELECT gd FROM (SELECT DISTINCT doc_id, gd FROM g) dg
+      GROUP BY gd HAVING COUNT(*) >= 2),
+    m AS (SELECT g.doc_id, g.k,
+                 g.k - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.k)
+                   AS grp
+          FROM g JOIN dup USING (gd))
+    SELECT doc_id,
+           CAST(MIN(k) AS BIGINT) AS span_start,
+           CAST(MAX(k) + {SUBSTR_L} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(k) - MIN(k) + {SUBSTR_L} AS BIGINT) AS span_tokens
+    FROM m GROUP BY doc_id, grp
+    """,
+    tags=("dedup", "text", "span", "pipeline"),
+    bench=True,
+)
+def q188_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated substrings of ANY length >= {SUBSTR_L}
+    tokens (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499) — the exact-substring stage q111's
+    FIXED 16-token grid cannot provide: a shared paragraph offset by fewer
+    than 16 tokens between two documents never aligns with the grid, so
+    q111 misses it, while the sliding grams here catch it at every offset
+    (planted proof in tests/test_planted_positives.py). No suffix array is
+    needed for a fixed MINIMUM length: a duplicated substring of length
+    M >= L is exactly a run of M-L+1 consecutive positions whose sliding
+    L-gram each recurs in another document, so maximal duplicated spans
+    are gaps-and-islands over the duplicated positions (the q105 trick on
+    the gram relation). Emits one row per maximal span: (doc_id,
+    span_start, span_end, span_tokens), token-indexed.
+
+    Scale shape — linear in corpus tokens, zero pairwise work: the gram
+    explode is ~1 row per token with a scan-side codegen md5 (NOT a HOF
+    fold — the q158 lesson), duplicate grams are one distinct + one count
+    shuffle on the digest, and the islands window partitions by doc_id
+    (bounded by document length). The digest join back is a hash join on
+    the same key the count shuffled on. At 100 TB this is the plan a
+    suffix-array cluster job linearizes into anyway: sort/shuffle by gram,
+    mark, re-sort by (doc, pos)."""
+    from pyspark.sql import Window
+
+    docs = _documents(spark, sf_dir)
+    t = (
+        docs.select("doc_id", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= SUBSTR_L)
+    )
+    g = t.withColumn(
+        "k",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n") - SUBSTR_L)),
+    ).select(
+        "doc_id",
+        "k",
+        F.md5(
+            F.array_join(F.slice("w", (F.col("k") + 1).cast("int"), SUBSTR_L), " ")
+        ).alias("gd"),
+    )
+    dup = (
+        g.select("doc_id", "gd")
+        .distinct()
+        .groupBy("gd")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gd")
+    )
+    w = Window.partitionBy("doc_id").orderBy("k")
+    return (
+        g.join(dup, "gd")
+        .withColumn("grp", F.col("k") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("k").alias("span_start"),
+            (F.max("k") + SUBSTR_L - 1).alias("span_end"),
+            (F.max("k") - F.min("k") + SUBSTR_L).alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )
+
+
 # --- LSH quality audit: candidates vs exact truth -----------------------------
 LSH_TRUTH_J = 0.5  # "true near-dup" threshold for the audit
 

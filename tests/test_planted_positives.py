@@ -300,3 +300,55 @@ def test_q156b_oracle_parity_on_planted_fixture(spark, planted_embeddings_dir):
         assert_engine_parity(spec, spark, fixture, con, name="q156b")
     finally:
         con.close()
+
+
+# --- q188 any-length substring dedup: off-grid shared paragraph ----------------
+
+# a 30-token paragraph of corpus-foreign words, inserted at offset 0 in one
+# planted doc and offset 7 (< 16, so NO q111 grid span of the two docs ever
+# aligns on it) in the other
+_PARA = " ".join(f"zqplant{i}" for i in range(30))
+_SUBSTR_PLANT = {
+    "documents": f"""SELECT * FROM '{{src}}'
+        UNION ALL SELECT 9000001 AS doc_id, '{_PARA}' AS text,
+               'en' AS lang, 'plant' AS source,
+               CAST(len('{_PARA}') AS BIGINT) AS n_chars
+        UNION ALL SELECT 9000002 AS doc_id,
+               concat('fila filb filc fild file filf filg ', '{_PARA}',
+                      ' tailx taily') AS text,
+               'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars"""
+}
+
+
+def test_q188_finds_the_offgrid_shared_paragraph_q111_misses(
+    spark, tmp_path_factory
+):
+    """The planted paragraph sits at token offset 0 in doc 9000001 and
+    offset 7 in doc 9000002 — never aligned on q111's fixed 16-token grid,
+    so q111 reports ZERO duplicate spans for both docs, while q188's
+    sliding grams recover the full 30-token span at both offsets."""
+    fixture = make_fixture_dir(tmp_path_factory, "planted_substr", _SUBSTR_PLANT)
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in get("q188_substring_dedup").build(spark, fixture).collect()
+        if r["doc_id"] >= 9000000
+    }
+    assert spans[9000001] == (0, 29, 30), spans
+    assert spans[9000002] == (7, 36, 30), spans
+
+    q111 = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in get("q111_span_dedup").build(spark, fixture).collect()
+        if r["doc_id"] >= 9000000
+    }
+    assert q111 == {9000001: 0, 9000002: 0}, q111
+
+    # and engine parity holds on the planted fixture too
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(
+            get("q188_substring_dedup"), spark, fixture, con, name="q188"
+        )
+    finally:
+        con.close()
