@@ -253,8 +253,6 @@ def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0
     change). `bundle_adaptive_*` keys are kept as aliases of the paced run
     for round-over-round comparability (r5 recorded the paced runner under
     that name)."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from flink_adcom_spark.sources.ratecontrol import (
@@ -269,7 +267,9 @@ def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0
     from flink_adcom_spark.streaming.controller import BandController
 
     def feed() -> tuple[str, "VariableRateFeeder", list]:
-        tmp = tempfile.mkdtemp(prefix="bundle_")
+        from flink_adcom_spark.workdirs import fresh_workdir
+
+        tmp = fresh_workdir("bundle_")
         rf = DataRateFile(os.path.join(tmp, "rate.txt"), default_rate=offer_rps)
         rf.write_rate(offer_rps)
         feeder = VariableRateFeeder(os.path.join(tmp, "spool"), rf, tick_s=0.25).start()

@@ -518,6 +518,105 @@ def q167_controller_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
+RUNNER_TRACE_DECISIONS = 25  # decisions collected from the live paced runner
+
+
+def _band_law(interval_before: int, mean: float, p75: float) -> int:
+    """Independent restatement of the reference band law (SURVEY §2.1;
+    PreAggregateControllerService.java:126-174, floor from
+    PreAggregateProcTimeListener.java:23) in pure arithmetic — deliberately
+    NOT importing BandController, so q189 checks the deployed controller
+    against the SPEC, not against itself."""
+    if mean >= 100.0 or p75 >= 100.0:
+        delta = 200
+    elif mean > 65.0:
+        delta = 200 if mean >= 85.0 else 100
+    elif mean < 40.0:
+        delta = -200 if mean <= 30.0 else -100
+    else:
+        delta = 0
+    return max(50, interval_before + delta)
+
+
+@query(
+    "q189_runner_decision_trace",
+    f"""
+    SELECT CAST(UNNEST(generate_series(1, {RUNNER_TRACE_DECISIONS})) AS INT)
+             AS step,
+           TRUE AS law_matched
+    """,
+    tags=("streaming", "controller", "adaptive"),
+)
+def q189_runner_decision_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE adaptive runner's decision trace, externally gated (VERDICT
+    r9 #4): q167 proves the band LAW over a scripted trace; this runs the
+    DEPLOYED path — a real rate-source micro-batch stream through
+    SelfPacedAdaptiveRunner.paced (foreachBatch pacing, the bench's bundle
+    runner) with TriggerControllerListener's observe_progress computing live
+    utilizations — until {RUNNER_TRACE_DECISIONS} decisions are recorded,
+    then checks EVERY recorded (signal mean, p75, interval-before) against
+    _band_law, an arithmetic restatement of the spec that shares no code
+    with the controller. The returned relation is (step, law_matched); the
+    oracle pins exactly {RUNNER_TRACE_DECISIONS} all-true rows, so a
+    controller that drifts from the law (wrong threshold, step size, floor,
+    or a decision the law wouldn't take given the recorded signals) turns a
+    row false and fails the hash. The live signals are wall-clock-dependent
+    by nature; what is deterministic — and gated — is the law's hold over
+    whatever signals actually occurred, plus the decision COUNT the runner
+    was asked to produce.
+
+    Scale shape: the controller is a driver-side component consuming
+    histogram summaries (one float pair per decision period), never rows —
+    identical topology at 100 TB, where the signals arrive from executor
+    metrics instead of a local listener."""
+    import time
+
+    from ..streaming.adaptive import SelfPacedAdaptiveRunner
+    from ..streaming.controller import BandController
+
+    runner = SelfPacedAdaptiveRunner(
+        controller=BandController(interval_ms=50),
+        decision_period_s=0.35,
+        hist_window_s=2.0,
+    )
+
+    def proc(bdf: DataFrame, bid: int) -> None:
+        bdf.count()
+
+    work = gate_workdir("runner_trace_gate")
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .writeStream.foreachBatch(runner.paced(proc))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while (
+            len(runner.listener.trace) < RUNNER_TRACE_DECISIONS
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.1)
+    finally:
+        q.stop()
+    trace = list(runner.listener.trace)[:RUNNER_TRACE_DECISIONS]
+    if len(trace) < RUNNER_TRACE_DECISIONS:
+        raise RuntimeError(
+            f"live runner produced only {len(trace)} decisions in 120 s"
+        )
+    rows = []
+    for step, (mean, p75, before, after) in enumerate(trace, start=1):
+        if mean is None:
+            ok = after == before  # no signals -> hold
+        else:
+            ok = after == _band_law(before, mean, p75)
+        rows.append((step, bool(ok)))
+    return spark.createDataFrame(rows, "step INT, law_matched BOOLEAN")
+
+
 # --- q181: the Z-order layout law under the external gate -----------------------
 def _zorder_oracle() -> str:
     """Restate zorder_key's quantize + interleave + z-range file assignment

@@ -193,6 +193,11 @@ class TriggerControllerListener:
         self._last_decision = clock()
         self._lock = threading.Lock()
         self.decisions: list[Decision] = []
+        # decision trace: (summary mean, summary p75, interval BEFORE the
+        # decision, interval AFTER) per decide() — the queryable analogue of
+        # the reference's MQTT state topic, and the record q189 hash-gates
+        # against an independent restatement of the band law
+        self.trace: list[tuple[float | None, float | None, int, int]] = []
 
     # -- signal path ---------------------------------------------------------
     def observe_progress(self, batch_duration_ms: float) -> Decision | None:
@@ -206,8 +211,17 @@ class TriggerControllerListener:
                 return None
             self._last_decision = now
             summary = self._hist.summary()
+            interval_before = self.controller.interval_ms
             decision = self.controller.decide([summary] if summary else [])
             self.decisions.append(decision)
+            self.trace.append(
+                (
+                    summary.mean if summary else None,
+                    summary.p75 if summary else None,
+                    interval_before,
+                    decision.interval_ms,
+                )
+            )
             if decision.changed:
                 # anti-windup: every sample in the window is a utilization
                 # computed against the OLD interval. When the decision period
