@@ -2837,6 +2837,268 @@ def q178_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clf_score(fl, perceptron_train(fl))
 
 
+# --- trained language-ID (q32's learned upgrade, VERDICT r9 #5) ----------------
+# fastText-langid-style: one-vs-rest linear models over hashed char-TRIGRAM
+# count features, trained with the q178 integer batch-perceptron topology
+# (lr=1, int64 weights -> bit-identical across engines and partitionings).
+# The supported language set is fixed, like fastText's 176-language list;
+# labels come from the corpus's lang column (supervised training on a
+# labeled corpus, scored back over the same corpus — the standard langid
+# training loop). On the synthetic gate corpus the text carries no real
+# language signal (ASCII pseudo-words regardless of label), so accuracy
+# there is incidental; DETECTION is proven on the planted multilingual
+# fixture in tests/test_langid.py (acc >= 0.9), and the output's
+# heuristic-vs-trained agreement column is the externally gated
+# disagreement audit vs q32.
+LANGID_CLASSES = ("de", "en", "es", "fr", "zh")
+LANGID_BUCKETS = 64  # bias rides as bucket 64 (q178 discipline)
+
+_LANGID_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(trigram), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(trigram), 2, 1)) - 1)"
+    f" % {LANGID_BUCKETS}"
+)
+
+_HEUR_LANG_SQL = (
+    "CASE WHEN score_en >= score_de AND score_en >= score_es"
+    " AND score_en >= score_fr THEN 'en'"
+    " WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'"
+    " WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END"
+)
+
+
+def langid_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, cnt): hashed char-trigram counts over the folded
+    text + a bias feature (bucket LANGID_BUCKETS, cnt 1). ASCII contract as
+    everywhere in the text stack (module header): Spark substring counts
+    codepoints and DuckDB substr counts grapheme clusters, identical on
+    ASCII only."""
+    t = docs.select("doc_id", fold_col().alias("txt"))
+    tri = (
+        t.filter(F.length("txt") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("txt") - 2)).alias("i"),
+            "txt",
+        )
+        .select("doc_id", F.expr("substring(txt, i, 3)").alias("trigram"))
+    )
+    bucket = (
+        (F.expr("instr('0123456789abcdef', substring(md5(trigram), 1, 1))") - 1)
+        * 16
+        + F.expr("instr('0123456789abcdef', substring(md5(trigram), 2, 1))")
+        - 1
+    ) % LANGID_BUCKETS
+    return (
+        tri.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit(LANGID_BUCKETS).alias("bucket"),
+                F.lit(1).cast("bigint").alias("cnt"),
+            )
+        )
+    )
+
+
+def langid_fl(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """One-vs-rest training relation: features x classes with y = +1 on the
+    labeled language, -1 elsewhere. The class table is a broadcast of
+    len(LANGID_CLASSES) rows (a broadcast-scalar crossJoin)."""
+    classes = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(LANGID_CLASSES)], "ci INT, lang_c STRING"
+    )
+    return (
+        langid_features(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .crossJoin(F.broadcast(classes))
+        .withColumn(
+            "y",
+            F.when(F.col("lang") == F.col("lang_c"), F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .select("ci", "lang_c", "doc_id", "bucket", "cnt", "y")
+    )
+
+
+def langid_train(fl_mc: DataFrame, rounds: int = CLF_ROUNDS) -> dict[int, list[int]]:
+    """CLF_ROUNDS unrolled batch-perceptron rounds over the multi-class
+    relation — q178's loop with (ci, bucket) keys: per round ONE
+    (ci, doc_id) window shuffle with the weights inlined as a classes x
+    buckets literal matrix, one <= |classes|*(buckets+1)-group gradient
+    aggregate, and only those ints cross to the driver."""
+    from pyspark.sql import Window
+
+    W = {ci: [0] * (LANGID_BUCKETS + 1) for ci in range(1, len(LANGID_CLASSES) + 1)}
+    for rnd in range(rounds):
+        if rnd == 0:
+            grad_df = fl_mc.groupBy("ci", "bucket").agg(
+                F.sum(F.col("y") * F.col("cnt")).alias("g")
+            )
+        else:
+            w_mat = F.array(
+                *[
+                    F.array(*[F.lit(int(v)) for v in W[ci]])
+                    for ci in range(1, len(LANGID_CLASSES) + 1)
+                ]
+            )
+            margin = F.sum(
+                F.col("cnt")
+                * F.element_at(F.element_at(w_mat, F.col("ci")), F.col("bucket") + 1)
+            ).over(Window.partitionBy("ci", "doc_id"))
+            grad_df = (
+                fl_mc.withColumn("margin", margin)
+                .filter(F.col("y") * F.col("margin") <= 0)
+                .groupBy("ci", "bucket")
+                .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
+            )
+        for row in grad_df.collect():  # <= |classes| * (buckets+1) rows: bounded
+            W[int(row["ci"])][int(row["bucket"])] += int(row["g"])
+    return W
+
+
+def _langid_oracle() -> str:
+    """Unrolled-CTE restatement of the one-vs-rest perceptron + argmax
+    prediction + the q32 marker heuristic (the disagreement audit). Same
+    disciplines as _clf_oracle: round 1 is the label-weighted feature sum
+    (w=0 misclassifies everything), every SUM is CAST AS BIGINT, every
+    chained CTE MATERIALIZED (the r9 DP-CTE lesson)."""
+    cls_values = ", ".join(f"({i + 1}, '{c}')" for i, c in enumerate(LANGID_CLASSES))
+    rounds = []
+    prev = "w1"
+    for r in range(2, CLF_ROUNDS + 1):
+        rounds.append(f"""
+    m{r} AS MATERIALIZED (
+      SELECT fl.ci, fl.doc_id, fl.bucket, fl.cnt, fl.y,
+             CAST(SUM(fl.cnt * COALESCE({prev}.w, 0))
+                  OVER (PARTITION BY fl.ci, fl.doc_id) AS BIGINT) AS margin
+      FROM fl LEFT JOIN {prev}
+        ON fl.ci = {prev}.ci AND fl.bucket = {prev}.bucket),
+    g{r} AS (SELECT ci, bucket, CAST(SUM(y * cnt) AS BIGINT) AS g
+             FROM m{r} WHERE y * margin <= 0 GROUP BY ci, bucket),
+    w{r} AS MATERIALIZED (
+      SELECT COALESCE({prev}.ci, g{r}.ci) AS ci,
+             COALESCE({prev}.bucket, g{r}.bucket) AS bucket,
+             CAST(COALESCE({prev}.w, 0) + COALESCE(g{r}.g, 0) AS BIGINT) AS w
+      FROM {prev} FULL JOIN g{r}
+        ON {prev}.ci = g{r}.ci AND {prev}.bucket = g{r}.bucket)""")
+        prev = f"w{r}"
+    return f"""
+    WITH cls AS (SELECT * FROM (VALUES {cls_values}) AS t(ci, lang_c)),
+    f0 AS (SELECT doc_id, {_FOLD_TEXT_SQL} AS txt FROM documents),
+    pos AS (SELECT doc_id, txt,
+                   unnest(generate_series(1, length(txt) - 2)) AS i
+            FROM f0 WHERE length(txt) >= 3),
+    tri AS (SELECT doc_id, substr(txt, i, 3) AS trigram FROM pos),
+    fb AS MATERIALIZED (
+      SELECT doc_id, {_LANGID_BUCKET_SQL} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tri GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, {LANGID_BUCKETS} AS bucket, 1 AS cnt FROM documents),
+    fl AS MATERIALIZED (
+      SELECT c.ci, f.doc_id, f.bucket, f.cnt,
+             CASE WHEN d.lang = c.lang_c THEN 1 ELSE -1 END AS y
+      FROM fb f JOIN documents d USING (doc_id) CROSS JOIN cls c),
+    w1 AS MATERIALIZED (
+      SELECT ci, bucket, CAST(SUM(y * cnt) AS BIGINT) AS w
+      FROM fl GROUP BY ci, bucket),{",".join(rounds)},
+    sc AS MATERIALIZED (
+      SELECT fl.ci, fl.doc_id,
+             CAST(SUM(fl.cnt * COALESCE({prev}.w, 0)) AS BIGINT) AS score
+      FROM fl LEFT JOIN {prev}
+        ON fl.ci = {prev}.ci AND fl.bucket = {prev}.bucket
+      GROUP BY fl.ci, fl.doc_id),
+    pr AS (SELECT doc_id, lang_c AS pred_lang FROM (
+             SELECT sc.doc_id, c.lang_c,
+                    ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+                                       ORDER BY sc.score DESC, c.lang_c) AS rn
+             FROM sc JOIN cls c USING (ci)) t
+           WHERE rn = 1),
+    h AS (SELECT doc_id, lang AS labeled_lang, {_HEUR_LANG_SQL} AS heuristic_lang
+          FROM (SELECT doc_id, lang, {_LANG_SCORES_SQL} FROM documents) s)
+    SELECT h.doc_id, h.labeled_lang, pr.pred_lang, h.heuristic_lang,
+           (pr.pred_lang = h.heuristic_lang) AS agree
+    FROM h JOIN pr USING (doc_id)
+    """
+
+
+@query(
+    "q190_trained_langid",
+    _langid_oracle(),
+    tags=("text", "langid", "ml", "pipeline"),
+    bench=True,
+)
+def q190_trained_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language-ID (q32's learned upgrade): one-vs-rest hashed
+    char-trigram perceptrons (module header), argmax prediction with a
+    lexicographic tie-break, and the q32 marker-heuristic prediction beside
+    it — the (pred_lang, heuristic_lang, agree) columns ARE the externally
+    gated heuristic-vs-trained disagreement audit the r9 verdict asked for.
+    Real-language detection (acc >= 0.9) is proven on the planted
+    multilingual fixture in tests/test_langid.py, where the trained model
+    also beats the heuristic on marker-free held-out text.
+
+    Scale shape: feature build is one scan-side trigram explode + a
+    (doc, bucket) count groupBy; training is CLF_ROUNDS x (one (ci, doc_id)
+    window shuffle + one <= |classes|*65-group aggregate); scoring reuses
+    the training relation; argmax is a |classes|-row-per-doc window. The
+    model is |classes| x 65 ints on the driver — the broadcast-coefficient
+    topology at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    fl_mc = langid_fl(spark, docs).localCheckpoint(eager=False)
+    W = langid_train(fl_mc)
+    w_mat = F.array(
+        *[
+            F.array(*[F.lit(int(v)) for v in W[ci]])
+            for ci in range(1, len(LANGID_CLASSES) + 1)
+        ]
+    )
+    sc = fl_mc.groupBy("ci", "lang_c", "doc_id").agg(
+        F.sum(
+            F.col("cnt")
+            * F.element_at(F.element_at(w_mat, F.col("ci")), F.col("bucket") + 1)
+        )
+        .cast("bigint")
+        .alias("score")
+    )
+    wn = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang_c"))
+    pred = (
+        sc.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang_c").alias("pred_lang"))
+    )
+    wcol = words_col()
+    scores = {lang: _marker_count(wcol, m) for lang, m in LANG_MARKERS.items()}
+    heuristic = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when(
+            (scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]),
+            F.lit("de"),
+        )
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    h = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), heuristic.alias("heuristic_lang")
+    )
+    return h.join(pred, "doc_id").select(
+        "doc_id",
+        "labeled_lang",
+        "pred_lang",
+        "heuristic_lang",
+        (F.col("pred_lang") == F.col("heuristic_lang")).alias("agree"),
+    )
+
+
 # --- deterministic shard export (global shuffle + balanced shard manifest) -----
 # The last step of a training-data pipeline after selection (q110) and
 # accounting (q175): training jobs consume a SHUFFLED corpus cut into
