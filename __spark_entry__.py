@@ -360,7 +360,57 @@ _ROUND9_GATE = frozenset(
         "q111_span_dedup", "q112_semdedup_keep",
     ]
 )
-_GATE = _ROUND9_GATE
+# Round 10 drains the ENTIRE remaining r6-era cohort (42 entries — the
+# oldest-green tier after r9 left nothing older than r6), plus the four
+# round-10 additions and the two builders whose data path changed this round
+# (q161/q184 stream feeds now route through load_table normalization; the
+# six gate builders that only swapped mkdtemp for the bounded gate_workdir
+# were re-verified by this round's driver simulation and keep their rows).
+# After this round every registry entry's newest external green is r7+.
+_ROUND10_GATE = frozenset(
+    # (a) never driver-checked: round-10 additions
+    [
+        "q156b_contrastive_pool", "q188_substring_dedup",
+        "q189_runner_decision_trace", "q190_trained_langid",
+    ]
+    # (b) modified since last green row (stream feed normalization)
+    + [
+        "q161_stream_chunk_index", "q184_stream_classifier_scores",
+    ]
+    # (c) oldest-green: the full r6-era cohort (42)
+    + [
+        "q114_quality_gate", "q115_tpch_q9_profit",
+        "q116_stream_enrich_segments", "q117_bpe_pair_counts",
+        "q118_bucketed_join_stats", "q119_index_assign_batch",
+        "q120_lsh_quality_audit", "q121_tpch_q2_min_cost_supplier",
+        "q122_tpch_q11_important_parts", "q124_tpch_q16_supplier_count",
+        "q125_tpch_q20_excess_shippers", "q126_tpch_q21_waiting_suppliers",
+        "q127_cms_heavy_hitters", "q128_token_chunks",
+        "q129_pii_scrub_audit", "q130_importance_weights",
+        "q131_stream_cms_rollup", "q132_temperature_mixture",
+        "q133_exact_k_per_lang", "q134_chunked_pack", "q135_bitext_mining",
+        "q136_bigram_logprob", "q137_quality_expectations",
+        "q138_day_completeness", "q139_cms_heavy_hitters_by_type",
+        "q140_covisitation_pairs", "q141_robust_outliers",
+        "q142_referential_integrity", "q143_daily_anomaly",
+        "q144_dup_rate_by_source", "q145_ship_latency_quantiles",
+        "q146_hourly_seasonality", "q147_value_concentration",
+        "q45_dedup_clusters", "q46_dedup_keep_list",
+        "q47_dedup_canonical_quality", "q57_kmeans", "q80_media_features",
+        "q86_sequence_pack", "q91_stream_update_fold",
+        "q92_tpch_q17_small_qty", "q93_tpch_q18_large_orders",
+    ]
+    # (d) flagship anchor (every round)
+    + [
+        "q08_tpch_q1",
+    ]
+    # (e) spare-slot refill: one slot left after (a)-(d); it goes to q83,
+    # the first-named of the workdir-touched stream gates
+    + [
+        "q83_stream_incremental_mv",
+    ]
+)
+_GATE = _ROUND10_GATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
