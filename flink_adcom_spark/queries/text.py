@@ -2837,6 +2837,149 @@ def q178_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clf_score(fl, perceptron_train(fl))
 
 
+# --- Gopher repetition filters (Rae et al. 2021, Table A1) ---------------------
+# The MassiveText repetition suite beyond q37's distinct-word ratio: per-doc
+# duplicate and top n-gram fractions for n in 2..4, with the Gopher removal
+# thresholds as the keep law. Token-level rendering of the paper's
+# char-fraction metrics (the corpus tokenizer is whitespace words); the
+# n-gram relation is the q188 exploded-position shape — scan-side codegen,
+# one (doc, n, gram) count shuffle, linear in corpus tokens.
+GOPHER_NS = (2, 3, 4)
+# removal thresholds, Rae et al. 2021 Table A1 (duplicate / top n-gram)
+GOPHER_DUP_MAX = {2: "0.20", 3: "0.18", 4: "0.16"}
+GOPHER_TOP_MAX = {2: "0.20", 3: "0.18", 4: "0.16"}
+
+
+def _gopher_oracle() -> str:
+    grams = " UNION ALL ".join(
+        f"""SELECT doc_id, {n} AS n, array_to_string(
+              list_slice(w, i, i + {n - 1}), ' ') AS gram
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - {n - 1})) AS i
+                  FROM t) g{n}"""
+        for n in GOPHER_NS
+    )
+    metric_cols = ", ".join(
+        f"""ROUND(CAST(MAX(CASE WHEN n = {n} THEN topc END) AS DOUBLE)
+              / MAX(CASE WHEN n = {n} THEN tot END), 6) AS top{n}_frac,
+            ROUND(CAST(MAX(CASE WHEN n = {n} THEN dupc END) AS DOUBLE)
+              / MAX(CASE WHEN n = {n} THEN tot END), 6) AS dup{n}_frac"""
+        for n in GOPHER_NS
+    )
+    keep = " AND ".join(
+        f"(top{n}_frac <= {GOPHER_TOP_MAX[n]} AND dup{n}_frac <= {GOPHER_DUP_MAX[n]})"
+        for n in GOPHER_NS
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+               WHERE len({_WORDS_SQL}) >= {max(GOPHER_NS)}),
+    g AS MATERIALIZED ({grams}),
+    c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM g GROUP BY 1, 2, 3),
+    a AS (SELECT doc_id, n, MAX(cnt) AS topc, SUM(cnt) AS tot,
+                 CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS dupc
+          FROM c GROUP BY 1, 2),
+    m AS (SELECT doc_id, {metric_cols} FROM a GROUP BY doc_id)
+    SELECT doc_id, top2_frac, dup2_frac, top3_frac, dup3_frac,
+           top4_frac, dup4_frac, ({keep}) AS keep
+    FROM m
+    """
+
+
+@query(
+    "q191_gopher_repetition",
+    _gopher_oracle(),
+    tags=("text", "quality", "repetition", "pipeline"),
+    bench=True,
+)
+def q191_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2021,
+    arXiv:2112.11446 Table A1): per document, the duplicate n-gram fraction
+    (mass of n-grams occurring >= 2 times over all n-grams) and the top
+    n-gram fraction (mass of the single most frequent n-gram) for n in
+    {GOPHER_NS}, with the paper's removal thresholds folded into a keep
+    flag. Complements q37 (distinct-word ratio) and q111/q188 (cross-doc
+    spans): these catch WITHIN-document boilerplate loops that survive
+    both. Docs shorter than {max(GOPHER_NS)} tokens are skipped (no
+    quadgrams to measure).
+
+    Scale shape: one exploded-position n-gram pass per n (scan-side
+    codegen, ~3 rows per token total), one (doc, n, gram) count shuffle,
+    one (doc, n) aggregate — linear in corpus tokens, no pairwise work.
+    Fractions are single ROUND(int/int, 6) divisions (q114 discipline)."""
+    w = words_col()
+    t = (
+        _documents(spark, sf_dir)
+        .select("doc_id", w.alias("w"))
+        .withColumn("len", F.size("w"))
+        .filter(F.col("len") >= max(GOPHER_NS))
+    )
+    per_n = []
+    for n in GOPHER_NS:
+        per_n.append(
+            t.select(
+                "doc_id",
+                F.lit(n).alias("n"),
+                F.explode(F.sequence(F.lit(1), F.col("len") - (n - 1))).alias("i"),
+                "w",
+            ).select(
+                "doc_id",
+                "n",
+                F.array_join(F.slice("w", F.col("i"), n), " ").alias("gram"),
+            )
+        )
+        # NB: F.slice's start is the 1-based position column; length n is a
+        # Python int, so the whole projection stays in codegen
+    g = per_n[0]
+    for df in per_n[1:]:
+        g = g.unionByName(df)
+    a = (
+        g.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max("cnt").alias("topc"),
+            F.sum("cnt").alias("tot"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("dupc"),
+        )
+    )
+    metric_cols = []
+    for n in GOPHER_NS:
+        metric_cols.append(
+            F.round(
+                F.max(F.when(F.col("n") == n, F.col("topc"))).cast("double")
+                / F.max(F.when(F.col("n") == n, F.col("tot"))),
+                6,
+            ).alias(f"top{n}_frac")
+        )
+        metric_cols.append(
+            F.round(
+                F.max(F.when(F.col("n") == n, F.col("dupc"))).cast("double")
+                / F.max(F.when(F.col("n") == n, F.col("tot"))),
+                6,
+            ).alias(f"dup{n}_frac")
+        )
+    m = a.groupBy("doc_id").agg(*metric_cols)
+    keep = F.lit(True)
+    for n in GOPHER_NS:
+        keep = (
+            keep
+            & (F.col(f"top{n}_frac") <= float(GOPHER_TOP_MAX[n]))
+            & (F.col(f"dup{n}_frac") <= float(GOPHER_DUP_MAX[n]))
+        )
+    return m.select(
+        "doc_id",
+        "top2_frac",
+        "dup2_frac",
+        "top3_frac",
+        "dup3_frac",
+        "top4_frac",
+        "dup4_frac",
+        keep.alias("keep"),
+    )
+
+
 # --- trained language-ID (q32's learned upgrade, VERDICT r9 #5) ----------------
 # fastText-langid-style: one-vs-rest linear models over hashed char-TRIGRAM
 # count features, trained with the q178 integer batch-perceptron topology
