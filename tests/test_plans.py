@@ -366,3 +366,49 @@ def test_unigram_matches_broadcast_inventory(spark, sf_dir):
 
     plan = formatted_plan(q179_unigram_lm_tokenizer(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_q156b_recall_path_is_codegen_not_hof(spark, sf_dir):
+    """q156b's recall path must stay in whole-stage codegen: the signature
+    pass is an exploded-row join + integer aggregate (the q158 lesson — a
+    transform-over-planes HOF re-inlines the quantizer per lambda element,
+    measured 60x slower), the plane table is BROADCAST, and no lambda may
+    appear before the first aggregate (the exact-rescore fold on the
+    bounded pool is the only legitimate HOF)."""
+    from flink_adcom_spark.plans.explain import formatted_plan, has_broadcast_join
+
+    df = get("q156b_contrastive_pool").build(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # signature stage: everything before the first HashAggregate (the
+    # (vec_id, p) integer dot) must be lambda-free
+    assert "lambdafunction" not in plan.split("HashAggregate")[0].lower(), plan[:1500]
+
+
+def test_q188_gram_pass_single_count_shuffle(spark, sf_dir):
+    """q188's duplicated-gram detection is one distinct + one count shuffle
+    on the digest — never a pairwise join; the islands window partitions by
+    doc_id. No cartesian/broadcast-nested-loop anywhere."""
+    from flink_adcom_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(get("q188_substring_dedup").build(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q190_model_inlined_and_class_table_broadcast(spark, sf_dir):
+    """q190's scoring inlines the trained class x bucket weight matrix as a
+    literal (driver-held-model, q178 discipline); the 5-row class table is
+    broadcast into the feature relation."""
+    from flink_adcom_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(get("q190_trained_langid").build(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_q191_ngram_pass_no_pairwise_work(spark, sf_dir):
+    """q191 is scan-side n-gram explodes + two aggregates — no joins at all
+    beyond the union of the three n legs."""
+    from flink_adcom_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(get("q191_gopher_repetition").build(spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]

@@ -38,7 +38,7 @@ SF1_PROBES = frozenset([
     # holds at 10x (VERDICT r9 #7)
     "q156b_contrastive_pool", "q175_dataset_token_report",
     "q110_training_manifest", "q187_decontamination_report",
-    "q188_substring_dedup",
+    "q188_substring_dedup", "q191_gopher_repetition", "q192_curation_funnel",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -111,6 +111,8 @@ PROBES = [
     "q156b_contrastive_pool",
     "q187_decontamination_report",
     "q188_substring_dedup",
+    "q191_gopher_repetition",
+    "q192_curation_funnel",
 ]
 
 
