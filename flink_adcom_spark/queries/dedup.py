@@ -931,8 +931,10 @@ def q188_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark, re-sort by (doc, pos)."""
     from pyspark.sql import Window
 
+    from ..tables import widen_scan
+
     docs = _documents(spark, sf_dir)
-    t = (
+    t = widen_scan(
         docs.select("doc_id", words_col().alias("w"))
         .withColumn("n", F.size("w").cast("bigint"))
         .filter(F.col("n") >= SUBSTR_L)

@@ -2909,6 +2909,9 @@ def q191_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (doc, n) aggregate — linear in corpus tokens, no pairwise work.
     Fractions are single ROUND(int/int, 6) divisions (q114 discipline)."""
     w = words_col()
+    # NOT widen_scan'd: the three n legs below each re-read t, so a
+    # repartition here is paid three times and measured SLOWER (1.6 -> 1.9 s
+    # at sf0.1) than the narrow scan whose count shuffle parallelizes anyway
     t = (
         _documents(spark, sf_dir)
         .select("doc_id", w.alias("w"))
@@ -3016,7 +3019,9 @@ def langid_features(docs: DataFrame) -> DataFrame:
     everywhere in the text stack (module header): Spark substring counts
     codepoints and DuckDB substr counts grapheme clusters, identical on
     ASCII only."""
-    t = docs.select("doc_id", fold_col().alias("txt"))
+    from ..tables import widen_scan
+
+    t = widen_scan(docs.select("doc_id", fold_col().alias("txt")))
     tri = (
         t.filter(F.length("txt") >= 3)
         .select(
@@ -3065,14 +3070,33 @@ def langid_fl(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
+def _langid_margins(fl_mc: DataFrame, W: dict[int, list[int]]) -> DataFrame:
+    """(ci, doc_id, margin): per-class integer margins with the weights
+    inlined as a classes x buckets literal matrix — a hash aggregate, NOT a
+    window (the window form sorts the full |classes| x features relation;
+    the aggregate + broadcast-join-back plan measured ~40% faster at
+    sf0.1)."""
+    w_mat = F.array(
+        *[
+            F.array(*[F.lit(int(v)) for v in W[ci]])
+            for ci in range(1, len(LANGID_CLASSES) + 1)
+        ]
+    )
+    return fl_mc.groupBy("ci", "doc_id").agg(
+        F.sum(
+            F.col("cnt")
+            * F.element_at(F.element_at(w_mat, F.col("ci")), F.col("bucket") + 1)
+        ).alias("margin")
+    )
+
+
 def langid_train(fl_mc: DataFrame, rounds: int = CLF_ROUNDS) -> dict[int, list[int]]:
     """CLF_ROUNDS unrolled batch-perceptron rounds over the multi-class
-    relation — q178's loop with (ci, bucket) keys: per round ONE
-    (ci, doc_id) window shuffle with the weights inlined as a classes x
-    buckets literal matrix, one <= |classes|*(buckets+1)-group gradient
-    aggregate, and only those ints cross to the driver."""
-    from pyspark.sql import Window
-
+    relation — q178's loop with (ci, bucket) keys: per round one margin
+    hash-aggregate broadcast-joined back onto the features (the margin
+    table is |classes| x |docs| rows — broadcastable at any corpus size a
+    driver-held model makes sense for), one <= |classes|*(buckets+1)-group
+    gradient aggregate, and only those ints cross to the driver."""
     W = {ci: [0] * (LANGID_BUCKETS + 1) for ci in range(1, len(LANGID_CLASSES) + 1)}
     for rnd in range(rounds):
         if rnd == 0:
@@ -3080,18 +3104,8 @@ def langid_train(fl_mc: DataFrame, rounds: int = CLF_ROUNDS) -> dict[int, list[i
                 F.sum(F.col("y") * F.col("cnt")).alias("g")
             )
         else:
-            w_mat = F.array(
-                *[
-                    F.array(*[F.lit(int(v)) for v in W[ci]])
-                    for ci in range(1, len(LANGID_CLASSES) + 1)
-                ]
-            )
-            margin = F.sum(
-                F.col("cnt")
-                * F.element_at(F.element_at(w_mat, F.col("ci")), F.col("bucket") + 1)
-            ).over(Window.partitionBy("ci", "doc_id"))
             grad_df = (
-                fl_mc.withColumn("margin", margin)
+                fl_mc.join(F.broadcast(_langid_margins(fl_mc, W)), ["ci", "doc_id"])
                 .filter(F.col("y") * F.col("margin") <= 0)
                 .groupBy("ci", "bucket")
                 .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
@@ -3194,19 +3208,12 @@ def q190_trained_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
     fl_mc = langid_fl(spark, docs).localCheckpoint(eager=False)
     W = langid_train(fl_mc)
-    w_mat = F.array(
-        *[
-            F.array(*[F.lit(int(v)) for v in W[ci]])
-            for ci in range(1, len(LANGID_CLASSES) + 1)
-        ]
-    )
-    sc = fl_mc.groupBy("ci", "lang_c", "doc_id").agg(
-        F.sum(
-            F.col("cnt")
-            * F.element_at(F.element_at(w_mat, F.col("ci")), F.col("bucket") + 1)
-        )
-        .cast("bigint")
-        .alias("score")
+    # scoring IS the margin relation under the final weights
+    sc = _langid_margins(fl_mc, W).select(
+        "ci",
+        "doc_id",
+        F.element_at(F.lit(list(LANGID_CLASSES)), F.col("ci")).alias("lang_c"),
+        F.col("margin").cast("bigint").alias("score"),
     )
     wn = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang_c"))
     pred = (

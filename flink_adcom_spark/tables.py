@@ -293,6 +293,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return out
 
 
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Repartition a scan to the cluster's parallelism ONLY when it arrives
+    pathologically narrow. The small-SF tables are single parquet files
+    with one row group, so their scans are 1 partition and any token-heavy
+    derivation (trigram/gram explodes) runs single-core; at 100 TB the
+    same tables arrive in 128 MB row groups and scan wide, making this a
+    no-op — the condition guards against paying a full-table shuffle at
+    real scale while un-serializing the bench-scale hot paths (measured:
+    q190's feature build 7.0 -> 4.6 s at sf0.1)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
