@@ -292,3 +292,128 @@ def q143_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_anomaly"),
     )
+
+
+# --- q193: exact two-sample KS drift per source --------------------------------
+# Feed-drift detection: the Kolmogorov-Smirnov statistic between each
+# source's n_chars distribution and the REST of the corpus — the check a
+# pipeline runs per upstream feed before mixing a new crawl batch in
+# (distribution drift that q141's per-point outlier rules cannot see).
+# Exact arithmetic: the ECDF difference is evaluated as the integer cross
+# product |c_s * n_rest - c_rest * n_s| maximized over the value grid, with
+# ONE division at the end (q152's integer-comparison discipline), so both
+# engines agree bit-for-bit. The flag uses the classical two-sided critical
+# value at alpha=0.05: 1.358 * sqrt((n_s + n_rest) / (n_s * n_rest)).
+KS_ALPHA_C = "1.358"
+
+
+@query(
+    "q193_source_drift_ks",
+    f"""
+    WITH d AS (SELECT source, n_chars AS v FROM documents
+               WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+    per AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM d GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT v FROM d),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    gall AS (SELECT g.v,
+                    CAST(SUM(SUM(COALESCE(p.cnt, 0)))
+                         OVER (ORDER BY g.v) AS BIGINT) AS c_all
+             FROM grid g LEFT JOIN per p ON p.v = g.v
+             GROUP BY g.v),
+    gs AS (SELECT s.source, g.v,
+                  CAST(SUM(COALESCE(p.cnt, 0))
+                       OVER (PARTITION BY s.source ORDER BY g.v) AS BIGINT)
+                    AS c_s
+           FROM srcs s CROSS JOIN grid g
+           LEFT JOIN per p ON p.source = s.source AND p.v = g.v),
+    diffs AS (SELECT gs.source,
+                     MAX(ABS(gs.c_s * (tot.n - srcs.n_s)
+                             - (gall.c_all - gs.c_s) * srcs.n_s)) AS num
+              FROM gs JOIN gall USING (v)
+                      JOIN srcs USING (source) CROSS JOIN tot
+              GROUP BY gs.source)
+    SELECT d.source, s.n_s, (t.n - s.n_s) AS n_rest,
+           ROUND(CAST(d.num AS DOUBLE) / (s.n_s * (t.n - s.n_s)), 6) AS ks_stat,
+           (CAST(d.num AS DOUBLE) / (s.n_s * (t.n - s.n_s))
+            > {KS_ALPHA_C} * SQRT(CAST(t.n AS DOUBLE)
+                                  / (s.n_s * (t.n - s.n_s)))) AS drifted
+    FROM diffs d JOIN srcs s USING (source) CROSS JOIN tot t
+    """,
+    tags=("audit", "drift", "pipeline"),
+)
+def q193_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift audit (module comment above): exact
+    two-sample KS statistic of each source's n_chars ECDF against the rest
+    of the corpus, flagged at the alpha=0.05 critical value.
+
+    Scale shape: the grid is the DISTINCT value set of the drifting column
+    (bounded by the column's range — document lengths — not corpus size),
+    so the windows run over |sources| x |grid| rows; everything before them
+    is one (source, v) count shuffle. At 100 TB the same plan holds with a
+    quantile-sketch grid (percentile_approx cuts) swapped in for the exact
+    distinct-value grid."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & F.col("source").isNotNull())
+        .select("source", F.col("n_chars").alias("v"))
+    )
+    per = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    grid = d.select("v").distinct()
+    srcs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_total = d.count()  # bounded: one scalar (the corpus row count)
+    gall = (
+        grid.join(per, "v", "left")
+        .groupBy("v")
+        .agg(F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("cv"))
+        .withColumn(
+            "c_all",
+            F.sum("cv").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("v", "c_all")
+    )
+    gs = (
+        srcs.select("source")
+        .crossJoin(F.broadcast(grid))
+        .join(per, ["source", "v"], "left")
+        .withColumn(
+            "c_s",
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(
+                Window.partitionBy("source")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("source", "v", "c_s")
+    )
+    diffs = (
+        gs.join(gall, "v")
+        .join(F.broadcast(srcs), "source")
+        .withColumn(
+            "num",
+            F.abs(
+                F.col("c_s") * (F.lit(n_total) - F.col("n_s"))
+                - (F.col("c_all") - F.col("c_s")) * F.col("n_s")
+            ),
+        )
+        .groupBy("source")
+        .agg(F.max("num").alias("num"))
+    )
+    out = diffs.join(F.broadcast(srcs), "source")
+    n_rest = F.lit(n_total) - F.col("n_s")
+    ks = F.col("num").cast("double") / (F.col("n_s") * n_rest)
+    crit = float(KS_ALPHA_C) * F.sqrt(
+        F.lit(float(n_total)) / (F.col("n_s") * n_rest)
+    )
+    return out.select(
+        "source",
+        "n_s",
+        n_rest.alias("n_rest"),
+        F.round(ks, 6).alias("ks_stat"),
+        (ks > crit).alias("drifted"),
+    )

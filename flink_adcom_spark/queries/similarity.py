@@ -1634,6 +1634,122 @@ def q156b_contrastive_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q194: dimension-truncation recall ablation (Matryoshka-style) -------------
+TRUNC_DIMS = (16, 32)  # prefix widths evaluated against the full 64-dim truth
+
+
+def _trunc_rank_sql(dims: str) -> str:
+    """Top-K relation over a dimension prefix (dims = SQL expr or literal) —
+    the q50 shape with the explode filtered to i <= dims."""
+    return f"""
+      SELECT q_id, n_id, rnk FROM (
+        SELECT p.q_id, p.n_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.q_id
+                 ORDER BY ROUND(p.dot / (na.nrm * nb.nrm), 6) DESC, p.n_id
+               ) AS rnk
+        FROM (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                     SUM(a.val * b.val) AS dot
+              FROM xt a JOIN xt b ON a.i = b.i AND a.vec_id < {N_QUERY_VECS}
+                                 AND a.vec_id <> b.vec_id
+              WHERE a.i <= {dims} AND b.i <= {dims}
+              GROUP BY 1, 2) p
+        JOIN (SELECT vec_id, sqrt(SUM(val * val)) AS nrm FROM xt
+              WHERE i <= {dims} GROUP BY vec_id) na ON p.q_id = na.vec_id
+        JOIN (SELECT vec_id, sqrt(SUM(val * val)) AS nrm FROM xt
+              WHERE i <= {dims} GROUP BY vec_id) nb ON p.n_id = nb.vec_id) t
+      WHERE rnk <= {TOP_K}"""
+
+
+@query(
+    "q194_dim_truncation_recall",
+    f"""
+    WITH xt AS MATERIALIZED ({_X_SQL}),
+    full_k AS MATERIALIZED ({_trunc_rank_sql(str(EMB_DIM))}),
+    """
+    + ",\n    ".join(
+        f"t{t} AS MATERIALIZED ({_trunc_rank_sql(str(t))})" for t in TRUNC_DIMS
+    )
+    + f"""
+    {" UNION ALL ".join(
+        f'''SELECT f.q_id, {t} AS n_dims,
+               ROUND(CAST(COUNT(tt.n_id) AS DOUBLE) / {TOP_K}, 6) AS recall
+            FROM full_k f LEFT JOIN t{t} tt
+              ON f.q_id = tt.q_id AND f.n_id = tt.n_id
+            GROUP BY f.q_id'''
+        for t in TRUNC_DIMS
+    )}
+    """,
+    tags=("similarity", "knn", "ablation", "pipeline"),
+)
+def q194_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation ablation (Kusupati et al. 2022,
+    arXiv:2205.13147): recall@{TOP_K} of brute-force cosine search over the
+    FIRST {TRUNC_DIMS} dimensions against the full {EMB_DIM}-dim truth, per
+    query — the measurement that decides how short a prefix an ANN index
+    can store (4x/2x memory cuts) before retrieval quality pays. Same
+    bounded-query discipline as q50: only vec_id < {N_QUERY_VECS} are
+    queries, so the scan cost is |queries| x corpus per tier.
+
+    Determinism: each tier ranks by round-6 cosine with an id tie-break
+    (q50 discipline); recall is an integer overlap count divided once."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+
+    def topk(dims: int) -> DataFrame:
+        vt = F.slice("v", 1, dims)
+        et = e.select(
+            "vec_id",
+            vt.alias("vt"),
+            F.sqrt(
+                F.aggregate(vt, F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("nt"),
+        )
+        q = et.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vt").alias("qv"),
+            F.col("nt").alias("qn"),
+        )
+        d = et.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("vt").alias("dv"),
+            F.col("nt").alias("dn"),
+        )
+        cos = F.round(_dot("qv", "dv") / (F.col("qn") * F.col("dn")), 6)
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+        return (
+            F.broadcast(q)
+            .join(d, F.col("q_id") != F.col("n_id"))
+            .withColumn("cosine", cos)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("q_id", "n_id")
+        )
+
+    truth = topk(EMB_DIM).localCheckpoint(eager=False)
+    out = None
+    for t in TRUNC_DIMS:
+        tier = (
+            truth.alias("f")
+            .join(
+                topk(t).alias("t"),
+                (F.col("f.q_id") == F.col("t.q_id"))
+                & (F.col("f.n_id") == F.col("t.n_id")),
+                "left",
+            )
+            .groupBy(F.col("f.q_id").alias("q_id"))
+            .agg(
+                F.round(
+                    F.count(F.col("t.n_id")).cast("double") / TOP_K, 6
+                ).alias("recall")
+            )
+            .select("q_id", F.lit(t).alias("n_dims"), "recall")
+        )
+        out = tier if out is None else out.unionByName(tier)
+    return out
+
+
 # --- embedding-level benchmark decontamination ---------------------------------
 DECON_COS = 0.4  # the synthetic embeddings are near-random (max eval-corpus
 # cosine ~0.48 at every SF), so a production-style 0.9 would never fire; 0.4

@@ -352,3 +352,33 @@ def test_q188_finds_the_offgrid_shared_paragraph_q111_misses(
         )
     finally:
         con.close()
+
+
+# --- q193 KS drift: a planted shifted source must be flagged -------------------
+
+_DRIFT_PLANT = {
+    "documents": """SELECT doc_id, text, lang, source,
+        CASE WHEN source = 'src3' THEN n_chars + 5000 ELSE n_chars END
+          AS n_chars
+        FROM '{src}'"""
+}
+
+
+def test_q193_flags_exactly_the_planted_drifted_source(spark, tmp_path_factory):
+    """Shift src3's whole n_chars distribution by +5000 (total ECDF
+    separation -> KS ~ 1.0 against the rest): q193 must flag src3 and ONLY
+    src3, and the flag must be the thresholded ks_stat it reports."""
+    fixture = make_fixture_dir(tmp_path_factory, "planted_drift", _DRIFT_PLANT)
+    rows = get("q193_source_drift_ks").build(spark, fixture).collect()
+    flagged = {r["source"] for r in rows if r["drifted"]}
+    assert flagged == {"src3"}, flagged
+    by_src = {r["source"]: r["ks_stat"] for r in rows}
+    assert by_src["src3"] >= 0.9, by_src["src3"]
+
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(
+            get("q193_source_drift_ks"), spark, fixture, con, name="q193"
+        )
+    finally:
+        con.close()
