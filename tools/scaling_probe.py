@@ -39,6 +39,7 @@ SF1_PROBES = frozenset([
     "q156b_contrastive_pool", "q175_dataset_token_report",
     "q110_training_manifest", "q187_decontamination_report",
     "q188_substring_dedup", "q191_gopher_repetition", "q192_curation_funnel",
+    "q193_source_drift_ks", "q194_dim_truncation_recall",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -113,6 +114,8 @@ PROBES = [
     "q188_substring_dedup",
     "q191_gopher_repetition",
     "q192_curation_funnel",
+    "q193_source_drift_ks",
+    "q194_dim_truncation_recall",
 ]
 
 
