@@ -628,6 +628,10 @@ def _kmeans_oracle_sql(
     train_where: str = "",
     assign_cte: str | None = None,
     ranks: int = 1,
+    prefix: str = "",
+    vec_expr: str = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+    dim: int = EMB_DIM,
+    emit_centroids: bool = False,
 ) -> str:
     """DuckDB restatement of lloyd_kmeans: the ITERS iterations are unrolled
     as chained CTEs (assign -> per-cluster/dim mean -> empty-cluster
@@ -644,53 +648,61 @@ def _kmeans_oracle_sql(
     `ranks` > 1 emits the top-`ranks` nearest centroids per vector as
     (vec_id, cluster, rnk) rows — the nprobe/hard-negative assignment
     (q156); ties break to the lower cid, mirroring
-    operators/kmeans.py::assign_clusters_ranked's position-masked argmin."""
-    assign_src = "vecs"
+    operators/kmeans.py::assign_clusters_ranked's position-masked argmin.
+
+    `prefix` namespaces every CTE (vecs/dims/c0/a1/...) so several chains
+    can share one WITH (the PQ per-subspace case, q195); `vec_expr`/`dim`
+    swap the trained vector for an expression over `embedding` (e.g. a
+    subspace slice). Defaults reproduce the historical SQL byte-for-byte."""
+    p = prefix
+    assign_src = f"{p}vecs"
     assign_block = ""
     if assign_cte is not None:
-        assign_src = "batch"
-        assign_block = f",\nbatch AS ({assign_cte})"
+        assign_src = f"{p}batch"
+        assign_block = f",\n{p}batch AS ({assign_cte})"
     parts = [
-        f"""WITH vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        f"""WITH {p}vecs AS (
+  SELECT vec_id, {vec_expr} AS v
   FROM embeddings {train_where}
 ),
-dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
-c0 AS (
+{p}dims AS (SELECT unnest(range(1, {dim + 1})) AS i),
+{p}c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k}) t
+  FROM (SELECT vec_id, v FROM {p}vecs ORDER BY vec_id LIMIT {k}) t
 )"""
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(1, iters + 1):
         parts.append(
             f""",
-a{it} AS (
+{p}a{it} AS (
   SELECT vec_id, cid AS cluster, v FROM (
-    SELECT vecs.vec_id, {prev}.cid, vecs.v,
-           ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
-                              ORDER BY {_kmeans_dist_sql('vecs.v', prev + '.c')},
+    SELECT {p}vecs.vec_id, {prev}.cid, {p}vecs.v,
+           ROW_NUMBER() OVER (PARTITION BY {p}vecs.vec_id
+                              ORDER BY {_kmeans_dist_sql(p + 'vecs.v', prev + '.c')},
                                        {prev}.cid) AS rn
-    FROM vecs CROSS JOIN {prev}
+    FROM {p}vecs CROSS JOIN {prev}
   ) t WHERE rn = 1
 ),
-u{it} AS (
+{p}u{it} AS (
   SELECT cluster AS cid, list(m ORDER BY i) AS c FROM (
-    SELECT cluster, i, AVG(v[i]) AS m FROM a{it} CROSS JOIN dims GROUP BY cluster, i
+    SELECT cluster, i, AVG(v[i]) AS m FROM {p}a{it} CROSS JOIN {p}dims GROUP BY cluster, i
   ) t GROUP BY cluster
 ),
-c{it} AS (
-  SELECT {prev}.cid, COALESCE(u{it}.c, {prev}.c) AS c
-  FROM {prev} LEFT JOIN u{it} ON {prev}.cid = u{it}.cid
+{p}c{it} AS (
+  SELECT {prev}.cid, COALESCE({p}u{it}.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN {p}u{it} ON {prev}.cid = {p}u{it}.cid
 )"""
         )
-        prev = f"c{it}"
+        prev = f"{p}c{it}"
     parts.append(assign_block)
     rnk_col = ", CAST(rn AS INT) AS rnk" if ranks > 1 else ""
+    cen_outer = ", c" if emit_centroids else ""
+    cen_inner = f" {prev}.c," if emit_centroids else ""
     parts.append(
         f"""
-SELECT vec_id, CAST(cluster AS INT) AS cluster{rnk_col} FROM (
-  SELECT {assign_src}.vec_id, {prev}.cid AS cluster,
+SELECT vec_id, CAST(cluster AS INT) AS cluster{cen_outer}{rnk_col} FROM (
+  SELECT {assign_src}.vec_id, {prev}.cid AS cluster,{cen_inner}
          ROW_NUMBER() OVER (PARTITION BY {assign_src}.vec_id
                             ORDER BY {_kmeans_dist_sql(assign_src + '.v', prev + '.c')},
                                      {prev}.cid) AS rn
@@ -1631,6 +1643,206 @@ def q156b_contrastive_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pos.join(neg, "anchor_id").select(
         "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"
+    )
+
+
+# --- product quantization: codebooks/codes + ADC search -------------------------
+# FAISS-family PQ (Jegou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search"): the 64-dim vector splits into PQ_M subspaces, each
+# quantized by its own k-means codebook of PQ_K centroids, so a vector
+# stores as PQ_M 4-bit codes (16x smaller than float32, 4x smaller than the
+# q101 int8 code). Search is asymmetric distance computation (ADC): the
+# QUERY stays exact, the corpus side is looked up per-subspace against the
+# codebook — the memory-bandwidth shape that serves billion-vector indexes.
+PQ_M = 8                      # subspaces
+PQ_SUB = EMB_DIM // PQ_M      # dims per subspace
+PQ_K = 16                     # centroids per codebook (4-bit codes)
+PQ_ITERS = 2
+
+
+def _pq_vec_expr(m: int) -> str:
+    lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+    return (
+        f"list_transform(list_slice(embedding, {lo}, {hi}), "
+        "x -> CAST(x AS DOUBLE))"
+    )
+
+
+def _pq_chain(m: int, emit_centroids: bool = False) -> str:
+    return _kmeans_oracle_sql(
+        PQ_K,
+        PQ_ITERS,
+        prefix=f"s{m}",
+        vec_expr=_pq_vec_expr(m),
+        dim=PQ_SUB,
+        emit_centroids=emit_centroids,
+    )
+
+
+def _pq_chains_spark(spark: SparkSession, sf_dir: str):
+    """Per subspace: (final assignment DF, trained centroid list) — the
+    Spark twin of the 8 prefixed oracle chains (shared lloyd_kmeans body,
+    so init/ties/empty-cluster rules are the q57-verified ones). The 8
+    trainings are INDEPENDENT, so they submit concurrently from a thread
+    pool (Spark's scheduler interleaves the per-iteration mini-jobs; the
+    serial form paid 8 x (iters+1) sequential job launches — measured
+    ~2.5x slower at sf0.1). Results are deterministic per subspace, so
+    concurrency cannot reorder anything observable."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.kmeans import lloyd_kmeans
+
+    e = _emb(spark, sf_dir)
+
+    def train(m: int):
+        sub = e.select(
+            "vec_id", F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("sv")
+        )
+        return lloyd_kmeans(sub, "sv", "vec_id", k=PQ_K, iters=PQ_ITERS)
+
+    with ThreadPoolExecutor(max_workers=PQ_M) as ex:
+        return list(ex.map(train, range(PQ_M)))
+
+
+@query(
+    "q195_pq_codes",
+    "WITH "
+    + ",\n".join(f"asg{m} AS ({_pq_chain(m)})" for m in range(PQ_M))
+    + """
+    SELECT asg0.vec_id,
+           concat_ws(':', """
+    + ", ".join(f"CAST(asg{m}.cluster AS VARCHAR)" for m in range(PQ_M))
+    + """) AS code_str
+    FROM asg0 """
+    + " ".join(f"JOIN asg{m} USING (vec_id)" for m in range(1, PQ_M))
+    + "",
+    tags=("similarity", "quantize", "pq", "pipeline"),
+)
+def q195_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the corpus: every vector's {PQ_M} x 4-bit code word
+    (subspace centroid indices, ':'-joined) under codebooks trained on the
+    corpus itself — the persisted representation a PQ index stores. The
+    whole code word is externally hash-checked, so a drifted codebook,
+    tie rule, or empty-cluster fallback in ANY subspace fails the gate.
+
+    Scale shape: {PQ_M} independent small k-means (k={PQ_K}, {PQ_ITERS}
+    iterations; each iteration one scan-side broadcast-argmin + one
+    {PQ_K}-group mean), then one scan assigns all subspaces. Codebooks are
+    {PQ_M} x {PQ_K} x {PQ_SUB} doubles on the driver — broadcast-literal at
+    any corpus size."""
+    chains = _pq_chains_spark(spark, sf_dir)
+    codes = None
+    for m, (asg, _) in enumerate(chains):
+        a = asg.select("vec_id", F.col("cluster").alias(f"c{m}"))
+        codes = a if codes is None else codes.join(a, "vec_id")
+    return codes.select(
+        "vec_id",
+        F.concat_ws(
+            ":", *[F.col(f"c{m}").cast("string") for m in range(PQ_M)]
+        ).alias("code_str"),
+    )
+
+
+@query(
+    "q196_pq_adc_knn",
+    "WITH "
+    + ",\n".join(
+        f"asg{m} AS ({_pq_chain(m, emit_centroids=True)})" for m in range(PQ_M)
+    )
+    + f""",
+    xc AS ({" UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, c FROM asg{m}" for m in range(PQ_M)
+    )}),
+    qsub AS ({" UNION ALL ".join(
+        f"SELECT vec_id AS q_id, {m} AS m, {_pq_vec_expr(m)} AS qv "
+        f"FROM embeddings WHERE vec_id < {N_QUERY_VECS}" for m in range(PQ_M)
+    )}),
+    pair AS (SELECT q.q_id, x.vec_id AS n_id, q.m,
+                    {_kmeans_dist_sql("q.qv", "x.c")} AS dm
+             FROM qsub q JOIN xc x ON q.m = x.m AND q.q_id <> x.vec_id),
+    adc AS (SELECT q_id, n_id,
+                   ROUND(list_reduce(
+                     list_prepend(CAST(0 AS DOUBLE), list(dm ORDER BY m)),
+                     (a, x) -> a + x), 6) AS adc_dist
+            FROM pair GROUP BY q_id, n_id),
+    r AS (SELECT q_id, n_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY adc_dist ASC, n_id) AS rnk
+          FROM adc)
+    SELECT q_id, n_id, adc_dist, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "quantize", "pq", "pipeline"),
+    bench=True,
+)
+def q196_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by asymmetric distance computation: per query (exact) and
+    corpus vector (represented ONLY by its assigned subspace centroids),
+    the approximate squared L2 distance is the m-ordered sum of per-
+    subspace distances to the code's centroid; top-{TOP_K} per query with
+    round-6 + id tie-breaks. This is the q109 coarse stage at PQ
+    compression — 4 bits/subspace vs int8's 8 bits/dim.
+
+    Determinism: per-subspace distances use the q57 fold order; the
+    {PQ_M}-term ADC sum folds in m order on BOTH engines (array_sort by m
+    then left fold here; list(dm ORDER BY m) + list_reduce in the oracle),
+    so the one float addition chain is identical. Centroids differ between
+    engines only in final-ulp mean rounding (the q57-documented tolerance),
+    buried by round-6.
+
+    Scale shape: the corpus side touches only codes + a broadcast
+    {PQ_M} x {PQ_K} x {PQ_SUB} codebook literal; per (query, corpus) work
+    is {PQ_M} lookups + {PQ_SUB}-dim folds, and the query side is the
+    bounded q50 workload."""
+    from pyspark.sql import Window
+
+    chains = _pq_chains_spark(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "v")
+    per_m = []
+    for m, (asg, cents) in enumerate(chains):
+        cmat = F.lit([[float(x) for x in c] for c in cents])
+        xm = asg.select(
+            F.col("vec_id").alias("n_id"),
+            F.element_at(cmat, F.col("cluster") + 1).alias("xc"),
+        )
+        qm = qs.select(
+            F.col("vec_id").alias("q_id"),
+            F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("qv"),
+        )
+        dm = F.aggregate(
+            F.zip_with("qv", "xc", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        per_m.append(
+            F.broadcast(qm)
+            .join(xm, F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", F.lit(m).alias("m"), dm.alias("dm"))
+        )
+    pair = per_m[0]
+    for df in per_m[1:]:
+        pair = pair.unionByName(df)
+    # m-ordered fold: collect_list is order-free, so sort the (m, dm)
+    # structs by m first — the oracle's list(dm ORDER BY m) twin
+    adc = pair.groupBy("q_id", "n_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "dm"))),
+                    lambda s: s.getField("dm"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("adc_dist")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "adc_dist", "rnk")
     )
 
 

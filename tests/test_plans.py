@@ -412,3 +412,18 @@ def test_q191_ngram_pass_no_pairwise_work(spark, sf_dir):
 
     plan = formatted_plan(get("q191_gopher_repetition").build(spark, sf_dir))
     assert "Join" not in plan, plan[:2000]
+
+
+def test_q196_adc_corpus_side_is_codes_plus_broadcast_codebook(spark, sf_dir):
+    """q196's ADC pass must never join the corpus's FLOAT vectors on the
+    search side: the corpus contribution is the assigned centroid looked up
+    from a broadcast codebook literal, and the query side is broadcast
+    (bounded q50 workload) — no shuffled hash join of two big sides."""
+    from flink_adcom_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(get("q196_pq_adc_knn").build(spark, sf_dir))
+    # the q50 brute-force shape: queries broadcast (BuildLeft) into a
+    # nested-loop over the corpus scan (the q_id <> n_id condition is
+    # non-equi, so BNLJ — not a hash join — is the correct operator)
+    assert "BroadcastNestedLoopJoin Inner BuildLeft" in plan
+    assert "SortMergeJoin" not in plan

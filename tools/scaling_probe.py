@@ -40,6 +40,7 @@ SF1_PROBES = frozenset([
     "q110_training_manifest", "q187_decontamination_report",
     "q188_substring_dedup", "q191_gopher_repetition", "q192_curation_funnel",
     "q193_source_drift_ks", "q194_dim_truncation_recall",
+    "q195_pq_codes",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -116,6 +117,8 @@ PROBES = [
     "q192_curation_funnel",
     "q193_source_drift_ks",
     "q194_dim_truncation_recall",
+    "q195_pq_codes",
+    "q196_pq_adc_knn",
 ]
 
 
