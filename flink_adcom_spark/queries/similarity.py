@@ -1846,6 +1846,55 @@ def q196_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q197: PQ recall audit vs exact truth ---------------------------------------
+def _q197_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q50 = _REGISTRY["q50_knn_bruteforce"].oracle
+    q196 = _REGISTRY["q196_pq_adc_knn"].oracle
+    return f"""
+    WITH truth AS MATERIALIZED (SELECT q_id, n_id FROM ({q50}) t),
+    pq AS MATERIALIZED (SELECT q_id, n_id FROM ({q196}) t)
+    SELECT f.q_id,
+           ROUND(CAST(COUNT(p.n_id) AS DOUBLE) / {TOP_K}, 6) AS recall
+    FROM truth f LEFT JOIN pq p ON f.q_id = p.q_id AND f.n_id = p.n_id
+    GROUP BY f.q_id
+    """
+
+
+@query(
+    "q197_pq_recall",
+    _q197_oracle(),
+    tags=("similarity", "knn", "quantize", "pq", "audit", "pipeline"),
+)
+def q197_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the PQ/ADC search (q196) against the exact cosine
+    truth (q50) per query — the acceptance metric that decides whether a
+    16x-compressed index is servable as-is or needs a refine stage (the
+    q109 pattern). Closes the quality loop the q119/q194 audits apply to
+    the IVF and truncation tiers; composed from the two verified relations
+    (the q187/q192 discipline), so it cannot disagree with either.
+
+    NOTE on the truth metric: the exact side ranks by COSINE (the engine's
+    retrieval metric) while ADC approximates L2 — the measured recall is
+    the honest number a mixed-metric index swap would see on this corpus."""
+    truth = q50_knn_bruteforce(spark, sf_dir).select("q_id", "n_id")
+    pq = q196_pq_adc_knn(spark, sf_dir).select(
+        F.col("q_id").alias("p_qid"), F.col("n_id").alias("p_id")
+    )
+    return (
+        truth.join(
+            pq,
+            (F.col("q_id") == F.col("p_qid")) & (F.col("n_id") == F.col("p_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.round(F.count("p_id").cast("double") / TOP_K, 6).alias("recall")
+        )
+    )
+
+
 # --- q194: dimension-truncation recall ablation (Matryoshka-style) -------------
 TRUNC_DIMS = (16, 32)  # prefix widths evaluated against the full 64-dim truth
 
