@@ -40,7 +40,7 @@ SF1_PROBES = frozenset([
     "q110_training_manifest", "q187_decontamination_report",
     "q188_substring_dedup", "q191_gopher_repetition", "q192_curation_funnel",
     "q193_source_drift_ks", "q194_dim_truncation_recall",
-    "q195_pq_codes",
+    "q195_pq_codes", "q196_pq_adc_knn",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -119,17 +119,53 @@ PROBES = [
     "q194_dim_truncation_recall",
     "q195_pq_codes",
     "q196_pq_adc_knn",
+    "q197_pq_recall",
 ]
 
 
+def _parse_prev_rows() -> dict[str, dict[str, tuple[float, int]]]:
+    """Recover the measured cells from the existing SCALING.md table, so a
+    restricted run (argv query names) re-measures only those queries and
+    keeps everyone else's rows."""
+    import re
+
+    out: dict[str, dict[str, tuple[float, int]]] = {}
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"\| (q\w+) \| (.*) \|$", line.strip())
+            if not m:
+                continue
+            cells = [c.strip() for c in m.group(2).split("|")]
+            if len(cells) != len(SFS):
+                continue
+            per = {}
+            for sf, cell in zip(SFS, cells):
+                cm = re.match(r"([\d.]+) / ([\d,]+)", cell)
+                if cm:
+                    per[sf] = (float(cm.group(1)), int(cm.group(2).replace(",", "")))
+            out[m.group(1)] = per
+    return out
+
+
 def main() -> None:
+    only = set(sys.argv[1:])  # empty -> full run
     spark = get_spark("scaling-probe")
-    rows: dict[str, dict[str, tuple[float, int]]] = {q: {} for q in PROBES}
+    rows = _parse_prev_rows() if only else {}
+    for q in PROBES:
+        if not only or q in only:
+            rows[q] = {}
     for sf in SFS:
         sf_dir = SF_DIRS[sf]
         if not os.path.isdir(sf_dir):
             continue
         for q in PROBES:
+            if only and q not in only:
+                continue
             if sf == "1" and q not in SF1_PROBES:
                 continue
             spec = registry.get(q)
@@ -160,7 +196,7 @@ def main() -> None:
     for q in PROBES:
         cells = []
         for sf in SFS:
-            if sf in rows[q]:
+            if sf in rows.get(q, {}):
                 s, n = rows[q][sf]
                 cells.append(f"{s:.2f} / {n:,}")
             else:
