@@ -24,28 +24,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-    """Add a `cluster` column: index of the nearest centroid (ties -> lowest
-    index, via array_position returning the first match).
+def cluster_expr(vec, centroids: list[list[float]]):
+    """Nearest-centroid index as a pure COLUMN over any vector expression
+    (ties -> lowest index, via array_position returning the first match) —
+    usable several times in one projection (the PQ case: 8 subspace codes
+    off a single scan).
 
     The centroid matrix enters the plan as ONE array<array<double>> literal
     (a genuine broadcast-style constant) with the per-centroid distances
     computed by HOFs over it — NOT as k*dim scalar literal nodes unrolled
     into the expression tree, which at IVF scale (k=256, d=512 -> ~131k
     nodes) would blow Catalyst analysis and codegen method-size limits.
-    Arithmetic is unchanged: per-centroid squared-distance fold in element
-    order, so assignments are bit-identical to the unrolled form."""
+    Arithmetic: per-centroid squared-distance fold in element order."""
     cmat = F.lit([[float(x) for x in c] for c in centroids])
     dists = F.transform(
         cmat,
         lambda c: F.aggregate(
-            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
     )
-    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn("cluster", cluster)
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add a `cluster` column: index of the nearest centroid (cluster_expr
+    above applied to a named column)."""
+    return df.withColumn("cluster", cluster_expr(F.col(vec_col), centroids))
 
 
 def assign_clusters_ranked(

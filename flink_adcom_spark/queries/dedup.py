@@ -939,15 +939,24 @@ def q188_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("w").cast("bigint"))
         .filter(F.col("n") >= SUBSTR_L)
     )
-    g = t.withColumn(
-        "k",
-        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n") - SUBSTR_L)),
-    ).select(
-        "doc_id",
-        "k",
-        F.md5(
-            F.array_join(F.slice("w", (F.col("k") + 1).cast("int"), SUBSTR_L), " ")
-        ).alias("gd"),
+    g = (
+        t.withColumn(
+            "k",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n") - SUBSTR_L)),
+        )
+        .select(
+            "doc_id",
+            "k",
+            F.md5(
+                F.array_join(
+                    F.slice("w", (F.col("k") + 1).cast("int"), SUBSTR_L), " "
+                )
+            ).alias("gd"),
+        )
+        # g feeds BOTH the dup derivation and the join-back probe side;
+        # without the checkpoint the token-linear md5 gram pass re-executes
+        # for each (the q156b bands lesson)
+        .localCheckpoint(eager=False)
     )
     dup = (
         g.select("doc_id", "gd")

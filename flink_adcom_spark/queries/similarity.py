@@ -1687,27 +1687,28 @@ def _pq_chain(m: int, emit_centroids: bool = False) -> str:
 _PQ_BOOK_CACHE: dict[tuple[str, str], list[list[list[float]]]] = {}
 
 
-def _pq_chains_spark(spark: SparkSession, sf_dir: str):
-    """Per subspace: (final assignment DF, trained centroid list) — the
-    Spark twin of the 8 prefixed oracle chains (shared lloyd_kmeans body,
-    so init/ties/empty-cluster rules are the q57-verified ones). The 8
+def _pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """The trained per-subspace codebooks — the Spark twin of the 8 prefixed
+    oracle chains' centroid derivation (shared lloyd_kmeans body, so
+    init/ties/empty-cluster rules are the q57-verified ones). The 8
     trainings are INDEPENDENT, so they submit concurrently from a thread
     pool (Spark's scheduler interleaves the per-iteration mini-jobs; the
     serial form paid 8 x (iters+1) sequential job launches — measured
     ~2.5x slower at sf0.1). Results are deterministic per subspace, so
-    concurrency cannot reorder anything observable. Codebooks are memoized
-    per table fingerprint (comment above); assignments are recomputed per
-    call — one broadcast-argmin scan against the cached centroid literal."""
+    concurrency cannot reorder anything observable. Memoized per table
+    fingerprint (comment above); code ASSIGNMENT is a pure scan-side
+    expression (kmeans.cluster_expr), so consumers compute all 8 codes in
+    ONE projection of one scan — no per-subspace assignment joins."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..operators.kmeans import assign_clusters, lloyd_kmeans
+    from ..operators.kmeans import lloyd_kmeans
 
-    e = _emb(spark, sf_dir)
     key = (sf_dir, _emb_fingerprint(sf_dir))
     books = _PQ_BOOK_CACHE.get(key)
     if books is None:
         for stale in [k for k in _PQ_BOOK_CACHE if k[0] == sf_dir]:
             del _PQ_BOOK_CACHE[stale]
+        e = _emb(spark, sf_dir)
 
         def train(m: int):
             sub = e.select(
@@ -1718,15 +1719,7 @@ def _pq_chains_spark(spark: SparkSession, sf_dir: str):
         with ThreadPoolExecutor(max_workers=PQ_M) as ex:
             books = list(ex.map(train, range(PQ_M)))
         _PQ_BOOK_CACHE[key] = books
-    out = []
-    for m, cents in enumerate(books):
-        sub = e.select(
-            "vec_id", F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("sv")
-        )
-        out.append(
-            (assign_clusters(sub, "sv", cents).select("vec_id", "cluster"), cents)
-        )
-    return out
+    return books
 
 
 @query(
@@ -1755,17 +1748,17 @@ def q195_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PQ_K}-group mean), then one scan assigns all subspaces. Codebooks are
     {PQ_M} x {PQ_K} x {PQ_SUB} doubles on the driver — broadcast-literal at
     any corpus size."""
-    chains = _pq_chains_spark(spark, sf_dir)
-    codes = None
-    for m, (asg, _) in enumerate(chains):
-        a = asg.select("vec_id", F.col("cluster").alias(f"c{m}"))
-        codes = a if codes is None else codes.join(a, "vec_id")
-    return codes.select(
-        "vec_id",
-        F.concat_ws(
-            ":", *[F.col(f"c{m}").cast("string") for m in range(PQ_M)]
-        ).alias("code_str"),
-    )
+    from ..operators.kmeans import cluster_expr
+
+    books = _pq_books(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    # all 8 subspace codes in ONE projection of one scan — the previous
+    # 8-assignment-joins form paid 8 table scans + 7 vec_id shuffles
+    codes = [
+        cluster_expr(F.slice("v", m * PQ_SUB + 1, PQ_SUB), books[m]).cast("string")
+        for m in range(PQ_M)
+    ]
+    return e.select("vec_id", F.concat_ws(":", *codes).alias("code_str"))
 
 
 @query(
@@ -1821,51 +1814,42 @@ def q196_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded q50 workload."""
     from pyspark.sql import Window
 
-    chains = _pq_chains_spark(spark, sf_dir)
+    from ..operators.kmeans import cluster_expr
+
+    books = _pq_books(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    qs = e.filter(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "v")
-    per_m = []
-    for m, (asg, cents) in enumerate(chains):
-        cmat = F.lit([[float(x) for x in c] for c in cents])
-        xm = asg.select(
-            F.col("vec_id").alias("n_id"),
-            F.element_at(cmat, F.col("cluster") + 1).alias("xc"),
-        )
-        qm = qs.select(
-            F.col("vec_id").alias("q_id"),
-            F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("qv"),
-        )
-        dm = F.aggregate(
-            F.zip_with("qv", "xc", lambda x, y: (x - y) * (x - y)),
+    # corpus side: n_id + the 8 winner-centroid vectors, ONE scan (the
+    # assigned code is a scan-side expression; the previous form unioned 8
+    # per-subspace join legs and re-sorted (m, dm) structs per pair)
+    xc_cols = []
+    for m in range(PQ_M):
+        cmat = F.lit([[float(x) for x in c] for c in books[m]])
+        code = cluster_expr(F.slice("v", m * PQ_SUB + 1, PQ_SUB), books[m])
+        xc_cols.append(F.element_at(cmat, code + 1).alias(f"xc{m}"))
+    x = e.select(F.col("vec_id").alias("n_id"), *xc_cols)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        *[
+            F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias(f"qv{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    # ADC as one m-ascending addition chain: (0 + d0) + d1 + ... — the
+    # identical float order as the oracle's list_prepend(0)/list_reduce
+    # over list(dm ORDER BY m)
+    adc = F.lit(0.0)
+    for m in range(PQ_M):
+        adc = adc + F.aggregate(
+            F.zip_with(f"qv{m}", f"xc{m}", lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        per_m.append(
-            F.broadcast(qm)
-            .join(xm, F.col("q_id") != F.col("n_id"))
-            .select("q_id", "n_id", F.lit(m).alias("m"), dm.alias("dm"))
-        )
-    pair = per_m[0]
-    for df in per_m[1:]:
-        pair = pair.unionByName(df)
-    # m-ordered fold: collect_list is order-free, so sort the (m, dm)
-    # structs by m first — the oracle's list(dm ORDER BY m) twin
-    adc = pair.groupBy("q_id", "n_id").agg(
-        F.round(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("m", "dm"))),
-                    lambda s: s.getField("dm"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("adc_dist")
-    )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
     return (
-        adc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        F.broadcast(q)
+        .join(x, F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(adc, 6).alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id", "adc_dist", "rnk")
     )

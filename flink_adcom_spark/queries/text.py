@@ -145,6 +145,31 @@ def _marker_count(words: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(words, lambda x: x.isin(*markers))).cast("bigint")
 
 
+def heuristic_lang_col() -> Column:
+    """The marker-argmax prediction (en>de>es>fr tie order) as a column —
+    ONE definition shared by q32 and q190's disagreement audit, so a marker
+    or tie-order change can never desynchronize them. SQL restatements that
+    must move with this: q32's oracle CASE and _HEUR_LANG_SQL (q190);
+    tests/test_langid.py::test_q190_heuristic_column_is_q32 trips on any
+    drift."""
+    w = words_col()
+    scores = {lang: _marker_count(w, m) for lang, m in LANG_MARKERS.items()}
+    return (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when(
+            (scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]),
+            F.lit("de"),
+        )
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
 def _marker_count_sql(markers: tuple[str, ...]) -> str:
     inlist = "(" + ", ".join(f"'{m}'" for m in markers) + ")"
     return f"CAST(len(list_filter({_WORDS_SQL}, x -> x IN {inlist})) AS BIGINT)"
@@ -171,22 +196,11 @@ def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, deterministic en>de>es>fr tie order)."""
     w = words_col()
     scores = {lang: _marker_count(w, m) for lang, m in LANG_MARKERS.items()}
-    pred = (
-        F.when(
-            (scores["en"] >= scores["de"])
-            & (scores["en"] >= scores["es"])
-            & (scores["en"] >= scores["fr"]),
-            F.lit("en"),
-        )
-        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), F.lit("de"))
-        .when(scores["es"] >= scores["fr"], F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
     return _documents(spark, sf_dir).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         *[c.alias(f"score_{lang}") for lang, c in scores.items()],
-        pred.alias("pred_lang"),
+        heuristic_lang_col().alias("pred_lang"),
     )
 
 
@@ -2838,51 +2852,65 @@ def q178_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Gopher repetition filters (Rae et al. 2021, Table A1) ---------------------
-# The MassiveText repetition suite beyond q37's distinct-word ratio: per-doc
-# duplicate and top n-gram fractions for n in 2..4, with the Gopher removal
-# thresholds as the keep law. Token-level rendering of the paper's
-# char-fraction metrics (the corpus tokenizer is whitespace words); the
-# n-gram relation is the q188 exploded-position shape — scan-side codegen,
-# one (doc, n, gram) count shuffle, linear in corpus tokens.
-GOPHER_NS = (2, 3, 4)
-# removal thresholds, Rae et al. 2021 Table A1 (duplicate / top n-gram)
-GOPHER_DUP_MAX = {2: "0.20", 3: "0.18", 4: "0.16"}
+# The MassiveText repetition suite beyond q37's distinct-word ratio,
+# implementing the paper's ACTUAL Table A1 law: the TOP n-gram character
+# fraction is thresholded for n in 2..4 and the DUPLICATE n-gram character
+# fraction for n in 5..10 (the r10 code-review caught an earlier version
+# that misapplied the top thresholds to 2-4-gram duplicate fractions — far
+# stricter than the cited spec). Character fractions are over the
+# space-joined token stream (ASCII contract); the paper's duplicate
+# line/paragraph rules have no analogue here (the corpus is single-line).
 GOPHER_TOP_MAX = {2: "0.20", 3: "0.18", 4: "0.16"}
+GOPHER_DUP_MAX = {5: "0.15", 6: "0.14", 7: "0.13", 8: "0.12", 9: "0.11", 10: "0.10"}
+GOPHER_ALL_NS = tuple(sorted({**GOPHER_TOP_MAX, **GOPHER_DUP_MAX}))
 
 
 def _gopher_oracle() -> str:
     grams = " UNION ALL ".join(
-        f"""SELECT doc_id, {n} AS n, array_to_string(
+        f"""SELECT doc_id, tot, {n} AS n, array_to_string(
               list_slice(w, i, i + {n - 1}), ' ') AS gram
-            FROM (SELECT doc_id, w,
+            FROM (SELECT doc_id, w, tot,
                          unnest(generate_series(1, len(w) - {n - 1})) AS i
                   FROM t) g{n}"""
-        for n in GOPHER_NS
+        for n in GOPHER_ALL_NS
     )
-    metric_cols = ", ".join(
-        f"""ROUND(CAST(MAX(CASE WHEN n = {n} THEN topc END) AS DOUBLE)
-              / MAX(CASE WHEN n = {n} THEN tot END), 6) AS top{n}_frac,
-            ROUND(CAST(MAX(CASE WHEN n = {n} THEN dupc END) AS DOUBLE)
-              / MAX(CASE WHEN n = {n} THEN tot END), 6) AS dup{n}_frac"""
-        for n in GOPHER_NS
+    top_cols = ", ".join(
+        f"""ROUND(CAST(MAX(CASE WHEN n = {n} THEN topchars END) AS DOUBLE)
+              / MAX(tot), 6) AS top{n}_frac"""
+        for n in GOPHER_TOP_MAX
+    )
+    dup_cols = ", ".join(
+        f"""ROUND(CAST(MAX(CASE WHEN n = {n} THEN dupchars END) AS DOUBLE)
+              / MAX(tot), 6) AS dup{n}_frac"""
+        for n in GOPHER_DUP_MAX
     )
     keep = " AND ".join(
-        f"(top{n}_frac <= {GOPHER_TOP_MAX[n]} AND dup{n}_frac <= {GOPHER_DUP_MAX[n]})"
-        for n in GOPHER_NS
+        [f"top{n}_frac <= {v}" for n, v in GOPHER_TOP_MAX.items()]
+        + [f"dup{n}_frac <= {v}" for n, v in GOPHER_DUP_MAX.items()]
     )
     return f"""
-    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents
-               WHERE len({_WORDS_SQL}) >= {max(GOPHER_NS)}),
+    WITH t AS (SELECT doc_id, w,
+                      CAST(length(array_to_string(w, ' ')) AS BIGINT) AS tot
+               FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) d
+               WHERE len(w) >= {max(GOPHER_ALL_NS)}),
     g AS MATERIALIZED ({grams}),
-    c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM g GROUP BY 1, 2, 3),
-    a AS (SELECT doc_id, n, MAX(cnt) AS topc, SUM(cnt) AS tot,
-                 CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
-                   AS dupc
-          FROM c GROUP BY 1, 2),
-    m AS (SELECT doc_id, {metric_cols} FROM a GROUP BY doc_id)
-    SELECT doc_id, top2_frac, dup2_frac, top3_frac, dup3_frac,
-           top4_frac, dup4_frac, ({keep}) AS keep
+    c AS (SELECT doc_id, tot, n, gram,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(length(gram) AS BIGINT) AS glen
+          FROM g GROUP BY 1, 2, 3, 4),
+    a AS (SELECT doc_id, tot, n,
+                 MAX(CASE WHEN rn = 1 THEN cnt * glen END) AS topchars,
+                 CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END)
+                      AS BIGINT) AS dupchars
+          FROM (SELECT c.*,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                          ORDER BY cnt DESC, gram) AS rn
+                FROM c) r
+          GROUP BY 1, 2, 3),
+    m AS (SELECT doc_id, {top_cols}, {dup_cols} FROM a GROUP BY doc_id)
+    SELECT doc_id, top2_frac, top3_frac, top4_frac,
+           dup5_frac, dup6_frac, dup7_frac, dup8_frac, dup9_frac, dup10_frac,
+           ({keep}) AS keep
     FROM m
     """
 
@@ -2895,90 +2923,95 @@ def _gopher_oracle() -> str:
 )
 def q191_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText repetition filters (Rae et al. 2021,
-    arXiv:2112.11446 Table A1): per document, the duplicate n-gram fraction
-    (mass of n-grams occurring >= 2 times over all n-grams) and the top
-    n-gram fraction (mass of the single most frequent n-gram) for n in
-    {GOPHER_NS}, with the paper's removal thresholds folded into a keep
-    flag. Complements q37 (distinct-word ratio) and q111/q188 (cross-doc
-    spans): these catch WITHIN-document boilerplate loops that survive
-    both. Docs shorter than {max(GOPHER_NS)} tokens are skipped (no
-    quadgrams to measure).
+    arXiv:2112.11446 Table A1), as published: the character fraction taken
+    by the single most frequent n-gram for n in {tuple(GOPHER_TOP_MAX)}
+    (thresholds 0.20/0.18/0.16) and by ALL n-grams occurring >= 2 times for
+    n in {tuple(GOPHER_DUP_MAX)} (0.15 down to 0.10), folded into a keep
+    flag. Catches WITHIN-document boilerplate loops that q37 (distinct-word
+    ratio) and q111/q188 (cross-doc spans) both miss. Character mass is
+    counted over the space-joined token stream; the top gram ties break
+    lexicographically so both engines elect the same gram. Docs shorter
+    than {max(GOPHER_ALL_NS)} tokens are skipped (no 10-grams to measure).
 
     Scale shape: one exploded-position n-gram pass per n (scan-side
-    codegen, ~3 rows per token total), one (doc, n, gram) count shuffle,
-    one (doc, n) aggregate — linear in corpus tokens, no pairwise work.
-    Fractions are single ROUND(int/int, 6) divisions (q114 discipline)."""
+    codegen, ~9 rows per token total), one (doc, n, gram) count shuffle,
+    one (doc, n) window + aggregate — linear in corpus tokens, no pairwise
+    work. Fractions are single ROUND(int/int, 6) divisions."""
+    from pyspark.sql import Window
+
     w = words_col()
-    # NOT widen_scan'd: the three n legs below each re-read t, so a
-    # repartition here is paid three times and measured SLOWER (1.6 -> 1.9 s
-    # at sf0.1) than the narrow scan whose count shuffle parallelizes anyway
+    # NOT widen_scan'd: the n legs below each re-read t, so a repartition
+    # here is paid once per leg and measured SLOWER than the narrow scan
+    # whose count shuffle parallelizes anyway (see q191 history, r10)
     t = (
         _documents(spark, sf_dir)
         .select("doc_id", w.alias("w"))
         .withColumn("len", F.size("w"))
-        .filter(F.col("len") >= max(GOPHER_NS))
+        .filter(F.col("len") >= max(GOPHER_ALL_NS))
+        .withColumn("tot", F.length(F.array_join("w", " ")).cast("bigint"))
     )
     per_n = []
-    for n in GOPHER_NS:
+    for n in GOPHER_ALL_NS:
         per_n.append(
             t.select(
                 "doc_id",
+                "tot",
                 F.lit(n).alias("n"),
                 F.explode(F.sequence(F.lit(1), F.col("len") - (n - 1))).alias("i"),
                 "w",
             ).select(
                 "doc_id",
+                "tot",
                 "n",
                 F.array_join(F.slice("w", F.col("i"), n), " ").alias("gram"),
             )
         )
-        # NB: F.slice's start is the 1-based position column; length n is a
-        # Python int, so the whole projection stays in codegen
     g = per_n[0]
     for df in per_n[1:]:
         g = g.unionByName(df)
-    a = (
-        g.groupBy("doc_id", "n", "gram")
+    c = (
+        g.groupBy("doc_id", "tot", "n", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id", "n")
+        .withColumn("glen", F.length("gram").cast("bigint"))
+    )
+    wn = Window.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    a = (
+        c.withColumn("rn", F.row_number().over(wn))
+        .groupBy("doc_id", "tot", "n")
         .agg(
-            F.max("cnt").alias("topc"),
-            F.sum("cnt").alias("tot"),
-            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("dupc"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt") * F.col("glen"))).alias(
+                "topchars"
+            ),
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen")).otherwise(0)
+            ).alias("dupchars"),
         )
     )
-    metric_cols = []
-    for n in GOPHER_NS:
-        metric_cols.append(
-            F.round(
-                F.max(F.when(F.col("n") == n, F.col("topc"))).cast("double")
-                / F.max(F.when(F.col("n") == n, F.col("tot"))),
-                6,
-            ).alias(f"top{n}_frac")
-        )
-        metric_cols.append(
-            F.round(
-                F.max(F.when(F.col("n") == n, F.col("dupc"))).cast("double")
-                / F.max(F.when(F.col("n") == n, F.col("tot"))),
-                6,
-            ).alias(f"dup{n}_frac")
-        )
+    metric_cols = [
+        F.round(
+            F.max(F.when(F.col("n") == n, F.col("topchars"))).cast("double")
+            / F.max("tot"),
+            6,
+        ).alias(f"top{n}_frac")
+        for n in GOPHER_TOP_MAX
+    ] + [
+        F.round(
+            F.max(F.when(F.col("n") == n, F.col("dupchars"))).cast("double")
+            / F.max("tot"),
+            6,
+        ).alias(f"dup{n}_frac")
+        for n in GOPHER_DUP_MAX
+    ]
     m = a.groupBy("doc_id").agg(*metric_cols)
     keep = F.lit(True)
-    for n in GOPHER_NS:
-        keep = (
-            keep
-            & (F.col(f"top{n}_frac") <= float(GOPHER_TOP_MAX[n]))
-            & (F.col(f"dup{n}_frac") <= float(GOPHER_DUP_MAX[n]))
-        )
+    for n, v in GOPHER_TOP_MAX.items():
+        keep = keep & (F.col(f"top{n}_frac") <= float(v))
+    for n, v in GOPHER_DUP_MAX.items():
+        keep = keep & (F.col(f"dup{n}_frac") <= float(v))
     return m.select(
         "doc_id",
-        "top2_frac",
-        "dup2_frac",
-        "top3_frac",
-        "dup3_frac",
-        "top4_frac",
-        "dup4_frac",
+        *[f"top{n}_frac" for n in GOPHER_TOP_MAX],
+        *[f"dup{n}_frac" for n in GOPHER_DUP_MAX],
         keep.alias("keep"),
     )
 
@@ -3221,24 +3254,10 @@ def q190_trained_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang_c").alias("pred_lang"))
     )
-    wcol = words_col()
-    scores = {lang: _marker_count(wcol, m) for lang, m in LANG_MARKERS.items()}
-    heuristic = (
-        F.when(
-            (scores["en"] >= scores["de"])
-            & (scores["en"] >= scores["es"])
-            & (scores["en"] >= scores["fr"]),
-            F.lit("en"),
-        )
-        .when(
-            (scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]),
-            F.lit("de"),
-        )
-        .when(scores["es"] >= scores["fr"], F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
     h = docs.select(
-        "doc_id", F.col("lang").alias("labeled_lang"), heuristic.alias("heuristic_lang")
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        heuristic_lang_col().alias("heuristic_lang"),
     )
     return h.join(pred, "doc_id").select(
         "doc_id",

@@ -6,10 +6,13 @@ one directory per build — the bench builds each query 3x and the robustness
 sweep more, so a long session accumulated parquet layouts in /tmp (VERDICT
 r9 hygiene note). Two disciplines instead:
 
-- ``gate_workdir(tag)`` — ONE fixed directory per (process, tag), wiped at
-  each call so every build still starts from an empty dir (behaviorally
-  identical to a fresh mkdtemp: same writes, same reads, same hashes).
-  Disk usage during a session is O(#tags), not O(#builds).
+- ``gate_workdir(tag)`` — a fresh GENERATION directory per call under a
+  fixed (process, tag) root, deleting only generations older than the
+  previous one. Every build starts from an empty dir (same writes, same
+  reads, same hashes as a fresh mkdtemp), the PREVIOUS build's files stay
+  alive so a caller holding its still-unevaluated DataFrame can collect it
+  after a rebuild (two-outstanding-builds window), and disk usage during a
+  session is O(2 x #tags), not O(#builds).
 - ``fresh_workdir(prefix)`` — a unique directory for callers that may hold
   several live instances at once (streaming checkpoints), still parented
   under the per-process root.
@@ -25,12 +28,19 @@ import shutil
 import tempfile
 
 _ROOT = os.path.join(tempfile.gettempdir(), f"spark_graft_gate_{os.getpid()}")
+_GENERATIONS: dict[str, int] = {}
 
 
 def gate_workdir(tag: str) -> str:
-    """Fixed per-(process, tag) scratch dir, emptied on every call."""
-    path = os.path.join(_ROOT, tag)
-    shutil.rmtree(path, ignore_errors=True)
+    """Fresh generation dir under the per-(process, tag) root; keeps the
+    previous generation alive (module docstring) and removes older ones."""
+    gen = _GENERATIONS.get(tag, -1) + 1
+    _GENERATIONS[tag] = gen
+    if gen >= 2:
+        shutil.rmtree(
+            os.path.join(_ROOT, tag, f"g{gen - 2}"), ignore_errors=True
+        )
+    path = os.path.join(_ROOT, tag, f"g{gen}")
     os.makedirs(path, exist_ok=True)
     return path
 

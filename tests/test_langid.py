@@ -103,3 +103,18 @@ def test_trained_langid_oracle_parity_on_planted_fixture(spark, multilingual_dir
         )
     finally:
         con.close()
+
+
+def test_q190_heuristic_column_is_q32(spark, multilingual_dir):
+    """Drift tripwire: the disagreement audit's heuristic_lang must equal
+    q32's pred_lang row-for-row (one shared heuristic_lang_col definition;
+    this catches anyone re-forking it)."""
+    q32 = {
+        r["doc_id"]: r["pred_lang"]
+        for r in get("q32_lang_id").build(spark, multilingual_dir).collect()
+    }
+    q190 = {
+        r["doc_id"]: r["heuristic_lang"]
+        for r in get("q190_trained_langid").build(spark, multilingual_dir).collect()
+    }
+    assert q32 == q190

@@ -382,3 +382,42 @@ def test_q193_flags_exactly_the_planted_drifted_source(spark, tmp_path_factory):
         )
     finally:
         con.close()
+
+
+# --- q191 Gopher law: a planted repetition loop must be dropped ----------------
+
+_LOOP = " ".join(["loopa loopb loopc loopd loope loopf"] * 10)  # 60 tokens
+_CLEAN = " ".join(f"uniqw{i}" for i in range(40))
+_GOPHER_PLANT = {
+    "documents": f"""SELECT * FROM '{{src}}'
+        UNION ALL SELECT 9100001 AS doc_id, '{_LOOP}' AS text, 'en' AS lang,
+               'plant' AS source, CAST(len('{_LOOP}') AS BIGINT) AS n_chars
+        UNION ALL SELECT 9100002 AS doc_id, '{_CLEAN}' AS text, 'en' AS lang,
+               'plant' AS source, CAST(len('{_CLEAN}') AS BIGINT) AS n_chars"""
+}
+
+
+def test_q191_drops_the_planted_loop_and_keeps_the_clean_doc(
+    spark, tmp_path_factory
+):
+    """A document that is one 6-gram repeated 10x saturates every duplicate
+    fraction (dup6_frac ~ 1.0) and must be dropped; a 40-distinct-word doc
+    has no repeated n-gram at all (dup fractions 0.0) and must be kept."""
+    fixture = make_fixture_dir(tmp_path_factory, "planted_gopher", _GOPHER_PLANT)
+    rows = {
+        r["doc_id"]: r
+        for r in get("q191_gopher_repetition").build(spark, fixture).collect()
+        if r["doc_id"] >= 9100000
+    }
+    assert rows[9100001]["keep"] is False
+    assert rows[9100001]["dup6_frac"] >= 0.9, rows[9100001]
+    assert rows[9100002]["keep"] is True
+    assert rows[9100002]["dup5_frac"] == 0.0
+
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(
+            get("q191_gopher_repetition"), spark, fixture, con, name="q191"
+        )
+    finally:
+        con.close()

@@ -137,6 +137,8 @@ def _parse_prev_rows() -> dict[str, dict[str, tuple[float, int]]]:
         return out
     with open(path) as f:
         for line in f:
+            if line.startswith("## "):
+                break  # hand-written analysis sections also contain q-rows
             m = re.match(r"\| (q\w+) \| (.*) \|$", line.strip())
             if not m:
                 continue
