@@ -55,3 +55,31 @@ def fresh_workdir(prefix: str) -> str:
 @atexit.register
 def _cleanup() -> None:
     shutil.rmtree(_ROOT, ignore_errors=True)
+
+
+def _reap_stale_roots() -> None:
+    """Remove siblings left by processes that died without running atexit
+    (SIGKILL'd test runs): a root whose pid no longer exists is garbage."""
+    base = tempfile.gettempdir()
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith("spark_graft_gate_"):
+            continue
+        try:
+            pid = int(name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        except PermissionError:
+            pass  # alive, owned by someone else
+
+
+_reap_stale_roots()
