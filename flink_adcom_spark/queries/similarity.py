@@ -1722,6 +1722,24 @@ def _pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     return books
 
 
+def pq_code_str_col(books: list[list[list[float]]], vec_col: str = "v"):
+    """The ':'-joined PQ code word over a double-array vector column — all
+    {PQ_M} subspace codes in ONE projection of one scan (the previous
+    8-assignment-joins form paid 8 table scans + 7 vec_id shuffles). ONE
+    definition shared by the batch encoder (q195) and the streaming encoder
+    (streaming/jobs.py::pq_codes_writer, q198): encode-offline and
+    encode-online must emit bit-identical code words."""
+    from ..operators.kmeans import cluster_expr
+
+    codes = [
+        cluster_expr(
+            F.slice(vec_col, m * PQ_SUB + 1, PQ_SUB), books[m]
+        ).cast("string")
+        for m in range(PQ_M)
+    ]
+    return F.concat_ws(":", *codes)
+
+
 @query(
     "q195_pq_codes",
     "WITH "
@@ -1748,17 +1766,9 @@ def q195_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PQ_K}-group mean), then one scan assigns all subspaces. Codebooks are
     {PQ_M} x {PQ_K} x {PQ_SUB} doubles on the driver — broadcast-literal at
     any corpus size."""
-    from ..operators.kmeans import cluster_expr
-
     books = _pq_books(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    # all 8 subspace codes in ONE projection of one scan — the previous
-    # 8-assignment-joins form paid 8 table scans + 7 vec_id shuffles
-    codes = [
-        cluster_expr(F.slice("v", m * PQ_SUB + 1, PQ_SUB), books[m]).cast("string")
-        for m in range(PQ_M)
-    ]
-    return e.select("vec_id", F.concat_ws(":", *codes).alias("code_str"))
+    return e.select("vec_id", pq_code_str_col(books).alias("code_str"))
 
 
 @query(

@@ -518,6 +518,46 @@ def q167_controller_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q198: stream-side PQ encoding vs the batch encoder --------------------------
+def _q198_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # the drained stream table must equal q195's batch relation EXACTLY
+    return _REGISTRY["q195_pq_codes"].oracle
+
+
+@query(
+    "q198_stream_pq_codes",
+    _q198_oracle(),
+    tags=("streaming", "similarity", "quantize", "pq", "pipeline"),
+)
+def q198_stream_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-offline / encode-online for the PQ index, externally gated:
+    codebooks are trained in batch (q195's exact derivation, fingerprint-
+    memoized), then the SAME corpus replayed as a 4-micro-batch embedding
+    stream is encoded by streaming_pq_codes_materialize with the frozen
+    books; the drained batch_id-partitioned code table must hash-match
+    q195's batch relation (and its DuckDB restatement). The vector-index
+    sibling of q184's classifier serving gate: an index whose online
+    encoder drifts from the offline one silently corrupts every lookup."""
+    from .similarity import _pq_books
+
+    work = gate_workdir("pq_stream_gate")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "codes")
+    # feed through load_table: the streamed side shares the batch/oracle
+    # side's normalization contract (the q184 ADVICE discipline)
+    load_table(spark, sf_dir, "embeddings").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(feed)
+    books = _pq_books(spark, sf_dir)
+    jobs.streaming_pq_codes_materialize(
+        spark, feed, out, books,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select("vec_id", "code_str")
+
+
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
 RUNNER_TRACE_DECISIONS = 25  # decisions collected from the live paced runner
 

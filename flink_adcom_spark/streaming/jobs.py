@@ -727,6 +727,66 @@ class ObservedIngest:
         }
 
 
+def _embeddings_stream(spark: SparkSession, emb_dir: str, **options) -> DataFrame:
+    """Streaming reader over an embeddings parquet directory (footer-peek
+    schema, the _documents_stream contract)."""
+    schema = (
+        spark.read.option("pathGlobFilter", "*.parquet").parquet(emb_dir).schema
+    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
+    for k, v in options.items():
+        if v is not None:
+            reader = reader.option(k, v)
+    return reader.parquet(emb_dir)
+
+
+def pq_codes_writer(
+    spark: SparkSession, emb_dir: str, out_path: str,
+    books: list[list[list[float]]], checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_pq_codes_materialize (the
+    classifier_scores_writer convention)."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.similarity import pq_code_str_col
+
+    emb = _embeddings_stream(spark, emb_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        enc = batch_df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        out = enc.select(
+            "vec_id", pq_code_str_col(books).alias("code_str")
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = emb.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_pq_codes_materialize(
+    spark: SparkSession, emb_dir: str, out_path: str,
+    books: list[list[list[float]]], checkpoint: str | None = None, **kw
+) -> None:
+    """Train-offline / encode-online for the PQ index: FROZEN codebooks
+    (queries/similarity.py::_pq_books — in production the persisted
+    artifact) applied to an embedding stream, each micro-batch encoded
+    scan-side via the SHARED pq_code_str_col body and landed as a
+    batch_id-partitioned layout via dynamic partition overwrite, so a
+    checkpoint-replayed batch REPLACES its own partition (the q184
+    idempotent-epoch discipline). This is how a vector index ingests at
+    100 TB: the codebook is a broadcast literal, per-batch cost is one
+    scan of the batch, and no streaming state exists."""
+    q = pq_codes_writer(spark, emb_dir, out_path, books, checkpoint, **kw).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_classifier_scores_materialize(
     spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
     checkpoint: str | None = None, **kw
