@@ -1771,6 +1771,76 @@ def q195_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", pq_code_str_col(books).alias("code_str"))
 
 
+def pq_query_slices(q_df: DataFrame) -> DataFrame:
+    """(q_id, qv0..qv{PQ_M-1}): a query relation's exact subspace slices —
+    the query side of adc_topk. q_df needs (vec_id, v)."""
+    return q_df.select(
+        F.col("vec_id").alias("q_id"),
+        *[
+            F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias(f"qv{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+
+def pq_index_centroids(e: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(n_id, xc0..xc{PQ_M-1}): the corpus represented ONLY by its winner
+    centroids, computed scan-side from the raw vectors (the batch-encode
+    path). ONE scan; the assigned code is a pure expression."""
+    from ..operators.kmeans import cluster_expr
+
+    xc_cols = []
+    for m in range(PQ_M):
+        cmat = F.lit([[float(x) for x in c] for c in books[m]])
+        code = cluster_expr(F.slice("v", m * PQ_SUB + 1, PQ_SUB), books[m])
+        xc_cols.append(F.element_at(cmat, code + 1).alias(f"xc{m}"))
+    return e.select(F.col("vec_id").alias("n_id"), *xc_cols)
+
+
+def pq_decode_centroids(codes_df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(n_id, xc0..): the same corpus representation DECODED from a
+    materialized (vec_id, code_str) index table — the serving path, where
+    the index is the persisted artifact and raw vectors are never touched
+    (streaming/jobs.py::adc_search_writer, q199)."""
+    parts = F.split("code_str", ":")
+    xc_cols = [
+        F.element_at(
+            F.lit([[float(x) for x in c] for c in books[m]]),
+            F.element_at(parts, m + 1).cast("int") + 1,
+        ).alias(f"xc{m}")
+        for m in range(PQ_M)
+    ]
+    return codes_df.select(F.col("vec_id").alias("n_id"), *xc_cols)
+
+
+def adc_topk(q: DataFrame, x: DataFrame) -> DataFrame:
+    """Asymmetric-distance top-{TOP_K}: broadcast the (bounded) query
+    slices into the index relation, sum the per-subspace squared distances
+    as one m-ASCENDING addition chain — (0 + d0) + d1 + ... , the identical
+    float order as the oracle's list_prepend(0)/list_reduce over
+    list(dm ORDER BY m) — and rank by round-6 distance with an id
+    tie-break. ONE definition shared by the batch searcher (q196) and the
+    streaming searcher (q199)."""
+    from pyspark.sql import Window
+
+    adc = F.lit(0.0)
+    for m in range(PQ_M):
+        adc = adc + F.aggregate(
+            F.zip_with(f"qv{m}", f"xc{m}", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        F.broadcast(q)
+        .join(x, F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(adc, 6).alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "adc_dist", "rnk")
+    )
+
+
 @query(
     "q196_pq_adc_knn",
     "WITH "
@@ -1822,47 +1892,10 @@ def q196_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PQ_M} x {PQ_K} x {PQ_SUB} codebook literal; per (query, corpus) work
     is {PQ_M} lookups + {PQ_SUB}-dim folds, and the query side is the
     bounded q50 workload."""
-    from pyspark.sql import Window
-
-    from ..operators.kmeans import cluster_expr
-
     books = _pq_books(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    # corpus side: n_id + the 8 winner-centroid vectors, ONE scan (the
-    # assigned code is a scan-side expression; the previous form unioned 8
-    # per-subspace join legs and re-sorted (m, dm) structs per pair)
-    xc_cols = []
-    for m in range(PQ_M):
-        cmat = F.lit([[float(x) for x in c] for c in books[m]])
-        code = cluster_expr(F.slice("v", m * PQ_SUB + 1, PQ_SUB), books[m])
-        xc_cols.append(F.element_at(cmat, code + 1).alias(f"xc{m}"))
-    x = e.select(F.col("vec_id").alias("n_id"), *xc_cols)
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"),
-        *[
-            F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias(f"qv{m}")
-            for m in range(PQ_M)
-        ],
-    )
-    # ADC as one m-ascending addition chain: (0 + d0) + d1 + ... — the
-    # identical float order as the oracle's list_prepend(0)/list_reduce
-    # over list(dm ORDER BY m)
-    adc = F.lit(0.0)
-    for m in range(PQ_M):
-        adc = adc + F.aggregate(
-            F.zip_with(f"qv{m}", f"xc{m}", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
-    return (
-        F.broadcast(q)
-        .join(x, F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(adc, 6).alias("adc_dist"))
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("q_id", "n_id", "adc_dist", "rnk")
-    )
+    return adc_topk(pq_query_slices(e.filter(F.col("vec_id") < N_QUERY_VECS)),
+                    pq_index_centroids(e, books))
 
 
 # --- q197: PQ recall audit vs exact truth ---------------------------------------

@@ -558,6 +558,56 @@ def q198_stream_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("vec_id", "code_str")
 
 
+# --- q199: stream-side ADC search vs the batch searcher --------------------------
+def _q199_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # streamed searches over the materialized index must equal the batch
+    # searcher's relation exactly
+    return _REGISTRY["q196_pq_adc_knn"].oracle
+
+
+@query(
+    "q199_stream_adc_search",
+    _q199_oracle(),
+    tags=("streaming", "similarity", "quantize", "pq", "pipeline"),
+)
+def q199_stream_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online half of PQ serving, externally gated (q198 is the ingest
+    half): the 20-query workload replayed as a 4-micro-batch stream is
+    searched per batch against the MATERIALIZED code index (written by the
+    q198 encoder body) with frozen codebooks, through the SHARED adc_topk
+    body; the drained result must hash-match q196's batch relation (and
+    its DuckDB restatement). Proves serve-time decode (codes -> centroid
+    lookup) equals encode-time assignment — the contract a PQ index must
+    hold or every online search silently returns wrong neighbors."""
+    from .similarity import N_QUERY_VECS, _pq_books, pq_code_str_col
+    from ..tables import load_table as _lt
+
+    work = gate_workdir("adc_stream_gate")
+    qfeed = os.path.join(work, "qfeed")
+    index = os.path.join(work, "index")
+    out = os.path.join(work, "hits")
+    emb = _lt(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    # the persisted index: the q195/q198 code relation
+    emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select("vec_id", pq_code_str_col(books).alias("code_str")).write.mode(
+        "overwrite"
+    ).parquet(index)
+    # the query stream: the bounded q50 workload, 4 micro-batches
+    emb.filter(F.col("vec_id") < N_QUERY_VECS).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(qfeed)
+    jobs.streaming_adc_search_materialize(
+        spark, qfeed, out, index, books,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select("q_id", "n_id", "adc_dist", "rnk")
+
+
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
 RUNNER_TRACE_DECISIONS = 25  # decisions collected from the live paced runner
 

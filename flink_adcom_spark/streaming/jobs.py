@@ -787,6 +787,55 @@ def streaming_pq_codes_materialize(
         q.stop()
 
 
+def adc_search_writer(
+    spark: SparkSession, queries_dir: str, out_path: str, index_path: str,
+    books: list[list[list[float]]], checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_adc_search_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.similarity import adc_topk, pq_decode_centroids, pq_query_slices
+
+    qstream = _embeddings_stream(spark, queries_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        q = pq_query_slices(
+            batch_df.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+        )
+        x = pq_decode_centroids(spark.read.parquet(index_path), books)
+        out = adc_topk(q, x).withColumn("batch_id", F.lit(int(batch_id)))
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = qstream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_adc_search_materialize(
+    spark: SparkSession, queries_dir: str, out_path: str, index_path: str,
+    books: list[list[list[float]]], checkpoint: str | None = None, **kw
+) -> None:
+    """Query-stream PQ serving: ADC top-k for each arriving query against a
+    MATERIALIZED code index (q198's output — the persisted artifact; raw
+    corpus vectors are never touched at serve time) with frozen codebooks,
+    via the SHARED adc_topk body, landed as batch_id-partitioned idempotent
+    epochs (the q184/q198 discipline). Per-query work is independent, so
+    top-k inside a micro-batch equals top-k in batch — no streaming state.
+    This is the online half of the PQ serving pair (q198 ingests/encodes,
+    this searches): the 100 TB topology where the index is 16x smaller than
+    the vectors and the searcher is bandwidth-bound on codes."""
+    q = adc_search_writer(
+        spark, queries_dir, out_path, index_path, books, checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_classifier_scores_materialize(
     spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
     checkpoint: str | None = None, **kw
