@@ -934,3 +934,58 @@ def test_classifier_scores_kill_recover_exactly_once(spark, sf_dir, tmp_path):
         for r in q178_quality_classifier(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pq_codes_kill_recover_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the streaming PQ encoder mid-stream and restart from its
+    checkpoint: the stored code table must still equal the batch q195
+    relation exactly — a replayed epoch REPLACES its own batch_id partition
+    (dynamic-partition-overwrite), so nothing duplicates."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from flink_adcom_spark.queries.similarity import _pq_books, pq_code_str_col
+    from flink_adcom_spark.streaming.jobs import pq_codes_writer
+    from flink_adcom_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    src = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    step = (src.num_rows + 5) // 6
+    for i in range(6):
+        pq.write_table(src.slice(i * step, step), feed / f"{i}.parquet")
+    out = str(tmp_path / "codes")
+    ckpt = str(tmp_path / "ckpt")
+    books = _pq_books(spark, sf_dir)
+
+    q = pq_codes_writer(
+        spark, str(feed), out, books, ckpt, maxFilesPerTrigger=1
+    ).start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop()  # mid-stream kill after >= 1 committed batch
+
+    q2 = pq_codes_writer(
+        spark, str(feed), out, books, ckpt, maxFilesPerTrigger=1
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r["vec_id"], r["code_str"])
+        for r in spark.read.parquet(out).select("vec_id", "code_str").collect()
+    }
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    want = {
+        (r["vec_id"], r["code_str"])
+        for r in e.select("vec_id", pq_code_str_col(books).alias("code_str")).collect()
+    }
+    assert got == want
+    assert spark.read.parquet(out).count() == len(want)
