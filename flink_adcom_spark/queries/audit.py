@@ -329,16 +329,21 @@ KS_ALPHA_C = "1.358"
            FROM srcs s CROSS JOIN grid g
            LEFT JOIN per p ON p.source = s.source AND p.v = g.v),
     diffs AS (SELECT gs.source,
-                     MAX(ABS(gs.c_s * (tot.n - srcs.n_s)
-                             - (gall.c_all - gs.c_s) * srcs.n_s)) AS num
+                     MAX(ABS(CAST(gs.c_s AS HUGEINT) * (tot.n - srcs.n_s)
+                             - CAST(gall.c_all - gs.c_s AS HUGEINT)
+                               * srcs.n_s)) AS num
               FROM gs JOIN gall USING (v)
                       JOIN srcs USING (source) CROSS JOIN tot
               GROUP BY gs.source)
     SELECT d.source, s.n_s, (t.n - s.n_s) AS n_rest,
-           ROUND(CAST(d.num AS DOUBLE) / (s.n_s * (t.n - s.n_s)), 6) AS ks_stat,
-           (CAST(d.num AS DOUBLE) / (s.n_s * (t.n - s.n_s))
+           ROUND(CAST(d.num AS DOUBLE)
+                 / (CAST(s.n_s AS DOUBLE) * CAST(t.n - s.n_s AS DOUBLE)),
+                 6) AS ks_stat,
+           (CAST(d.num AS DOUBLE)
+            / (CAST(s.n_s AS DOUBLE) * CAST(t.n - s.n_s AS DOUBLE))
             > {KS_ALPHA_C} * SQRT(CAST(t.n AS DOUBLE)
-                                  / (s.n_s * (t.n - s.n_s)))) AS drifted
+                                  / (CAST(s.n_s AS DOUBLE)
+                                     * CAST(t.n - s.n_s AS DOUBLE)))) AS drifted
     FROM diffs d JOIN srcs s USING (source) CROSS JOIN tot t
     """,
     tags=("audit", "drift", "pipeline"),
@@ -353,7 +358,12 @@ def q193_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the windows run over |sources| x |grid| rows; everything before them
     is one (source, v) count shuffle. At 100 TB the same plan holds with a
     quantile-sketch grid (percentile_approx cuts) swapped in for the exact
-    distinct-value grid."""
+    distinct-value grid. Arithmetic holds too (ADVICE r10): the ECDF cross
+    products c_s*(n-n_s) exceed int64 once both factors pass ~3e9 rows, so
+    they are computed in 128-bit exact integers — DECIMAL(38,0) here (two
+    decimal(19,0) factors -> capped (38,0) product; |c_s*(n-n_s)| < 8.5e37
+    always fits), HUGEINT in the oracle — and the n_s*n_rest DENOMINATORS
+    (which only feed double divisions) as double*double on both engines."""
     from pyspark.sql import Window
 
     d = (
@@ -397,8 +407,10 @@ def q193_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "num",
             F.abs(
-                F.col("c_s") * (F.lit(n_total) - F.col("n_s"))
-                - (F.col("c_all") - F.col("c_s")) * F.col("n_s")
+                F.col("c_s").cast("decimal(19,0)")
+                * (F.lit(n_total) - F.col("n_s")).cast("decimal(19,0)")
+                - (F.col("c_all") - F.col("c_s")).cast("decimal(19,0)")
+                * F.col("n_s").cast("decimal(19,0)")
             ),
         )
         .groupBy("source")
@@ -406,10 +418,9 @@ def q193_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = diffs.join(F.broadcast(srcs), "source")
     n_rest = F.lit(n_total) - F.col("n_s")
-    ks = F.col("num").cast("double") / (F.col("n_s") * n_rest)
-    crit = float(KS_ALPHA_C) * F.sqrt(
-        F.lit(float(n_total)) / (F.col("n_s") * n_rest)
-    )
+    denom = F.col("n_s").cast("double") * n_rest.cast("double")
+    ks = F.col("num").cast("double") / denom
+    crit = float(KS_ALPHA_C) * F.sqrt(F.lit(float(n_total)) / denom)
     return out.select(
         "source",
         "n_s",

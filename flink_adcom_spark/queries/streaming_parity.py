@@ -609,7 +609,8 @@ def q199_stream_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
-RUNNER_TRACE_DECISIONS = 25  # decisions collected from the live paced runner
+RUNNER_TRACE_DECISIONS = 25  # decisions requested from the live paced runner
+RUNNER_TRACE_MIN = 8  # floor below which the gate is a scheduling failure
 
 
 def _band_law(interval_before: int, mean: float, p75: float) -> int:
@@ -631,10 +632,8 @@ def _band_law(interval_before: int, mean: float, p75: float) -> int:
 
 @query(
     "q189_runner_decision_trace",
-    f"""
-    SELECT CAST(UNNEST(generate_series(1, {RUNNER_TRACE_DECISIONS})) AS INT)
-             AS step,
-           TRUE AS law_matched
+    """
+    SELECT TRUE AS enough_decisions, TRUE AS all_law_matched
     """,
     tags=("streaming", "controller", "adaptive"),
 )
@@ -644,17 +643,22 @@ def q189_runner_decision_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEPLOYED path — a real rate-source micro-batch stream through
     SelfPacedAdaptiveRunner.paced (foreachBatch pacing, the bench's bundle
     runner) with TriggerControllerListener's observe_progress computing live
-    utilizations — until {RUNNER_TRACE_DECISIONS} decisions are recorded,
-    then checks EVERY recorded (signal mean, p75, interval-before) against
-    _band_law, an arithmetic restatement of the spec that shares no code
-    with the controller. The returned relation is (step, law_matched); the
-    oracle pins exactly {RUNNER_TRACE_DECISIONS} all-true rows, so a
+    utilizations — until {RUNNER_TRACE_DECISIONS} decisions are recorded or
+    a deadline derived from the decision period elapses, then checks EVERY
+    recorded (signal mean, p75, interval-before) against _band_law, an
+    arithmetic restatement of the spec that shares no code with the
+    controller. The returned relation is one summary row
+    (enough_decisions, all_law_matched); the oracle pins (TRUE, TRUE), so a
     controller that drifts from the law (wrong threshold, step size, floor,
-    or a decision the law wouldn't take given the recorded signals) turns a
-    row false and fails the hash. The live signals are wall-clock-dependent
-    by nature; what is deterministic — and gated — is the law's hold over
-    whatever signals actually occurred, plus the decision COUNT the runner
-    was asked to produce.
+    or a decision the law wouldn't take given the recorded signals) flips
+    all_law_matched and fails the hash, while a starved scheduler that
+    yields fewer than {RUNNER_TRACE_MIN} decisions flips enough_decisions
+    instead of failing spuriously on wall-clock (ADVICE r10: the previous
+    form demanded exactly 25 decisions inside a fixed 120 s and pinned a
+    25-row oracle — a loaded CI box failed the gate with every recorded
+    decision law-conformant). The live signals are wall-clock-dependent by
+    nature; what is deterministic — and gated — is the law's hold over
+    whatever decisions actually occurred, plus a non-vacuousness floor.
 
     Scale shape: the controller is a driver-side component consuming
     histogram summaries (one float pair per decision period), never rows —
@@ -683,8 +687,12 @@ def q189_runner_decision_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .start()
     )
+    # Deadline derived from the requested work, not a magic constant
+    # (ADVICE r10): nominal trace time is DECISIONS x period; allow ~14x
+    # for micro-batch scheduling jitter on a loaded machine.
+    budget_s = RUNNER_TRACE_DECISIONS * runner.listener._period_s * 14
     try:
-        deadline = time.monotonic() + 120
+        deadline = time.monotonic() + budget_s
         while (
             len(runner.listener.trace) < RUNNER_TRACE_DECISIONS
             and time.monotonic() < deadline
@@ -693,18 +701,17 @@ def q189_runner_decision_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     trace = list(runner.listener.trace)[:RUNNER_TRACE_DECISIONS]
-    if len(trace) < RUNNER_TRACE_DECISIONS:
-        raise RuntimeError(
-            f"live runner produced only {len(trace)} decisions in 120 s"
-        )
-    rows = []
-    for step, (mean, p75, before, after) in enumerate(trace, start=1):
+    checks = []
+    for mean, p75, before, after in trace:
         if mean is None:
-            ok = after == before  # no signals -> hold
+            checks.append(after == before)  # no signals -> hold
         else:
-            ok = after == _band_law(before, mean, p75)
-        rows.append((step, bool(ok)))
-    return spark.createDataFrame(rows, "step INT, law_matched BOOLEAN")
+            checks.append(after == _band_law(before, mean, p75))
+    enough = len(trace) >= RUNNER_TRACE_MIN
+    return spark.createDataFrame(
+        [(bool(enough), bool(all(checks)))],
+        "enough_decisions BOOLEAN, all_law_matched BOOLEAN",
+    )
 
 
 # --- q181: the Z-order layout law under the external gate -----------------------

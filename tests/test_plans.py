@@ -405,13 +405,17 @@ def test_q190_model_inlined_and_class_table_broadcast(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan[:2000]
 
 
-def test_q191_ngram_pass_no_pairwise_work(spark, sf_dir):
-    """q191 is scan-side n-gram explodes + two aggregates — no joins at all
-    beyond the union of the three n legs."""
+def test_q191_ngram_pass_no_pairwise_work_single_scan(spark, sf_dir):
+    """q191 is ONE scan-side positions explode emitting all nine n-gram
+    legs + two aggregates — no joins, and exactly one documents scan
+    (VERDICT r10 polish: the nine-leg union re-scanned the text column
+    nine times)."""
     from flink_adcom_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(get("q191_gopher_repetition").build(spark, sf_dir))
     assert "Join" not in plan, plan[:2000]
+    # one scan NODE: each scan contributes one file-index detail block
+    assert plan.count("InMemoryFileIndex") == 1, plan[:2000]
 
 
 def test_q196_adc_corpus_side_is_codes_plus_broadcast_codebook(spark, sf_dir):
@@ -427,3 +431,32 @@ def test_q196_adc_corpus_side_is_codes_plus_broadcast_codebook(spark, sf_dir):
     # non-equi, so BNLJ — not a hash join — is the correct operator)
     assert "BroadcastNestedLoopJoin Inner BuildLeft" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q190_margin_join_broadcast_gated_on_corpus_size(spark, sf_dir):
+    """q190's training margins are |classes| x |docs| rows — a relation that
+    GROWS with the corpus (VERDICT r10 weak item). The broadcast hint on
+    the join back onto the features is size-gated: above
+    LANGID_BCAST_MAX_DOCS the round relation must carry NO hint, so with
+    both broadcast thresholds at -1 (the 100 TB posture) the planner picks
+    a shuffle join — a forced hint would still plan BroadcastHashJoin and
+    OOM the driver at scale. Below the gate the hint applies (the measured
+    bench plan)."""
+    from flink_adcom_spark.queries.text import (
+        LANGID_BCAST_MAX_DOCS, LANGID_BUCKETS, LANGID_CLASSES, _documents,
+        _langid_misclassified, langid_fl,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    fl = langid_fl(spark, docs)
+    W = {ci: [0] * (LANGID_BUCKETS + 1)
+         for ci in range(1, len(LANGID_CLASSES) + 1)}
+    big = _langid_misclassified(fl, W, LANGID_BCAST_MAX_DOCS + 1)
+    with _broadcast_disabled(spark):
+        plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    small = _langid_misclassified(fl, W, 100)
+    with _broadcast_disabled(spark):
+        plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
