@@ -408,6 +408,47 @@ def q55_ivf_knn_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_knn(spark, sf_dir, nprobe=2)
 
 
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, cv, cnrm): per-cell mean centroid + its norm — the IVF list
+    representatives (label groups stand in for trained k-means cells; the
+    centroid-update step is q52). posexplode + avg, then reassembled.
+    Extracted from _ivf_knn unchanged so q54/q55 and the IVF-PQ composition
+    (q200) share one routing definition."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform("pairs", lambda p: p.cval).alias("cv"),
+        )
+        .withColumn("cnrm", F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)))
+    )
+
+
+def _ivf_probe(e: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """(q_id, qv, qn, label): each query routed to its `nprobe` nearest
+    cells by round-6 cosine with a label tie-break (the coarse-quantizer
+    step). Queries and cells are both bounded -> broadcast cross join."""
+    from pyspark.sql import Window
+
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qc = F.broadcast(q).crossJoin(F.broadcast(cent))
+    ccos = F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cnrm")), 6)
+    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("label"))
+    return (
+        qc.withColumn("ccos", ccos)
+        .withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") <= nprobe)
+        .select("q_id", "qv", "qn", "label")
+    )
+
+
 def _ivf_knn(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """IVF ANN search: route each query to its nprobe nearest centroids
     (label groups stand in for trained k-means cells — the centroid-update
@@ -421,32 +462,7 @@ def _ivf_knn(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir)  # vec_id, label, v, nrm
-    # centroids per cell (label): posexplode + avg, then reassembled
-    cent = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
-        .groupBy("label", "pos")
-        .agg(F.avg("col").alias("cval"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
-        .select(
-            "label",
-            F.transform("pairs", lambda p: p.cval).alias("cv"),
-        )
-        .withColumn("cnrm", F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)))
-    )
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    qc = F.broadcast(q).crossJoin(F.broadcast(cent))
-    ccos = F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cnrm")), 6)
-    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("label"))
-    probe = (
-        qc.withColumn("ccos", ccos)
-        .withColumn("crnk", F.row_number().over(wq))
-        .filter(F.col("crnk") <= nprobe)
-        .select("q_id", "qv", "qn", "label")
-    )
+    probe = _ivf_probe(e, _ivf_cells(spark, sf_dir), nprobe)
     cand = F.broadcast(probe).join(e, "label").filter(F.col("vec_id") != F.col("q_id"))
     cos = F.round(
         F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
@@ -1783,10 +1799,13 @@ def pq_query_slices(q_df: DataFrame) -> DataFrame:
     )
 
 
-def pq_index_centroids(e: DataFrame, books: list[list[list[float]]]) -> DataFrame:
-    """(n_id, xc0..xc{PQ_M-1}): the corpus represented ONLY by its winner
-    centroids, computed scan-side from the raw vectors (the batch-encode
-    path). ONE scan; the assigned code is a pure expression."""
+def pq_index_centroids(
+    e: DataFrame, books: list[list[list[float]]], extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(n_id, [extra_cols...,] xc0..xc{PQ_M-1}): the corpus represented ONLY
+    by its winner centroids, computed scan-side from the raw vectors (the
+    batch-encode path). ONE scan; the assigned code is a pure expression.
+    `extra_cols` carries list keys through (the IVF-PQ case: label)."""
     from ..operators.kmeans import cluster_expr
 
     xc_cols = []
@@ -1794,7 +1813,7 @@ def pq_index_centroids(e: DataFrame, books: list[list[list[float]]]) -> DataFram
         cmat = F.lit([[float(x) for x in c] for c in books[m]])
         code = cluster_expr(F.slice("v", m * PQ_SUB + 1, PQ_SUB), books[m])
         xc_cols.append(F.element_at(cmat, code + 1).alias(f"xc{m}"))
-    return e.select(F.col("vec_id").alias("n_id"), *xc_cols)
+    return e.select(F.col("vec_id").alias("n_id"), *extra_cols, *xc_cols)
 
 
 def pq_decode_centroids(codes_df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
@@ -1813,14 +1832,19 @@ def pq_decode_centroids(codes_df: DataFrame, books: list[list[list[float]]]) -> 
     return codes_df.select(F.col("vec_id").alias("n_id"), *xc_cols)
 
 
-def adc_topk(q: DataFrame, x: DataFrame) -> DataFrame:
+def adc_topk(
+    q: DataFrame, x: DataFrame, list_key: tuple[str, str] | None = None
+) -> DataFrame:
     """Asymmetric-distance top-{TOP_K}: broadcast the (bounded) query
     slices into the index relation, sum the per-subspace squared distances
     as one m-ASCENDING addition chain — (0 + d0) + d1 + ... , the identical
     float order as the oracle's list_prepend(0)/list_reduce over
     list(dm ORDER BY m) — and rank by round-6 distance with an id
-    tie-break. ONE definition shared by the batch searcher (q196) and the
-    streaming searcher (q199)."""
+    tie-break. ONE definition shared by the batch searcher (q196), the
+    streaming searcher (q199), and the IVF-PQ list searcher (q200), which
+    passes `list_key=(q_col, x_col)`: the join then carries that EQUI key
+    (a hash join on the list id), so each query touches only its probed
+    lists instead of the whole index — the sublinear serving shape."""
     from pyspark.sql import Window
 
     adc = F.lit(0.0)
@@ -1830,10 +1854,14 @@ def adc_topk(q: DataFrame, x: DataFrame) -> DataFrame:
             F.lit(0.0),
             lambda acc, d: acc + d,
         )
+    cond = F.col("q_id") != F.col("n_id")
+    if list_key is not None:
+        qk, xk = list_key
+        cond = (F.col(qk) == F.col(xk)) & cond
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
     return (
         F.broadcast(q)
-        .join(x, F.col("q_id") != F.col("n_id"))
+        .join(x, cond)
         .select("q_id", "n_id", F.round(adc, 6).alias("adc_dist"))
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOP_K)
@@ -1932,6 +1960,149 @@ def q197_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the honest number a mixed-metric index swap would see on this corpus."""
     truth = q50_knn_bruteforce(spark, sf_dir).select("q_id", "n_id")
     pq = q196_pq_adc_knn(spark, sf_dir).select(
+        F.col("q_id").alias("p_qid"), F.col("n_id").alias("p_id")
+    )
+    return (
+        truth.join(
+            pq,
+            (F.col("q_id") == F.col("p_qid")) & (F.col("n_id") == F.col("p_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.round(F.count("p_id").cast("double") / TOP_K, 6).alias("recall")
+        )
+    )
+
+
+# --- q200: IVF-PQ — the composed billion-scale index shape ---------------------
+IVFPQ_NPROBE = 2  # q55's recall/cost dial, reused for the composed index
+
+
+def _ivfpq_sql(nprobe: int) -> str:
+    """Composed oracle: q54's list routing (cent/qc/probe CTEs restated
+    verbatim) gating q196's ADC pair relation on list membership. The ADC
+    fold, round-6 + id tie-breaks, and the 8 emit-centroids PQ chains are
+    q196's; the probe's round-6 cosine + label tie-break is q54's."""
+    chains = ",\n".join(
+        f"asg{m} AS ({_pq_chain(m, emit_centroids=True)})" for m in range(PQ_M)
+    )
+    return f"""
+    WITH {chains},
+    x AS ({_X_SQL}),
+    cent AS (SELECT label, i, AVG(val) AS cval FROM x GROUP BY label, i),
+    cnorm AS (SELECT label, sqrt(SUM(cval * cval)) AS cnrm FROM cent GROUP BY label),
+    n AS ({_N_SQL}),
+    qc AS (SELECT q.vec_id AS q_id, c.label AS label, SUM(q.val * c.cval) AS dot
+           FROM x q JOIN cent c ON q.i = c.i WHERE q.vec_id < {N_QUERY_VECS}
+           GROUP BY 1, 2),
+    probe AS (SELECT q_id, label FROM (
+                SELECT q_id, qc.label,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q_id
+                         ORDER BY ROUND(qc.dot / (nq.nrm * cn.cnrm), 6) DESC, qc.label
+                       ) AS crnk
+                FROM qc JOIN n nq ON qc.q_id = nq.vec_id
+                        JOIN cnorm cn ON qc.label = cn.label) t
+              WHERE crnk <= {nprobe}),
+    xc AS (SELECT a.vec_id, e.label, a.m, a.c
+           FROM ({" UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, c FROM asg{m}" for m in range(PQ_M)
+    )}) a JOIN embeddings e USING (vec_id)),
+    qsub AS ({" UNION ALL ".join(
+        f"SELECT vec_id AS q_id, {m} AS m, {_pq_vec_expr(m)} AS qv "
+        f"FROM embeddings WHERE vec_id < {N_QUERY_VECS}" for m in range(PQ_M)
+    )}),
+    pair AS (SELECT q.q_id, x.vec_id AS n_id, q.m,
+                    {_kmeans_dist_sql("q.qv", "x.c")} AS dm
+             FROM qsub q
+             JOIN probe p ON p.q_id = q.q_id
+             JOIN xc x ON q.m = x.m AND x.label = p.label
+                       AND q.q_id <> x.vec_id),
+    adc AS (SELECT q_id, n_id,
+                   ROUND(list_reduce(
+                     list_prepend(CAST(0 AS DOUBLE), list(dm ORDER BY m)),
+                     (a, x) -> a + x), 6) AS adc_dist
+            FROM pair GROUP BY q_id, n_id),
+    r AS (SELECT q_id, n_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY adc_dist ASC, n_id) AS rnk
+          FROM adc)
+    SELECT q_id, n_id, adc_dist, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= {TOP_K}
+    """
+
+
+@query(
+    "q200_ivfpq_knn",
+    _ivfpq_sql(IVFPQ_NPROBE),
+    tags=("similarity", "knn", "ivf", "quantize", "pq", "pipeline"),
+    bench=True,
+)
+def q200_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search", §V IVFADC topology; VERDICT r10 #4): coarse-quantize
+    queries to their {IVFPQ_NPROBE} nearest IVF lists (q54's routing —
+    label cells with mean centroids), then ADC-score ONLY the PQ codes
+    stored in those lists (q195's codes, q196's asymmetric distance) —
+    the composed index a billion-vector serving tier actually runs, where
+    q196's flat ADC still scans every code per query. Non-residual variant
+    (codes quantize raw vectors, not list residuals — the FAISS
+    `IVFx,PQy` by_residual=false layout), so the externally-verified q195
+    codebooks/codes ARE the stored index; the composition is assembled
+    from the verified q54 probe + q196 ADC relations (the q192/q197
+    discipline), so it cannot silently disagree with its stages.
+
+    Scale shape: per query, work is bounded by the probed lists'
+    populations — |corpus| * nprobe / n_cells code reads instead of
+    |corpus| (sublinear in the fleet of lists; SCALING.md carries the
+    measured q196-vs-q200 sf1 ratio) — and the join is an EQUI hash join
+    on the list id, broadcast on the bounded query side. The index tuple
+    (n_id, label, code) is exactly what a parquet index table persists,
+    list-partitioned so probes prune at the scan."""
+    e = _emb(spark, sf_dir)
+    books = _pq_books(spark, sf_dir)
+    probe = _ivf_probe(e, _ivf_cells(spark, sf_dir), IVFPQ_NPROBE)
+    qs = probe.select(
+        "q_id",
+        F.col("label").alias("plabel"),
+        *[
+            F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias(f"qv{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    x = pq_index_centroids(e, books, extra_cols=("label",))
+    return adc_topk(qs, x, list_key=("plabel", "label"))
+
+
+def _q201_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q50 = _REGISTRY["q50_knn_bruteforce"].oracle
+    q200 = _REGISTRY["q200_ivfpq_knn"].oracle
+    return f"""
+    WITH truth AS MATERIALIZED (SELECT q_id, n_id FROM ({q50}) t),
+    ivfpq AS MATERIALIZED (SELECT q_id, n_id FROM ({q200}) t)
+    SELECT f.q_id,
+           ROUND(CAST(COUNT(p.n_id) AS DOUBLE) / {TOP_K}, 6) AS recall
+    FROM truth f LEFT JOIN ivfpq p ON f.q_id = p.q_id AND f.n_id = p.n_id
+    GROUP BY f.q_id
+    """
+
+
+@query(
+    "q201_ivfpq_recall",
+    _q201_oracle(),
+    tags=("similarity", "knn", "ivf", "quantize", "pq", "audit", "pipeline"),
+)
+def q201_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF-PQ search (q200) against the exact cosine
+    truth (q50) per query — q197's audit for the composed index, isolating
+    what LIST ROUTING costs on top of PQ compression: recall(q200) -
+    recall(q196) is the routing loss a deployment tunes nprobe against.
+    Composed from the two verified relations (the q187/q192 discipline)."""
+    truth = q50_knn_bruteforce(spark, sf_dir).select("q_id", "n_id")
+    pq = q200_ivfpq_knn(spark, sf_dir).select(
         F.col("q_id").alias("p_qid"), F.col("n_id").alias("p_id")
     )
     return (

@@ -460,3 +460,17 @@ def test_q190_margin_join_broadcast_gated_on_corpus_size(spark, sf_dir):
     with _broadcast_disabled(spark):
         plan = small._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_q200_ivfpq_probe_is_equi_hash_join_on_list(spark, sf_dir):
+    """q200's whole point vs q196: the query->corpus join carries the list
+    id as an EQUI key, so it plans as a broadcast HASH join (bounded probe
+    side) pruning to probed lists — never the BroadcastNestedLoopJoin full
+    scan q196 runs, and never a shuffle of the code table for 20 queries."""
+    from flink_adcom_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(get("q200_ivfpq_knn").build(spark, sf_dir))
+    search = plan.split("BroadcastHashJoin")
+    assert len(search) >= 2, plan[:2000]
+    # the only BNLJ allowed is the bounded query x cells routing cross
+    assert "BroadcastNestedLoopJoin Inner" not in plan, plan[:2000]

@@ -130,3 +130,40 @@ def test_quantized_rescore_recall_near_exact(spark, sf_dir):
     q = _pairs(get("q109_quantized_rescore_knn").build(spark, sf_dir))
     recall = len(q & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_ivfpq_contained_in_probed_lists_and_agrees_with_flat_adc(spark, sf_dir):
+    """q200's two structural invariants against its verified stages:
+    (1) every returned neighbor lives in one of the query's probed IVF
+    lists (the routing really bounds the search), and (2) on shared
+    (q_id, n_id) pairs the ADC distance equals q196's flat scan bit-for-
+    bit — the list restriction changes WHICH pairs are scored, never the
+    score. Plus non-vacuousness: results exist for every query."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.queries.similarity import (
+        IVFPQ_NPROBE, N_QUERY_VECS, _emb, _ivf_cells, _ivf_probe,
+    )
+
+    ivfpq = get("q200_ivfpq_knn").build(spark, sf_dir).collect()
+    assert {r["q_id"] for r in ivfpq} == set(range(N_QUERY_VECS))
+    e = _emb(spark, sf_dir)
+    probe = {
+        (r["q_id"], r["label"])
+        for r in _ivf_probe(e, _ivf_cells(spark, sf_dir), IVFPQ_NPROBE)
+        .select("q_id", "label")
+        .collect()
+    }
+    labels = dict(
+        e.select("vec_id", "label").rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    for r in ivfpq:
+        assert (r["q_id"], labels[r["n_id"]]) in probe, r
+    flat = {
+        (r["q_id"], r["n_id"]): r["adc_dist"]
+        for r in get("q196_pq_adc_knn").build(spark, sf_dir).collect()
+    }
+    shared = [r for r in ivfpq if (r["q_id"], r["n_id"]) in flat]
+    assert shared, "no overlap with flat ADC proves nothing"
+    for r in shared:
+        assert r["adc_dist"] == flat[(r["q_id"], r["n_id"])], r
