@@ -421,3 +421,79 @@ def test_q191_drops_the_planted_loop_and_keeps_the_clean_doc(
         )
     finally:
         con.close()
+
+
+# --- q202 incremental substring dedup: batch-vs-corpus spans only ---------------
+
+_PARA2 = " ".join(f"yqplant{i}" for i in range(25))
+_INCR_PLANT = {
+    "documents": f"""SELECT * FROM '{{src}}'
+        UNION ALL SELECT 9000001 AS doc_id, '{_PARA}' AS text,
+               'en' AS lang, 'plant' AS source,
+               CAST(len('{_PARA}') AS BIGINT) AS n_chars
+        UNION ALL SELECT 9000004 AS doc_id,
+               concat('fila filb filc fild file filf filg ', '{_PARA}',
+                      ' tailx taily') AS text,
+               'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+        UNION ALL SELECT 9000009 AS doc_id, '{_PARA2}' AS text,
+               'en', 'plant', CAST(0 AS BIGINT)
+        UNION ALL SELECT 9000014 AS doc_id, '{_PARA2}' AS text,
+               'en', 'plant', CAST(0 AS BIGINT)"""
+}
+
+
+def test_q202_flags_batch_vs_corpus_only_and_is_batching_invariant(
+    spark, tmp_path_factory
+):
+    """Doc 9000004 (batch: id%5==4) shares the off-grid paragraph with
+    corpus doc 9000001 (id%5==1) -> q202 must emit exactly the 25+-token
+    span for the BATCH doc and nothing for the corpus doc. Docs
+    9000009/9000014 are BOTH in the batch and duplicate only each other:
+    index-frozen semantics must NOT flag them (q188 on the same fixture
+    does — that contrast is the incremental contract). And splitting the
+    batch arbitrarily, probing each part against the same index, must
+    union to the identical span set (the q161 batching-invariance
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.queries.dedup import (
+        NEW_BATCH_MOD, SUBSTR_L, _documents, substring_spans_vs_index,
+        _substr_grams, words_col,
+    )
+
+    fixture = make_fixture_dir(tmp_path_factory, "planted_incr_substr", _INCR_PLANT)
+    rows = get("q202_incremental_substring_dedup").build(spark, fixture).collect()
+    planted = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+               for r in rows if r["doc_id"] >= 9000000}
+    assert 9000004 in planted and planted[9000004][2] >= 25, planted
+    assert 9000001 not in planted, planted  # corpus docs never emitted
+    assert 9000009 not in planted and 9000014 not in planted, planted
+    # ...while the batch-global q188 DOES see the within-batch twins
+    q188_docs = {r["doc_id"] for r in
+                 get("q188_substring_dedup").build(spark, fixture).collect()}
+    assert {9000009, 9000014} <= q188_docs
+
+    # batching invariance: split the batch by doc_id parity, probe each
+    # half against the SAME frozen index, union == whole-batch result
+    docs = _documents(spark, fixture)
+    base = docs.select("doc_id", words_col().alias("w")).withColumn(
+        "n", F.size("w").cast("bigint")
+    ).filter(F.col("n") >= SUBSTR_L)
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    index = _substr_grams(base.filter(~is_new)).select("gd").distinct()
+    whole = {tuple(r) for r in rows}
+    parts = set()
+    for par in (0, 1):
+        half = base.filter(is_new & (F.col("doc_id") % 2 == par))
+        parts |= {tuple(r) for r in
+                  substring_spans_vs_index(half, index).collect()}
+    assert parts == whole
+
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(
+            get("q202_incremental_substring_dedup"), spark, fixture, con,
+            name="q202",
+        )
+    finally:
+        con.close()
