@@ -410,7 +410,54 @@ _ROUND10_GATE = frozenset(
         "q83_stream_incremental_mv",
     ]
 )
-_GATE = _ROUND10_GATE
+# Round 11 drains (a) the 12 never-checked entries — the nine post-r10-freeze
+# additions q191-q199 plus this round's q200 IVF-PQ, q201 its recall audit,
+# and q202 incremental substring dedup — then (b) the 8 builders modified
+# since their newest green (q189 summary-gate rewrite, q190 size-gated margin
+# broadcast, q188 shared-gram refactor, q54/q55 probe-helper extraction,
+# q110/q168/q175 memoized constituent artifacts), (c) the flagship anchor,
+# and (d) 29 of the 49-entry r7-era oldest-green cohort in name order — the
+# remaining 20 (q31..q97, see COVERAGE.md) rotate into r12 with their r7
+# rows intact. q156's bench-flag demotion is metadata-only (builder and
+# oracle untouched) and does not re-gate it.
+_ROUND11_GATE = frozenset(
+    # (a) never driver-checked
+    [
+        "q191_gopher_repetition", "q192_curation_funnel",
+        "q193_source_drift_ks", "q194_dim_truncation_recall",
+        "q195_pq_codes", "q196_pq_adc_knn", "q197_pq_recall",
+        "q198_stream_pq_codes", "q199_stream_adc_search",
+        "q200_ivfpq_knn", "q201_ivfpq_recall",
+        "q202_incremental_substring_dedup",
+    ]
+    # (b) modified since last green row (this round)
+    + [
+        "q188_substring_dedup", "q189_runner_decision_trace",
+        "q190_trained_langid", "q54_ivf_knn", "q55_ivf_knn_nprobe2",
+        "q110_training_manifest", "q168_bpe_encode",
+        "q175_dataset_token_report",
+    ]
+    # (c) flagship anchor (every round)
+    + [
+        "q08_tpch_q1",
+    ]
+    # (d) oldest-green: r7-era cohort, name order, first 29 of 49
+    + [
+        "q02_ride_count_distinct", "q03_ride_avg_passengers",
+        "q04_ride_multi_avg", "q05_ride_max_passengers",
+        "q06_ride_sum_passengers", "q07_top10_distances",
+        "q07b_topn_per_driver", "q10_wordcount", "q113_retention_cohorts",
+        "q11_global_avg_distance", "q123_tpch_q12_late_priority",
+        "q12_grid_cell_counts", "q13_driver_fare_stats",
+        "q148_signal_fusion", "q149_source_caps", "q150_covisit_pagerank",
+        "q151_covisit_communities", "q152_weighted_sample",
+        "q153_inverted_index", "q20_tumbling_hourly", "q21_user_sessions",
+        "q22_running_count", "q23_type_daily_stats", "q24_user_rolling_value",
+        "q25_user_value_delta", "q26_asof_purchase_prior_view",
+        "q27_sliding_2h_counts", "q28_promo_window_stats", "q30_token_stats",
+    ]
+)
+_GATE = _ROUND11_GATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

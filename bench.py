@@ -115,6 +115,7 @@ def main() -> None:
     load_factor = round(canary_s / CANARY_REF_SEC, 3)
     stream_rps = _stream_throughput(spark)
     stream_rps_skew = _stream_throughput(spark, skewed=True)
+    pq_stream = _pq_stream_encode_metric(spark, sf_dir)
     bundle = _adaptive_bundle_metric(spark)
 
     total = round(sum(timings.values()), 3)
@@ -147,6 +148,7 @@ def main() -> None:
                 "stream_wordcount_skew30_rows_per_sec": stream_rps_skew["rows_per_sec"],
                 "stream_wordcount_skew30_n_steady_batches": stream_rps_skew["n_steady_batches"],
                 "stream_wordcount_skew30_ramp_excluded": stream_rps_skew["ramp_excluded"],
+                **pq_stream,
                 **({"errors": errors} if errors else {}),
                 **bundle,
             }
@@ -237,6 +239,46 @@ def _stream_throughput(
         "n_steady_batches": len(steady),
         "ramp_excluded": ramp_excluded,
     }
+
+
+def _pq_stream_encode_metric(spark, sf_dir: str, n_batches: int = 8) -> dict:
+    """Sustained throughput of the streaming PQ encoder (the q198 serving
+    path; VERDICT r10 #7): the bench SF's embeddings replayed as
+    {n_batches} micro-batches through streaming_pq_codes_materialize with
+    FROZEN codebooks (trained outside the timed window — in production the
+    persisted artifact), codes landed as batch_id-partitioned parquet.
+    Reported rate = encoded vectors / wall, i.e. it INCLUDES micro-batch
+    scheduling + sink-commit overhead per batch — the honest serving-tier
+    number (the scan-side encode itself is one projection), which is why
+    the batch count rides along. SCALING.md carries the sf1 row."""
+    from flink_adcom_spark.queries.similarity import _pq_books
+    from flink_adcom_spark.streaming.jobs import streaming_pq_codes_materialize
+    from flink_adcom_spark.tables import load_table
+    from flink_adcom_spark.workdirs import gate_workdir
+
+    try:
+        work = gate_workdir("bench_pq_stream")
+        feed = os.path.join(work, "feed")
+        out = os.path.join(work, "codes")
+        load_table(spark, sf_dir, "embeddings").repartition(n_batches).write.mode(
+            "overwrite"
+        ).parquet(feed)
+        books = _pq_books(spark, sf_dir)
+        t0 = time.time()
+        streaming_pq_codes_materialize(
+            spark, feed, out, books,
+            checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+        )
+        wall = time.time() - t0
+        encoded = spark.read.parquet(out).count()
+        return {
+            "stream_pq_encode_rows_per_sec": round(encoded / wall, 1),
+            "stream_pq_encode_vectors": int(encoded),
+            "stream_pq_encode_n_batches": n_batches,
+            "stream_pq_encode_wall_sec": round(wall, 3),
+        }
+    except Exception as e:  # noqa: BLE001 — one broken metric must not
+        return {"stream_pq_encode_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0) -> dict:
