@@ -428,3 +428,149 @@ def q193_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ks, 6).alias("ks_stat"),
         (ks > crit).alias("drifted"),
     )
+
+
+# --- q204: embedding-space drift per source (the q193 discipline on vectors) ---
+# A feed can drift in EMBEDDING space while every scalar audit stays flat
+# (same lengths, same languages — different content; e.g. a crawler that
+# starts returning machine-translated boilerplate). The detector: quantize
+# every vector to its q57 k-means cell, then per source compare the cell
+# HISTOGRAM against the rest of the corpus by total-variation distance
+#   TV(s) = (1/2) * SUM_c | c_s(c)/n_s - c_rest(c)/n_rest |
+# evaluated exactly as integer cross products |c_s*(n-n_s) - (c_all-c_s)*n_s|
+# (DECIMAL(38,0) here / HUGEINT in the oracle — the q193 overflow rule) with
+# ONE double division at the end, so both engines agree bit-for-bit.
+#
+# The flag line is SAMPLE-SIZE-AWARE (a fixed threshold fires on pure
+# sampling noise for small sources — measured: 25-vector sources reach
+# TV ~ 0.32 on the unplanted corpus while 100-vector ones stay under 0.17):
+#   crit(s) = sqrt( k * (1/n_s + 1/n_rest) )
+# ~2x the Cauchy-Schwarz bound on E[TV] between two multinomial samples
+# over k cells, so noise stays under it at every n while a genuinely moved
+# source (mass relocated to its own cells, TV -> 1) clears it. k is the
+# same engine-derived q57 value on both engines (_k_sql / derive_kmeans_k).
+
+
+def _q204_oracle() -> str:
+    from .similarity import KMEANS_ITERS, _k_sql, _kmeans_oracle_sql
+
+    tv = (
+        "CAST(d.tvnum AS DOUBLE)"
+        " / (2 * CAST(s.n_s AS DOUBLE) * CAST(t.n - s.n_s AS DOUBLE))"
+    )
+    crit = (
+        f"SQRT(CAST({_k_sql('embeddings')} AS DOUBLE)"
+        " * (CAST(1 AS DOUBLE) / CAST(s.n_s AS DOUBLE)"
+        " + CAST(1 AS DOUBLE) / CAST(t.n - s.n_s AS DOUBLE)))"
+    )
+    return f"""
+    WITH assign AS ({_kmeans_oracle_sql(_k_sql(), KMEANS_ITERS)}),
+    sv AS (SELECT d.source, a.vec_id, a.cluster
+           FROM assign a JOIN documents d ON a.vec_id = d.doc_id
+           WHERE d.source IS NOT NULL),
+    per AS (SELECT source, cluster, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM sv GROUP BY 1, 2),
+    cells AS (SELECT DISTINCT cluster FROM sv),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM sv GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sv),
+    call AS (SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS c_all
+             FROM per GROUP BY 1),
+    gs AS (SELECT s.source, c.cluster,
+                  CAST(COALESCE(p.cnt, 0) AS BIGINT) AS c_s
+           FROM srcs s CROSS JOIN cells c
+           LEFT JOIN per p ON p.source = s.source AND p.cluster = c.cluster),
+    num AS (SELECT gs.source,
+                   SUM(ABS(CAST(gs.c_s AS HUGEINT) * (tot.n - srcs.n_s)
+                           - CAST(call.c_all - gs.c_s AS HUGEINT)
+                             * srcs.n_s)) AS tvnum
+            FROM gs JOIN call USING (cluster)
+                    JOIN srcs USING (source) CROSS JOIN tot
+            GROUP BY gs.source)
+    SELECT d.source, s.n_s, (t.n - s.n_s) AS n_rest,
+           ROUND({tv}, 6) AS tv_dist,
+           ({tv} > {crit}) AS drifted
+    FROM num d JOIN srcs s USING (source) CROSS JOIN tot t
+    """
+
+
+@query(
+    "q204_embedding_drift_tv",
+    _q204_oracle(),
+    tags=("audit", "drift", "similarity", "pipeline"),
+)
+def q204_embedding_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EMBEDDING-distribution drift audit (module comment above):
+    exact total-variation distance between each source's k-means-cell
+    histogram and the rest of the corpus, flagged at the sample-size-aware
+    critical value sqrt(k*(1/n_s + 1/n_rest)) (module comment).
+    Complements q193 (scalar ECDF drift) with the vector-space check a
+    multimodal/RAG ingest runs per upstream feed; the planted proof
+    (tests/test_planted_positives.py) rotates one source's vectors and
+    asserts that source and ONLY that source is flagged.
+
+    Scale shape: cell assignment rides the q57 relation (scan-side argmin
+    against broadcast centroids); the histogram is one (source, cell)
+    count shuffle with |sources| x k output; the TV fold runs on that
+    bounded relation (cells cross sources ~ 20k rows at k=sqrt(N)) — no
+    window, no pairwise work. Cross products are DECIMAL(38,0) (q193's
+    128-bit rule), denominators double."""
+    from .similarity import _emb_count, derive_kmeans_k, q57_kmeans
+
+    k = derive_kmeans_k(_emb_count(spark, sf_dir))
+    assign = q57_kmeans(spark, sf_dir)  # vec_id, cluster
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sv = (
+        assign.join(docs, assign["vec_id"] == docs["doc_id"])
+        .filter(F.col("source").isNotNull())
+        .select("source", "vec_id", "cluster")
+    )
+    per = sv.groupBy("source", "cluster").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cells = sv.select("cluster").distinct()
+    srcs = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_total = sv.count()  # bounded: one scalar
+    call = per.groupBy("cluster").agg(F.sum("cnt").alias("c_all"))
+    gs = (
+        srcs.select("source", "n_s")
+        .crossJoin(F.broadcast(cells))
+        .join(per, ["source", "cluster"], "left")
+        .select(
+            "source",
+            "n_s",
+            "cluster",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c_s"),
+        )
+    )
+    num = (
+        gs.join(F.broadcast(call), "cluster")
+        .withColumn(
+            "term",
+            F.abs(
+                F.col("c_s").cast("decimal(19,0)")
+                * (F.lit(n_total) - F.col("n_s")).cast("decimal(19,0)")
+                - (F.col("c_all") - F.col("c_s")).cast("decimal(19,0)")
+                * F.col("n_s").cast("decimal(19,0)")
+            ),
+        )
+        .groupBy("source")
+        .agg(F.sum("term").alias("tvnum"))
+    )
+    out = num.join(F.broadcast(srcs), "source")
+    n_rest = F.lit(n_total) - F.col("n_s")
+    denom = F.lit(2.0) * F.col("n_s").cast("double") * n_rest.cast("double")
+    tv = F.col("tvnum").cast("double") / denom
+    crit = F.sqrt(
+        F.lit(float(k))
+        * (
+            F.lit(1.0) / F.col("n_s").cast("double")
+            + F.lit(1.0) / n_rest.cast("double")
+        )
+    )
+    return out.select(
+        "source",
+        "n_s",
+        n_rest.alias("n_rest"),
+        F.round(tv, 6).alias("tv_dist"),
+        (tv > crit).alias("drifted"),
+    )

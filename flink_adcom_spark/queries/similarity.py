@@ -1820,11 +1820,17 @@ def pq_index_centroids(
     return e.select(F.col("vec_id").alias("n_id"), *extra_cols, *xc_cols)
 
 
-def pq_decode_centroids(codes_df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
-    """(n_id, xc0..): the same corpus representation DECODED from a
-    materialized (vec_id, code_str) index table — the serving path, where
-    the index is the persisted artifact and raw vectors are never touched
-    (streaming/jobs.py::adc_search_writer, q199)."""
+def pq_decode_centroids(
+    codes_df: DataFrame,
+    books: list[list[list[float]]],
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(n_id, [extra_cols...,] xc0..): the same corpus representation
+    DECODED from a materialized (vec_id, code_str) index table — the
+    serving path, where the index is the persisted artifact and raw
+    vectors are never touched (streaming/jobs.py::adc_search_writer,
+    q199). `extra_cols` carries list keys through (the streamed IVF-PQ
+    case, q203: label)."""
     parts = F.split("code_str", ":")
     xc_cols = [
         F.element_at(
@@ -1833,7 +1839,7 @@ def pq_decode_centroids(codes_df: DataFrame, books: list[list[list[float]]]) -> 
         ).alias(f"xc{m}")
         for m in range(PQ_M)
     ]
-    return codes_df.select(F.col("vec_id").alias("n_id"), *xc_cols)
+    return codes_df.select(F.col("vec_id").alias("n_id"), *extra_cols, *xc_cols)
 
 
 def adc_topk(

@@ -608,6 +608,66 @@ def q199_stream_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("q_id", "n_id", "adc_dist", "rnk")
 
 
+# --- q203: stream-side IVF-PQ search vs the batch composed searcher --------------
+def _q203_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # streamed probed searches over the persisted (cells, codes) index must
+    # equal the batch IVF-PQ searcher's relation exactly
+    return _REGISTRY["q200_ivfpq_knn"].oracle
+
+
+@query(
+    "q203_stream_ivfpq_search",
+    _q203_oracle(),
+    tags=("streaming", "similarity", "ivf", "quantize", "pq", "pipeline"),
+)
+def q203_stream_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online IVF-PQ serving, externally gated (q199's searcher upgraded to
+    the composed q200 index): the PERSISTED index artifact here is three
+    tables — the coarse cell centroids (_ivf_cells written to parquet: the
+    routing model), the frozen codebooks, and the LABEL-PARTITIONED code
+    table — and the 20-query workload replayed as a 4-micro-batch stream
+    is routed + ADC-scored per batch through the SHARED _ivf_probe /
+    pq_decode_centroids / adc_topk bodies against only the probed lists.
+    The drained result must hash-match q200's batch relation (and its
+    DuckDB restatement): proves serve-time routing over the persisted
+    centroid table and serve-time decode of the partitioned codes equal
+    the build-time composition — the whole-index contract an online ANN
+    tier must hold. Raw corpus vectors are never read at serve time.
+
+    Scale shape: the code table is partitioned BY THE LIST KEY on disk, so
+    the probe equi-join prunes partitions at the scan (per-query work
+    bounded by probed list populations) while q199's flat searcher reads
+    every code per batch; the centroid table is |cells| rows (broadcast),
+    queries are the bounded workload."""
+    from .similarity import (
+        N_QUERY_VECS, _emb, _ivf_cells, _pq_books, pq_code_str_col,
+    )
+
+    work = gate_workdir("ivfpq_stream_gate")
+    qfeed = os.path.join(work, "qfeed")
+    index = os.path.join(work, "index")
+    cents = os.path.join(work, "cents")
+    out = os.path.join(work, "hits")
+    e = _emb(spark, sf_dir)
+    books = _pq_books(spark, sf_dir)
+    # the persisted index artifact: label-partitioned codes + cell centroids
+    e.select("vec_id", "label", pq_code_str_col(books).alias("code_str")).write.partitionBy(
+        "label"
+    ).mode("overwrite").parquet(index)
+    _ivf_cells(spark, sf_dir).write.mode("overwrite").parquet(cents)
+    # the query stream: the bounded q50 workload, 4 micro-batches
+    load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERY_VECS
+    ).repartition(4).write.mode("overwrite").parquet(qfeed)
+    jobs.streaming_ivfpq_search_materialize(
+        spark, qfeed, out, index, cents, books,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select("q_id", "n_id", "adc_dist", "rnk")
+
+
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
 RUNNER_TRACE_DECISIONS = 25  # decisions requested from the live paced runner
 RUNNER_TRACE_MIN = 8  # floor below which the gate is a scheduling failure

@@ -836,6 +836,78 @@ def streaming_adc_search_materialize(
         q.stop()
 
 
+def ivfpq_search_writer(
+    spark: SparkSession, queries_dir: str, out_path: str, index_path: str,
+    cents_path: str, books: list[list[list[float]]],
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_ivfpq_search_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.similarity import (
+        IVFPQ_NPROBE, PQ_M, PQ_SUB, _ivf_probe, adc_topk, pq_decode_centroids,
+    )
+
+    qstream = _embeddings_stream(spark, queries_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        e = batch_df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ).withColumn(
+            "nrm",
+            F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        cent = spark.read.parquet(cents_path)
+        probe = _ivf_probe(e, cent, IVFPQ_NPROBE)
+        qs = probe.select(
+            "q_id",
+            F.col("label").alias("plabel"),
+            *[
+                F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias(f"qv{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        x = pq_decode_centroids(
+            spark.read.parquet(index_path), books, extra_cols=("label",)
+        )
+        out = adc_topk(qs, x, list_key=("plabel", "label")).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = qstream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_ivfpq_search_materialize(
+    spark: SparkSession, queries_dir: str, out_path: str, index_path: str,
+    cents_path: str, books: list[list[list[float]]],
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Query-stream IVF-PQ serving (q203; the q199 searcher upgraded to the
+    composed index): each arriving query is routed to its nprobe nearest
+    coarse cells against the PERSISTED cell-centroid table (part of the
+    index artifact, like the codebooks — serve time touches no raw corpus
+    vectors), then ADC-scored via the SHARED _ivf_probe/adc_topk bodies
+    against ONLY the probed lists of the label-partitioned code index.
+    Results land as batch_id-partitioned idempotent epochs (the q184/q198
+    discipline). This is the serving topology at 100 TB: the list key is
+    the index table's PARTITION column, so the probe equi-join prunes at
+    the scan (dynamic partition pruning) and per-query work is bounded by
+    the probed lists' populations — q199's flat scan touched every code
+    for every batch."""
+    q = ivfpq_search_writer(
+        spark, queries_dir, out_path, index_path, cents_path, books,
+        checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_classifier_scores_materialize(
     spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
     checkpoint: str | None = None, **kw

@@ -497,3 +497,37 @@ def test_q202_flags_batch_vs_corpus_only_and_is_batching_invariant(
         )
     finally:
         con.close()
+
+
+# --- q204 embedding drift: a planted off-manifold source must be flagged -------
+
+# src3 = doc_id % 20 == 3 (the synthetic source law); its vectors are moved
+# to a constant far-off point, forming their own k-means cell that no other
+# source occupies -> TV(src3 vs rest) ~ 1.0, everyone else's TV moves by at
+# most src3's ~5% mass share
+_EMB_DRIFT_PLANT = {
+    "embeddings": """SELECT vec_id,
+        CASE WHEN vec_id % 20 = 3
+             THEN list_transform(embedding, x -> CAST(100.0 AS FLOAT))
+             ELSE embedding END AS embedding,
+        label FROM '{src}'"""
+}
+
+
+def test_q204_flags_exactly_the_planted_drifted_embedding_source(
+    spark, tmp_path_factory
+):
+    fixture = make_fixture_dir(tmp_path_factory, "planted_embdrift", _EMB_DRIFT_PLANT)
+    rows = get("q204_embedding_drift_tv").build(spark, fixture).collect()
+    flagged = {r["source"] for r in rows if r["drifted"]}
+    assert flagged == {"src3"}, flagged
+    by_src = {r["source"]: r["tv_dist"] for r in rows}
+    assert by_src["src3"] >= 0.9, by_src["src3"]
+
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(
+            get("q204_embedding_drift_tv"), spark, fixture, con, name="q204"
+        )
+    finally:
+        con.close()

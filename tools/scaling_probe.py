@@ -41,6 +41,9 @@ SF1_PROBES = frozenset([
     "q188_substring_dedup", "q191_gopher_repetition", "q192_curation_funnel",
     "q193_source_drift_ks", "q194_dim_truncation_recall",
     "q195_pq_codes", "q196_pq_adc_knn",
+    # round-11: the IVF-PQ composition's whole claim is sub-linear per-query
+    # cost vs q196's flat scan at the 10x tier; q202's is per-batch cost
+    "q200_ivfpq_knn", "q202_incremental_substring_dedup",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -120,6 +123,10 @@ PROBES = [
     "q195_pq_codes",
     "q196_pq_adc_knn",
     "q197_pq_recall",
+    # round-11 additions
+    "q200_ivfpq_knn",
+    "q201_ivfpq_recall",
+    "q202_incremental_substring_dedup",
 ]
 
 

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""sf1 probe of the streaming PQ serving pair (VERDICT r10 #7): the q198
+encoder and q199 searcher driven over the 10x embeddings corpus
+(/tmp/spark_graft_sf1, 20k vectors — tools/make_sf1.py) with larger batch
+counts than the 4-micro-batch gate builds, reporting sustained rows/s for
+the encode path and queries/s for the search path. The encode rate includes
+micro-batch scheduling + dynamic-partition-overwrite commit overhead (the
+honest serving number — the scan-side encode itself is one projection);
+codebook training happens OUTSIDE the timed window (the persisted-artifact
+posture, same as bench.py::_pq_stream_encode_metric).
+
+Run: python tools/stream_serving_probe.py [sf_dir] (default the sf1 dir).
+Results land in SCALING.md's round-11 notes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+ENCODE_BATCHES = 16
+SEARCH_BATCHES = 8
+N_SEARCH_QUERIES = 200
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.queries.similarity import _pq_books
+    from flink_adcom_spark.session import get_spark
+    from flink_adcom_spark.streaming.jobs import (
+        streaming_adc_search_materialize, streaming_pq_codes_materialize,
+    )
+    from flink_adcom_spark.tables import load_table
+    from flink_adcom_spark.workdirs import gate_workdir
+
+    spark = get_spark("stream-serving-probe", cpus=int(os.environ["SPARK_GRAFT_CPUS"]))
+    work = gate_workdir("serving_probe")
+    feed = os.path.join(work, "feed")
+    codes = os.path.join(work, "codes")
+    qfeed = os.path.join(work, "qfeed")
+    found = os.path.join(work, "found")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    emb.repartition(ENCODE_BATCHES).write.mode("overwrite").parquet(feed)
+    emb.filter(F.col("vec_id") < N_SEARCH_QUERIES).repartition(
+        SEARCH_BATCHES
+    ).write.mode("overwrite").parquet(qfeed)
+    books = _pq_books(spark, sf_dir)  # persisted artifact: outside the clock
+
+    t0 = time.time()
+    streaming_pq_codes_materialize(
+        spark, feed, codes, books,
+        checkpoint=os.path.join(work, "ckpt_enc"), maxFilesPerTrigger=1,
+    )
+    enc_wall = time.time() - t0
+    encoded = spark.read.parquet(codes).count()
+
+    t0 = time.time()
+    streaming_adc_search_materialize(
+        spark, qfeed, found, codes, books,
+        checkpoint=os.path.join(work, "ckpt_srch"), maxFilesPerTrigger=1,
+    )
+    srch_wall = time.time() - t0
+    served = (
+        spark.read.parquet(found).select("q_id").distinct().count()
+    )
+
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "corpus_vectors": int(n_vec),
+        "encode_batches": ENCODE_BATCHES,
+        "encode_wall_sec": round(enc_wall, 2),
+        "encode_rows_per_sec": round(encoded / enc_wall, 1),
+        "search_batches": SEARCH_BATCHES,
+        "search_queries": int(served),
+        "search_wall_sec": round(srch_wall, 2),
+        "search_queries_per_sec": round(served / srch_wall, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
