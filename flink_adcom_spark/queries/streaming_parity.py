@@ -668,6 +668,63 @@ def q203_stream_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("q_id", "n_id", "adc_dist", "rnk")
 
 
+# --- q205: stream-side incremental substring dedup vs the batch stage ------------
+def _q205_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # streamed per-batch spans against the persisted digest index must equal
+    # q202's batch relation exactly (index frozen across the run)
+    return _REGISTRY["q202_incremental_substring_dedup"].oracle
+
+
+@query(
+    "q205_stream_substring_dedup",
+    _q205_oracle(),
+    tags=("streaming", "dedup", "text", "span", "incremental", "pipeline"),
+)
+def q205_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest substring dedup, externally gated (the serving face of
+    q202, the q198/q199 gating pattern): the incoming batch (doc_id % 5 ==
+    4) is replayed as a 4-micro-batch document stream; each micro-batch's
+    sliding-gram digests are probed against the PERSISTED corpus digest
+    index (q202's index relation written to parquet once — the artifact a
+    rolling ingest maintains) through the SHARED substring_spans_vs_index
+    body, spans landing as batch_id-partitioned idempotent epochs. The
+    drained spans must hash-match q202's batch relation — exactly the
+    batching-invariance q202's frozen-index semantics promise, now proven
+    over the real streaming runtime with checkpointed epochs.
+
+    Scale shape: per micro-batch cost is O(batch tokens) gram hashing +
+    one digest-keyed probe join against the index scan; the islands window
+    partitions by doc_id inside the batch. At 100 TB the index is bucketed
+    by digest so the probe shuffles only the batch."""
+    from .dedup import NEW_BATCH_MOD, SUBSTR_L, _substr_grams
+    from .text import words_col
+
+    work = gate_workdir("substr_stream_gate")
+    feed = os.path.join(work, "feed")
+    index = os.path.join(work, "index")
+    out = os.path.join(work, "spans")
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    # the persisted index artifact: corpus-side distinct gram digests
+    base = docs.select("doc_id", words_col().alias("w")).withColumn(
+        "n", F.size("w").cast("bigint")
+    ).filter(F.col("n") >= SUBSTR_L)
+    _substr_grams(base.filter(~is_new)).select("gd").distinct().write.mode(
+        "overwrite"
+    ).parquet(index)
+    # the ingest stream: the batch docs, 4 micro-batches
+    docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_substring_dedup_materialize(
+        spark, feed, out, index,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
+
+
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
 RUNNER_TRACE_DECISIONS = 25  # decisions requested from the live paced runner
 RUNNER_TRACE_MIN = 8  # floor below which the gate is a scheduling failure

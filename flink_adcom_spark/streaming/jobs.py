@@ -908,6 +908,58 @@ def streaming_ivfpq_search_materialize(
         q.stop()
 
 
+def substring_dedup_writer(
+    spark: SparkSession, docs_dir: str, out_path: str, index_path: str,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_substring_dedup_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.dedup import SUBSTR_L, substring_spans_vs_index
+    from ..queries.text import words_col
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.select("doc_id", words_col().alias("w"))
+            .withColumn("n", F.size("w").cast("bigint"))
+            .filter(F.col("n") >= SUBSTR_L)
+        )
+        index = spark.read.parquet(index_path)
+        out = substring_spans_vs_index(batch, index).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_substring_dedup_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str, index_path: str,
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Rolling-ingest any-length substring dedup (q205; q202's batch job as
+    the per-micro-batch stream): each arriving document batch is tokenized,
+    its sliding {16}-token gram digests probed against the PERSISTED
+    corpus digest index (a parquet table — never re-derived at serve
+    time), and the maximal duplicated spans landed as batch_id-partitioned
+    idempotent epochs via the SHARED substring_spans_vs_index body. The
+    index is frozen across the run (q202's batching-invariance semantics),
+    so any micro-batching of the ingest drains to the same span set — the
+    property that lets a checkpoint-replayed batch REPLACE its partition
+    without changing any other doc's spans."""
+    q = substring_dedup_writer(
+        spark, docs_dir, out_path, index_path, checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_classifier_scores_materialize(
     spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
     checkpoint: str | None = None, **kw
