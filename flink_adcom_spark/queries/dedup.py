@@ -1054,6 +1054,7 @@ _SUBSTR_GRAM_SQL = f"""
     FROM m GROUP BY doc_id, grp
     """,
     tags=("dedup", "text", "span", "incremental", "pipeline"),
+    bench=True,  # the per-batch ingest cost is the number a rolling pipeline sizes against
 )
 def q202_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental any-length substring dedup (VERDICT r10 #5): q188's
