@@ -55,3 +55,41 @@ def test_missing_column_fails_loudly(spark, sf_dir, tmp_path):
     drift = _write_variant(spark, sf_dir, tmp_path, "nation", ["n_nationkey", "n_name"])
     with pytest.raises(ValueError, match="missing declared columns"):
         load_table(spark, drift, "nation")
+
+
+def test_memo_relation_reuses_then_invalidates_on_rewrite(spark, sf_dir, tmp_path):
+    """memo_relation must (a) call build() once per (key, sf_dir, table
+    fingerprint) and return the same handle, and (b) MISS after the source
+    table is rewritten in place — a stale memoized keep-list silently
+    feeding q110/q175 after an ingest would be the exact bug the
+    fingerprint law exists to prevent (the load_table/_EMB_COUNT_CACHE
+    precedent)."""
+    import shutil
+    import time as _time
+
+    from flink_adcom_spark.tables import memo_relation
+
+    work = str(tmp_path / "sfmemo")
+    os.makedirs(work, exist_ok=True)
+    src = os.path.join(sf_dir, "documents.parquet")
+    dst = os.path.join(work, "documents.parquet")
+    shutil.copyfile(src, dst)
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return load_table(spark, work, "documents").select("doc_id")
+
+    a = memo_relation(spark, work, "t_memo", build)
+    b = memo_relation(spark, work, "t_memo", build)
+    assert a is b and len(calls) == 1
+    n0 = a.count()
+    # in-place rewrite: new mtime/size -> new fingerprint -> rebuild
+    _time.sleep(0.01)
+    spark.read.parquet(src).limit(10).write.mode("overwrite").parquet(dst + ".tmp")
+    shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+    os.rename(dst + ".tmp", dst)
+    c = memo_relation(spark, work, "t_memo", build)
+    assert len(calls) == 2 and c is not a
+    assert c.count() == 10 and n0 != 10
