@@ -474,3 +474,43 @@ def test_q200_ivfpq_probe_is_equi_hash_join_on_list(spark, sf_dir):
     assert len(search) >= 2, plan[:2000]
     # the only BNLJ allowed is the bounded query x cells routing cross
     assert "BroadcastNestedLoopJoin Inner" not in plan, plan[:2000]
+
+
+def test_q203_partitioned_index_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """q203's serving claim: with the code table PARTITIONED BY the list id
+    on disk, the probe equi-join must plan dynamic partition pruning on the
+    index scan (a dynamicpruning subquery fed by the broadcast probe side),
+    so unprobed lists are never read — the property that bounds per-query
+    I/O at 100 TB."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.queries.similarity import (
+        IVFPQ_NPROBE, N_QUERY_VECS, PQ_M, PQ_SUB, _emb, _ivf_cells,
+        _ivf_probe, _pq_books, adc_topk, pq_code_str_col,
+        pq_decode_centroids,
+    )
+
+    e = _emb(spark, sf_dir)
+    books = _pq_books(spark, sf_dir)
+    idx = os.path.join(str(tmp_path), "code_index")
+    e.select(
+        "vec_id", "label", pq_code_str_col(books).alias("code_str")
+    ).write.partitionBy("label").mode("overwrite").parquet(idx)
+    probe = _ivf_probe(
+        e.filter(F.col("vec_id") < N_QUERY_VECS),
+        _ivf_cells(spark, sf_dir), IVFPQ_NPROBE,
+    )
+    qs = probe.select(
+        "q_id", F.col("label").alias("plabel"),
+        *[F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias(f"qv{m}")
+          for m in range(PQ_M)],
+    )
+    x = pq_decode_centroids(spark.read.parquet(idx), books, extra_cols=("label",))
+    plan = (
+        adc_topk(qs, x, list_key=("plabel", "label"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan, plan[:3000]
+    assert "BroadcastHashJoin [plabel" in plan, plan[:3000]
