@@ -574,3 +574,137 @@ def q204_embedding_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tv, 6).alias("tv_dist"),
         (tv > crit).alias("drifted"),
     )
+
+
+# --- pre-flight shuffle diagnostics --------------------------------------------
+# The two audits a pipeline runs BEFORE committing to a partitioning or a
+# join at 100 TB: both are pure aggregate plans whose cost is one or two
+# key-count shuffles, never the skewed/exploded operation they are sizing.
+SKEW_TOP_K = 20  # keys reported by the skew profile
+SKEW_TARGET_PARTITIONS = 32  # executor-parallelism the salt factor is sized for
+EXPLOSION_TOP_K = 10  # keys reported by the join-explosion audit
+
+
+@query(
+    "q207_key_skew_profile",
+    f"""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events
+               WHERE user_id IS NOT NULL GROUP BY user_id),
+    tot AS (SELECT SUM(cnt) AS total FROM c),
+    r AS (SELECT user_id, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+          FROM c)
+    SELECT rnk, user_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST((cnt + (total + {SKEW_TARGET_PARTITIONS - 1})
+                       // {SKEW_TARGET_PARTITIONS} - 1)
+                // ((total + {SKEW_TARGET_PARTITIONS - 1})
+                    // {SKEW_TARGET_PARTITIONS}) AS BIGINT) AS salt_factor
+    FROM r CROSS JOIN tot WHERE rnk <= {SKEW_TOP_K}
+    """,
+    tags=("audit", "skew", "pipeline"),
+)
+def q207_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight key-skew profile for a planned shuffle on events.user_id:
+    the top-{SKEW_TOP_K} keys by row count with their exact ppm share of
+    the table and the SALT FACTOR a skew-routing stage (X2,
+    operators/skew.py) should split them into — ceil(key rows / ideal
+    partition rows) at {SKEW_TARGET_PARTITIONS}-way parallelism, all in
+    exact integer arithmetic (cnt*1e6 fits int64 up to ~9e12 rows per key,
+    far past any real hot key). salt_factor 1 = the key fits one ideal
+    partition; >1 = pre-split it (or let AQE skew-join handle the join
+    case). This is the one-aggregate query that decides between a plain
+    hash shuffle and salting BEFORE the expensive job runs.
+
+    Scale shape: one map-side-combined count per key, then a distributed
+    top-k (TakeOrderedAndProject — no global sort, no single-task window;
+    the oracle's ROW_NUMBER is restated as the rank within the top-k,
+    which is identical by construction) plus a broadcast scalar total."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    top = c.orderBy(F.col("cnt").desc(), F.col("user_id")).limit(SKEW_TOP_K)
+    tot = c.agg(F.sum("cnt").alias("total"))
+    from pyspark.sql import Window
+
+    # rank over the already-bounded top-k relation (<= SKEW_TOP_K rows),
+    # NOT over the full key set — same numbers as the oracle's global
+    # ROW_NUMBER restricted to rnk <= k
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id"))
+    ideal = f"((total + {SKEW_TARGET_PARTITIONS - 1}) DIV {SKEW_TARGET_PARTITIONS})"
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w))
+        .selectExpr(
+            "rnk",
+            "user_id",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST((cnt * 1000000) DIV total AS BIGINT) AS share_ppm",
+            f"CAST((cnt + {ideal} - 1) DIV {ideal} AS BIGINT) AS salt_factor",
+        )
+    )
+
+
+@query(
+    "q208_join_explosion_audit",
+    f"""
+    WITH l AS (SELECT user_id, COUNT(*) AS nl FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    r AS (SELECT user_id, COUNT(*) AS nr FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+    k AS (SELECT l.user_id, nl, nr, nl * nr AS prod FROM l JOIN r USING (user_id)),
+    tot AS (SELECT SUM(prod) AS total_out FROM k),
+    rk AS (SELECT user_id, nl, nr, prod,
+                  ROW_NUMBER() OVER (ORDER BY prod DESC, user_id) AS rnk
+           FROM k)
+    SELECT rnk, user_id, CAST(nl AS BIGINT) AS nl, CAST(nr AS BIGINT) AS nr,
+           CAST(prod AS BIGINT) AS prod,
+           CAST(prod * 1000000 // total_out AS BIGINT) AS share_ppm
+    FROM rk CROSS JOIN tot WHERE rnk <= {EXPLOSION_TOP_K}
+    """,
+    tags=("audit", "join", "pipeline"),
+)
+def q208_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-cardinality audit for the view x purchase user join
+    (q84's shape): per shared key the EXACT output-row contribution
+    nl * nr, top-{EXPLOSION_TOP_K} keys with their ppm share of the total
+    join output — sum(nl*nr) is the true post-join row count, computed
+    from two key-count aggregates WITHOUT materializing a single joined
+    row. A key carrying >10% of the output is the fan-out a pipeline
+    caps (or pre-aggregates per side) before running the real join; at
+    100 TB this audit is the difference between discovering a 10^13-row
+    explosion in a count query and discovering it as an executor OOM.
+
+    Scale shape: two map-side-combined count aggregates, an equi-join on
+    DISTINCT keys (cardinality = keys, not rows), a distributed top-k,
+    and a broadcast scalar. Never quadratic."""
+    ev = load_table(spark, sf_dir, "events")
+    l = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
+    k = l.join(r, "user_id").select(
+        "user_id", "nl", "nr", (F.col("nl") * F.col("nr")).alias("prod")
+    )
+    top = k.orderBy(F.col("prod").desc(), F.col("user_id")).limit(EXPLOSION_TOP_K)
+    tot = k.agg(F.sum("prod").alias("total_out"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("prod").desc(), F.col("user_id"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w))
+        .selectExpr(
+            "rnk",
+            "user_id",
+            "CAST(nl AS BIGINT) AS nl",
+            "CAST(nr AS BIGINT) AS nr",
+            "CAST(prod AS BIGINT) AS prod",
+            "CAST((prod * 1000000) DIV total_out AS BIGINT) AS share_ppm",
+        )
+    )

@@ -979,22 +979,44 @@ def q188_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q202: incremental any-length substring dedup at ingestion ----------------
-def _substr_grams(t: DataFrame) -> DataFrame:
-    """(doc_id, k, gd): every sliding {SUBSTR_L}-token gram's md5 digest —
-    q188's gram pass over a pre-tokenized (doc_id, w, n) relation,
-    extracted so the batch and index sides of q202 (and tests' sub-batch
-    splits) share one definition."""
+def _substr_grams(t: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, *extra, k, gd): every sliding {SUBSTR_L}-token gram's md5
+    digest — q188's gram pass over a pre-tokenized (doc_id, w, n) relation,
+    extracted so the batch and index sides of q202/q206 (and tests'
+    sub-batch splits) share one definition. `extra` names columns of `t`
+    carried through the explode (q209 carries `source` so no gram-row
+    join-back is needed)."""
     return t.withColumn(
         "k",
         F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n") - SUBSTR_L)),
     ).select(
         "doc_id",
+        *extra,
         "k",
         F.md5(
             F.array_join(
                 F.slice("w", (F.col("k") + 1).cast("int"), SUBSTR_L), " "
             )
         ).alias("gd"),
+    )
+
+
+def _island_spans(marked: DataFrame) -> DataFrame:
+    """Gaps-and-islands maximal spans from a (doc_id, k) relation of
+    duplicated gram positions — q188's span law, shared by the batch
+    (q188), incremental (q202), and bloom-prefiltered (q206) stages."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("k")
+    return (
+        marked.withColumn("grp", F.col("k") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("k").alias("span_start"),
+            (F.max("k") + SUBSTR_L - 1).alias("span_end"),
+            (F.max("k") - F.min("k") + SUBSTR_L).alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
     )
 
 
@@ -1007,21 +1029,8 @@ def substring_spans_vs_index(batch: DataFrame, index_gds: DataFrame) -> DataFram
     state), which is what makes the operation batching-invariant: any
     split of the batch probed against the same index unions to the same
     spans (tests/test_incremental_pipeline.py)."""
-    from pyspark.sql import Window
-
     g = _substr_grams(batch)
-    w = Window.partitionBy("doc_id").orderBy("k")
-    return (
-        g.join(index_gds.select("gd"), "gd")
-        .withColumn("grp", F.col("k") - F.row_number().over(w))
-        .groupBy("doc_id", "grp")
-        .agg(
-            F.min("k").alias("span_start"),
-            (F.max("k") + SUBSTR_L - 1).alias("span_end"),
-            (F.max("k") - F.min("k") + SUBSTR_L).alias("span_tokens"),
-        )
-        .select("doc_id", "span_start", "span_end", "span_tokens")
-    )
+    return _island_spans(g.join(index_gds.select("gd"), "gd").select("doc_id", "k"))
 
 
 _SUBSTR_GRAM_SQL = f"""
@@ -1032,9 +1041,10 @@ _SUBSTR_GRAM_SQL = f"""
                              list_slice(w, k + 1, k + {SUBSTR_L}), ' ')))) AS gd"""
 
 
-@query(
-    "q202_incremental_substring_dedup",
-    f"""
+# Shared by q202 and its bloom-prefiltered twin q206: the bloom is a lossy
+# PREFILTER whose positives are confirmed by the exact digest join, so both
+# builders compute the identical relation and gate against the same SQL.
+_INCREMENTAL_SPANS_ORACLE = f"""
     WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
           WHERE len(w) >= {SUBSTR_L}),
@@ -1052,7 +1062,12 @@ _SUBSTR_GRAM_SQL = f"""
            CAST(MAX(k) + {SUBSTR_L} - 1 AS BIGINT) AS span_end,
            CAST(MAX(k) - MIN(k) + {SUBSTR_L} AS BIGINT) AS span_tokens
     FROM m GROUP BY doc_id, grp
-    """,
+    """
+
+
+@query(
+    "q202_incremental_substring_dedup",
+    _INCREMENTAL_SPANS_ORACLE,
     tags=("dedup", "text", "span", "incremental", "pipeline"),
     bench=True,  # the per-batch ingest cost is the number a rolling pipeline sizes against
 )
@@ -1091,6 +1106,173 @@ def q202_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     batch = widen_scan(base.filter(is_new))
     index = _substr_grams(base.filter(~is_new)).select("gd").distinct()
     return substring_spans_vs_index(batch, index)
+
+
+# --- q206: bloom-prefiltered incremental substring dedup ----------------------
+# A real rolling ingest persists TWO artifacts beside the gram-digest index: a
+# Bloom filter over the index keys, rebuilt with the index. Per-batch probing
+# then pays two integer hashes per gram BEFORE any shuffle, and only the
+# bloom-positive grams (true hits + false positives) reach the digest-keyed
+# confirm join. The filter is modeled explicitly as a bounded distinct
+# bit-position relation (Spark 4.1 does not expose bloom_filter_agg as a
+# public SQL function): BLOOM_BITS is a serving-design constant, so the
+# broadcast is FIXED-size at any corpus scale — ~1 MB here vs the unbounded
+# index relation. Correctness never depends on the bloom internals (false
+# positives are eliminated by the exact join; false negatives are impossible
+# for keys inserted into the filter), which is why q206 gates against the
+# SAME oracle as q202.
+BLOOM_BITS = 1 << 17  # bit-space of the persisted gram bloom (serving constant)
+BLOOM_HASHES = 2  # positions per digest
+
+
+def _bloom_pos(gd: Column, i: int) -> Column:
+    """i-th bloom bit position of a gram digest: xxhash64 with a literal
+    per-hash salt column, folded into [0, BLOOM_BITS). Spark-side only —
+    the oracle never reproduces the bloom, by design."""
+    return F.pmod(F.xxhash64(F.lit(i), gd), F.lit(BLOOM_BITS))
+
+
+@query(
+    "q206_bloom_substring_dedup",
+    _INCREMENTAL_SPANS_ORACLE,
+    tags=("dedup", "text", "span", "incremental", "bloom", "pipeline"),
+    bench=True,  # the per-batch serving cost, to contrast with q202's unfiltered probe
+)
+def q206_bloom_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q202's incremental any-length substring dedup with a Bloom-filter
+    prefilter on the gram probe — the identical output relation (same
+    oracle), restructured the way a 100 TB rolling ingest actually runs it:
+
+    1. The corpus index's DISTINCT gram digests are folded into a bloom of
+       BLOOM_BITS positions x BLOOM_HASHES hashes, materialized as a
+       distinct bit-position relation (<= BLOOM_BITS rows of one BIGINT —
+       bounded by the serving constant, NOT by corpus size) and broadcast.
+    2. Each batch gram is kept only if ALL its positions hit the bloom
+       (chained broadcast left-semi joins — zero shuffle, codegen int
+       hashing). Bloom-negative grams are PROVABLY absent from the index
+       and drop before the join; at a healthy 1% FP design point that is
+       ~99% of a mostly-novel batch.
+    3. Survivors alone pay the digest-keyed confirm join against the real
+       index (eliminating false positives), then q188's gaps-and-islands
+       span law emits maximal duplicated spans.
+
+    The index relation feeds both the bloom build and the confirm join, so
+    it is localCheckpointed (the q188/q156b single-pass discipline). At
+    100 TB both artifacts are persisted and versioned with the index; the
+    per-batch plan here — broadcast + semi joins + a join whose left side
+    is collision-only — is exactly the serving shape.
+
+    Parity vs reference: extends the fork's pre-aggregation idea (shrink
+    shuffles before they happen, PreAggregateFunction contract at
+    flink-adcom AdComPreAggregate operator) to the dedup-serving tier."""
+    from ..tables import widen_scan
+
+    docs = _documents(spark, sf_dir)
+    base = (
+        docs.select("doc_id", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= SUBSTR_L)
+    )
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    index = (
+        _substr_grams(base.filter(~is_new))
+        .select("gd")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bloom = index.select(
+        F.explode(
+            F.array_distinct(
+                F.array(*[_bloom_pos(F.col("gd"), i) for i in range(BLOOM_HASHES)])
+            )
+        ).alias("pos")
+    ).distinct()
+    probe = _substr_grams(widen_scan(base.filter(is_new)))
+    for i in range(BLOOM_HASHES):
+        probe = probe.join(
+            F.broadcast(bloom), _bloom_pos(F.col("gd"), i) == F.col("pos"), "left_semi"
+        )
+    confirmed = probe.join(index, "gd").select("doc_id", "k")
+    return _island_spans(confirmed)
+
+
+# --- q209: cross-source overlap matrix -----------------------------------------
+@query(
+    "q209_source_overlap_matrix",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+          WHERE len(w) >= {SUBSTR_L}),
+    g0 AS ({_SUBSTR_GRAM_SQL} FROM t),
+    sg AS (SELECT DISTINCT dd.source, g0.gd
+           FROM g0 JOIN documents dd USING (doc_id)),
+    c AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+    p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+          FROM sg a JOIN sg b ON a.gd = b.gd AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(p.n_shared * 1000000 // LEAST(ca.n_grams, cb.n_grams) AS BIGINT)
+             AS containment_ppm
+    FROM p JOIN c ca ON p.src_a = ca.source
+           JOIN c cb ON p.src_b = cb.source
+    """,
+    tags=("dedup", "audit", "span", "pipeline"),
+)
+def q209_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which upstream feeds copy from which: for every source pair sharing
+    at least one {SUBSTR_L}-token gram, the count of distinct shared gram
+    digests and the containment of the smaller side (shared/min grams, in
+    exact ppm) — the curation diagnostic that catches a crawler mirroring
+    another feed's sites before doc-level dedup dilutes the signal (the
+    per-source twin of q144's exact-dup rate, at q188's substring
+    granularity so partial mirrors register too).
+
+    Plan: the gram pass carries `source` through the explode (no join-back
+    shuffle of gram rows), one distinct on (source, gd), then a self-join
+    on gd whose fan-out is bounded by the number of SOURCES carrying the
+    gram — never by document count. At 100 TB with thousands of feeds, cap
+    ultra-common grams first (the STOP_SHINGLE_DF discipline) to bound the
+    worst gram's pair fan-out; with this corpus' 20 sources the exact join
+    is already linear in distinct (source, gd)."""
+    docs = _documents(spark, sf_dir)
+    base = (
+        docs.select("doc_id", "source", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= SUBSTR_L)
+    )
+    # sg feeds the per-source totals AND both sides of the pair join;
+    # checkpoint so the token-linear md5 gram pass runs once (q188 lesson).
+    sg = (
+        _substr_grams(base, "source")
+        .select("source", "gd")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    c = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("src_a"), "gd")
+    b = sg.select(F.col("source").alias("src_b"), "gd")
+    p = (
+        a.join(b, "gd")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = c.select(F.col("source").alias("src_a"), F.col("n_grams").alias("na"))
+    cb = c.select(F.col("source").alias("src_b"), F.col("n_grams").alias("nb"))
+    return (
+        p.join(F.broadcast(ca), "src_a")
+        .join(F.broadcast(cb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            # integer div on both engines (DuckDB `//`): exact, no
+            # double-mantissa exposure
+            F.expr("CAST((n_shared * 1000000) DIV LEAST(na, nb) AS BIGINT)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
 
 
 # --- LSH quality audit: candidates vs exact truth -----------------------------

@@ -1,0 +1,254 @@
+"""Round-11 additions: the bloom-prefiltered incremental substring dedup
+(q206 — must equal q202 exactly while provably pruning the probe), the
+cross-source overlap matrix (q209 — planted mirror pair must surface), and
+the two pre-flight shuffle diagnostics (q207 skew profile / q208 join
+explosion — their claims are checked against independently computed truth:
+the salt formula, and the REAL join row count)."""
+
+from __future__ import annotations
+
+from _parity import assert_engine_parity, make_fixture_dir, open_views
+from pyspark.sql import functions as F
+
+from flink_adcom_spark.plans import explain
+from flink_adcom_spark.registry import get
+
+# --- q206: bloom prefilter must be invisible in the result, visible in the plan
+
+
+def test_q206_equals_q202_exactly_on_gate_data(spark, sf_dir):
+    q202 = {tuple(r) for r in
+            get("q202_incremental_substring_dedup").build(spark, sf_dir).collect()}
+    q206 = {tuple(r) for r in
+            get("q206_bloom_substring_dedup").build(spark, sf_dir).collect()}
+    assert q202 == q206
+    assert len(q206) > 0  # non-vacuous: the gate data carries planted dups
+
+
+def test_q206_bloom_actually_prunes_the_probe(spark, sf_dir):
+    """The serving claim: bloom-negative grams never reach the confirm
+    join. Measured — the bloom-positive gram count must be well below the
+    batch gram count (most batch grams are novel) and at least the true
+    hit count (no false negatives, by bloom construction)."""
+    from flink_adcom_spark.queries.dedup import (
+        BLOOM_HASHES,
+        NEW_BATCH_MOD,
+        SUBSTR_L,
+        _bloom_pos,
+        _documents,
+        _substr_grams,
+        words_col,
+    )
+
+    docs = _documents(spark, sf_dir)
+    base = (
+        docs.select("doc_id", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= SUBSTR_L)
+    )
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    index = _substr_grams(base.filter(~is_new)).select("gd").distinct()
+    bloom = index.select(
+        F.explode(
+            F.array_distinct(
+                F.array(*[_bloom_pos(F.col("gd"), i) for i in range(BLOOM_HASHES)])
+            )
+        ).alias("pos")
+    ).distinct()
+    g = _substr_grams(base.filter(is_new))
+    n_batch_grams = g.count()
+    probe = g
+    for i in range(BLOOM_HASHES):
+        probe = probe.join(
+            F.broadcast(bloom), _bloom_pos(F.col("gd"), i) == F.col("pos"), "left_semi"
+        )
+    n_positive = probe.count()
+    n_true = g.join(index, "gd").count()
+    assert n_true <= n_positive  # no false negatives
+    assert n_positive < n_batch_grams / 2  # the prefilter pays its way
+
+
+def test_q206_plan_broadcast_semi_probe_pinned(spark, sf_dir):
+    """The scale shape: the bloom reaches the probe as BROADCAST left-semi
+    joins (fixed-size side), before the digest-keyed confirm join."""
+    plan = explain.formatted_plan(
+        get("q206_bloom_substring_dedup").build(spark, sf_dir)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2  # one per bloom hash
+    assert "LeftSemi" in plan
+
+
+def test_q206_parity_on_planted_off_grid_paragraph(spark, tmp_path_factory):
+    """q202's planted contract holds verbatim for the bloom variant: the
+    batch doc sharing a 25+-token off-grid paragraph with a corpus doc is
+    flagged, within-batch twins are not, and the non-empty relation
+    hash-matches the oracle."""
+    para = " ".join(f"blplant{i}" for i in range(30))
+    plant = {
+        "documents": f"""SELECT * FROM '{{src}}'
+            UNION ALL SELECT 9400001 AS doc_id, '{para}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT 9400004 AS doc_id,
+                   concat('blfa blfb blfc blfd blfe blff blfg ', '{para}') AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_bloom_substr", plant)
+    spec = get("q206_bloom_substring_dedup")
+    planted = {
+        r["doc_id"]: r["span_tokens"]
+        for r in spec.build(spark, fixture).collect()
+        if r["doc_id"] >= 9400000
+    }
+    assert 9400004 in planted and planted[9400004] >= 30, planted
+    assert 9400001 not in planted, planted  # corpus side never emitted
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q206")
+    finally:
+        con.close()
+
+
+# --- q209: cross-source overlap matrix ----------------------------------------
+
+
+def test_q209_planted_mirror_pair_surfaces_with_full_containment(
+    spark, tmp_path_factory
+):
+    """Two fresh sources whose only docs are the SAME 25-token paragraph:
+    the (plantA, plantB) cell must report exactly the paragraph's
+    25-16+1 = 10 shared grams at containment 1e6 ppm (the smaller side is
+    fully contained), and the non-empty matrix hash-matches the oracle."""
+    para = " ".join(f"ovplant{i}" for i in range(25))
+    plant = {
+        "documents": f"""SELECT * FROM '{{src}}'
+            UNION ALL SELECT 9500001 AS doc_id, '{para}' AS text,
+                   'en' AS lang, 'plantA' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT 9500002 AS doc_id, '{para}' AS text,
+                   'en' AS lang, 'plantB' AS source, CAST(0 AS BIGINT) AS n_chars"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_source_overlap", plant)
+    spec = get("q209_source_overlap_matrix")
+    rows = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["containment_ppm"])
+        for r in spec.build(spark, fixture).collect()
+    }
+    assert rows[("plantA", "plantB")] == (10, 1000000)
+    # planted sources share nothing with the synthetic corpus vocabulary
+    assert not any(
+        ("plant" in a) ^ ("plant" in b) for (a, b) in rows
+    ), sorted(rows)
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q209")
+    finally:
+        con.close()
+
+
+def test_q209_matrix_shape_on_gate_data(spark, sf_dir):
+    rows = get("q209_source_overlap_matrix").build(spark, sf_dir).collect()
+    assert len(rows) > 0  # the synthetic corpus DOES carry cross-source grams
+    for r in rows:
+        assert r["src_a"] < r["src_b"]  # unordered pairs, one row each
+        assert 0 < r["containment_ppm"] <= 1_000_000
+
+
+# --- q207: skew profile --------------------------------------------------------
+
+
+def test_q207_planted_hot_key_gets_rank1_and_correct_salt(
+    spark, tmp_path_factory
+):
+    """300 planted rows on one user over sf0.001's 1000-row events table:
+    the hot key must rank 1 and its salt factor must equal the formula
+    computed INDEPENDENTLY here (ceil(cnt / ceil(total/32)))."""
+    plant = {
+        "events": """SELECT * FROM '{src}'
+            UNION ALL
+            SELECT 8000000 + i AS event_id,
+                   TIMESTAMP '2024-01-01 00:00:00' AS ts,
+                   CAST(99999 AS BIGINT) AS user_id,
+                   'view' AS event_type, 1.0 AS value, '' AS props
+            FROM range(300) t(i)"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_skew", plant)
+    spec = get("q207_key_skew_profile")
+    from flink_adcom_spark.tables import load_table
+
+    rows = {r["rnk"]: r for r in spec.build(spark, fixture).collect()}
+    ev = load_table(spark, fixture, "events")
+    total = ev.filter(F.col("user_id").isNotNull()).count()
+    ideal = -(-total // 32)
+    assert rows[1]["user_id"] == 99999
+    assert rows[1]["cnt"] == 300
+    assert rows[1]["salt_factor"] == -(-300 // ideal)
+    assert rows[1]["share_ppm"] == 300 * 1_000_000 // total
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q207")
+    finally:
+        con.close()
+
+
+def test_q207_plan_uses_distributed_topk_not_global_sort(spark, sf_dir):
+    """The rank must come from a bounded top-k (TakeOrderedAndProject),
+    never a full global sort/window over every key."""
+    plan = explain.formatted_plan(get("q207_key_skew_profile").build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+# --- q208: join-explosion audit -------------------------------------------------
+
+
+def test_q208_total_matches_the_real_join_row_count(spark, sf_dir):
+    """The audit's whole point: sum(nl*nr) over ALL shared keys equals the
+    actual view x purchase join cardinality — verified against the real
+    (small-SF) join here, so at 100 TB the audit can be trusted INSTEAD of
+    running the join."""
+    from flink_adcom_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "event_id")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pe")
+    )
+    true_rows = v.join(p, "user_id").count()
+
+    rows = get("q208_join_explosion_audit").build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    # reconstruct the audit total from any row: share_ppm = prod*1e6 div total
+    # -> cross-check every row against the true join count
+    for r in rows:
+        assert r["prod"] == r["nl"] * r["nr"]
+        assert r["share_ppm"] == r["prod"] * 1_000_000 // true_rows
+    # ranks are contiguous from 1 and ordered by prod desc
+    ranks = [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert ranks == list(range(1, len(rows) + 1))
+    prods = [r["prod"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert prods == sorted(prods, reverse=True)
+
+
+def test_q208_planted_fanout_key_dominates(spark, tmp_path_factory):
+    """A planted user with 50 views and 40 purchases contributes 2000
+    output rows and must take rank 1."""
+    plant = {
+        "events": """SELECT * FROM '{src}'
+            UNION ALL
+            SELECT 8100000 + i AS event_id,
+                   TIMESTAMP '2024-01-01 00:00:00' AS ts,
+                   CAST(88888 AS BIGINT) AS user_id,
+                   CASE WHEN i < 50 THEN 'view' ELSE 'purchase' END AS event_type,
+                   1.0 AS value, '' AS props
+            FROM range(90) t(i)"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_fanout", plant)
+    spec = get("q208_join_explosion_audit")
+    rows = {r["rnk"]: r for r in spec.build(spark, fixture).collect()}
+    top = rows[1]
+    assert top["user_id"] == 88888
+    assert (top["nl"], top["nr"]) >= (50, 40)  # planted + any base-table rows
+    assert top["prod"] == top["nl"] * top["nr"] >= 2000
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q208")
+    finally:
+        con.close()
