@@ -550,6 +550,76 @@ def q46_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _documents(spark, sf_dir).select("doc_id").join(drop, "doc_id", "left_anti")
 
 
+# --- leakage-safe train/val/test split ----------------------------------------
+from .text import SAMPLE_MULT as _SPLIT_MULT  # noqa: E402  (q49's split law)
+
+
+@query(
+    "q210_leakage_safe_split",
+    f"""
+    WITH RECURSIVE wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits),
+    pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sym AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+    keys AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_key
+             FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+    SELECT doc_id, cluster_key,
+           CASE WHEN ((cluster_key % 2147483648) * {_SPLIT_MULT}) % 4294967296 % 10 < 8
+                  THEN 'train'
+                WHEN ((cluster_key % 2147483648) * {_SPLIT_MULT}) % 4294967296 % 10 = 8
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM keys
+    """,
+    tags=("dedup", "components", "sample", "pipeline"),
+)
+def q210_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: q49's deterministic Knuth-hash
+    split law applied to each document's near-dup CLUSTER CANONICAL
+    (q45's cluster_id; docs in no cluster key on their own id) instead of
+    the raw doc_id — so near-duplicates can NEVER straddle train and test.
+    This is the split discipline an LLM pipeline needs once dedup is
+    approximate: q49 keyed on doc_id puts a doc and its 3-bit-simhash twin
+    on opposite sides ~32% of the time, silently leaking eval data into
+    training (the within-corpus complement of q48's benchmark
+    contamination check; planted proof in tests).
+
+    Same reproducibility contract as q49 — pure key arithmetic, no
+    randomSplit: re-runs, repartitions, and INCREMENTAL ingests assign
+    identical splits (a new near-dup of an old cluster inherits the old
+    cluster's side, because min-id canonicals only change when a NEW
+    SMALLER id joins — at 100 TB ids are assigned monotonically, so
+    historical clusters keep their canonical and their side).
+
+    Scale shape: q45's O(log n)-round star contraction + one left join on
+    doc_id + scan-side split arithmetic; the split adds nothing to the
+    dedup pipeline's cost."""
+    clusters = q45_dedup_clusters(spark, sf_dir)
+    keys = (
+        _documents(spark, sf_dir)
+        .select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_key")
+        )
+    )
+    bucket = ((F.col("cluster_key") % 2147483648) * _SPLIT_MULT) % 4294967296 % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return keys.select("doc_id", "cluster_key", split.alias("split"))
+
+
 # --- benchmark-contamination check -------------------------------------------
 BENCH_MOD = 50  # doc_id % 50 == 0 -> "held-out benchmark" docs (~2%)
 

@@ -252,3 +252,70 @@ def test_q208_planted_fanout_key_dominates(spark, tmp_path_factory):
         assert_engine_parity(spec, spark, fixture, con, name="q208")
     finally:
         con.close()
+
+
+# --- q210: leakage-safe split ----------------------------------------------------
+
+
+def _split_law(x: int) -> int:
+    return ((x % 2**31) * 2654435761) % 2**32 % 10
+
+
+def _split_class(x: int) -> str:
+    b = _split_law(x)
+    return "train" if b < 8 else ("val" if b == 8 else "test")
+
+
+def test_q210_twins_share_a_split_the_naive_law_would_separate(
+    spark, tmp_path_factory
+):
+    """Two identical planted docs whose doc_ids land in DIFFERENT splits
+    under q49's raw-id law must land in the SAME split under q210 (keyed
+    on the cluster canonical) — the leakage q210 exists to prevent,
+    proven on ids chosen so the naive law demonstrably separates them."""
+    a = 9600001
+    b = next(
+        i for i in range(9600002, 9600200) if _split_class(i) != _split_class(a)
+    )
+    text = " ".join(f"lkplant{i}" for i in range(30))
+    plant = {
+        "documents": f"""SELECT * FROM '{{src}}'
+            UNION ALL SELECT {a} AS doc_id, '{text}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT {b} AS doc_id, '{text}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_leakage_split", plant)
+    spec = get("q210_leakage_safe_split")
+    rows = {
+        r["doc_id"]: (r["cluster_key"], r["split"])
+        for r in spec.build(spark, fixture).collect()
+    }
+    assert _split_class(a) != _split_class(b)  # the naive law WOULD leak
+    assert rows[a] == rows[b] == (a, _split_class(a))  # canonical = min id
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q210")
+    finally:
+        con.close()
+
+
+def test_q210_no_cluster_straddles_and_the_split_actually_moves_docs(
+    spark, sf_dir
+):
+    """Invariants on the gate data: (a) every near-dup cluster maps to
+    exactly one split; (b) the operator is non-vacuous — some clustered
+    docs sit in a DIFFERENT split than the raw-id law would give them
+    (62 of 500 at sf0.001); (c) singleton docs keep q49's assignment."""
+    rows = get("q210_leakage_safe_split").build(spark, sf_dir).collect()
+    by_cluster = {}
+    moved = 0
+    for r in rows:
+        by_cluster.setdefault(r["cluster_key"], set()).add(r["split"])
+        if r["split"] != _split_class(r["doc_id"]):
+            assert r["cluster_key"] != r["doc_id"]  # only cluster members move
+            moved += 1
+        if r["cluster_key"] == r["doc_id"]:
+            assert r["split"] == _split_class(r["doc_id"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert moved > 0
