@@ -1503,3 +1503,160 @@ def q175_dataset_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+# --- retrieval-MRR audit: can lexical search find the plagiarists? -------------
+def _mrr_oracle() -> str:
+    from .text import BM25_B, BM25_K1, _D
+
+    return f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+               WHERE text IS NOT NULL),
+    t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+          WHERE len(w) >= {SUBSTR_L}),
+    qg AS (SELECT DISTINCT doc_id AS qdoc, gd FROM ({_SUBSTR_GRAM_SQL}
+        FROM t WHERE doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}) x),
+    cg AS (SELECT DISTINCT doc_id AS ddoc, gd FROM ({_SUBSTR_GRAM_SQL}
+        FROM t WHERE doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}) x),
+    truth AS (SELECT DISTINCT qdoc, ddoc FROM qg JOIN cg USING (gd)),
+    ctoks AS (SELECT doc_id, unnest(w) AS term FROM d
+              WHERE doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}),
+    lens AS (SELECT doc_id, COUNT(*) AS dl FROM ctoks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+    qterms AS (SELECT DISTINCT doc_id AS qdoc, unnest(w) AS term FROM d
+               WHERE doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}),
+    tf AS (SELECT doc_id AS ddoc, term, COUNT(*) AS tf FROM ctoks
+           WHERE term IN (SELECT DISTINCT term FROM qterms)
+           GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    parts AS (SELECT q.qdoc, f.ddoc,
+                     LN(CAST('1' AS DOUBLE)
+                        + (n_docs - df + {_D('0.5')}) / (df + {_D('0.5')}))
+                     * ((f.tf * {_D(repr(BM25_K1 + 1))})
+                        / (f.tf + {_D(repr(BM25_K1))}
+                               * ({_D(repr(1 - BM25_B))}
+                                  + {_D(repr(BM25_B))} * (dl / avgdl)))) AS s
+              FROM qterms q JOIN tf f USING (term)
+                   JOIN dfq USING (term)
+                   JOIN lens ON lens.doc_id = f.ddoc CROSS JOIN stats),
+    sc AS (SELECT qdoc, ddoc,
+                  SUM(CAST(ROUND(s, 6) AS DECIMAL(28,6))) AS score
+           FROM parts GROUP BY qdoc, ddoc),
+    ranked AS (SELECT qdoc, ddoc,
+                      ROW_NUMBER() OVER (PARTITION BY qdoc
+                                         ORDER BY score DESC, ddoc) AS rnk
+               FROM sc)
+    SELECT t.qdoc AS query_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(MIN(r.rnk) AS BIGINT) AS best_rank,
+           ROUND(CAST('1' AS DOUBLE) / MIN(r.rnk), 6) AS rr
+    FROM truth t JOIN ranked r ON t.qdoc = r.qdoc AND t.ddoc = r.ddoc
+    GROUP BY t.qdoc
+    """
+
+
+@query(
+    "q211_retrieval_mrr",
+    _mrr_oracle(),
+    tags=("text", "retrieval", "audit", "dedup", "pipeline"),
+)
+def q211_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval with SELF-LABELING ground truth: for every
+    batch document (q202's doc_id%5==4 convention), can full-query Okapi
+    BM25 over the corpus retrieve the documents that provably share a
+    {SUBSTR_L}-token substring with it? Truth = the q202 gram-partner set;
+    retrieval = BM25 with the ENTIRE query document as the query (q157's
+    k1/b law, per-term partials in the identical double expression on both
+    engines, then summed as DECIMAL(28,6) after 6-dp rounding so the
+    cross-(query,doc) fold is ORDER-INVARIANT — the arbitrary-term
+    generalization of q157's fixed-order conditional sum). Output per
+    query with >= 1 truth partner: partner count, rank of the first
+    partner under (score DESC, doc_id) and its reciprocal — the MRR
+    decomposition. The q120/q197 eval discipline applied to the lexical
+    retrieval tier: it measures how much of the exact-substring dedup
+    signal a BM25 contamination scan would recover.
+
+    Scale shape: the eval set is the bounded batch; corpus postings are
+    semi-join-pruned to the query vocabulary BEFORE the score join; the
+    per-query candidate set is the union of its terms' postings (WAND /
+    impact-ordered pruning is the documented scale path — at 100 TB you
+    cap each term's posting contribution at the top-k impact scores); the
+    rank window partitions by query. df/avgdl scalars broadcast."""
+    from pyspark.sql import Window
+
+    from .text import BM25_B, BM25_K1
+
+    k1, b = BM25_K1, BM25_B
+    docs = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
+    is_q = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    base = (
+        docs.select("doc_id", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= SUBSTR_L)
+    )
+    qg = (
+        _substr_grams(base.filter(is_q))
+        .select(F.col("doc_id").alias("qdoc"), "gd")
+        .distinct()
+    )
+    cg = (
+        _substr_grams(base.filter(~is_q))
+        .select(F.col("doc_id").alias("ddoc"), "gd")
+        .distinct()
+    )
+    truth = qg.join(cg, "gd").select("qdoc", "ddoc").distinct()
+
+    ctoks = docs.filter(~is_q).select(
+        "doc_id", F.explode(words_col()).alias("term")
+    )
+    lens = ctoks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = (
+        docs.filter(is_q)
+        .select(F.col("doc_id").alias("qdoc"), F.explode(words_col()).alias("term"))
+        .distinct()
+    )
+    qvocab = qterms.select("term").distinct()
+    tf = (
+        ctoks.join(F.broadcast(qvocab), "term", "left_semi")
+        .groupBy(F.col("doc_id").alias("ddoc"), "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * (
+        (F.col("tf") * F.lit(k1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    parts = (
+        qterms.join(tf, "term")
+        .join(F.broadcast(dfq), "term")
+        .join(lens.withColumnRenamed("doc_id", "ddoc"), "ddoc")
+        .crossJoin(F.broadcast(stats))
+        .select("qdoc", "ddoc", s.alias("s"))
+    )
+    sc = parts.groupBy("qdoc", "ddoc").agg(
+        F.sum(F.round("s", 6).cast("decimal(28,6)")).alias("score")
+    )
+    w = Window.partitionBy("qdoc").orderBy(F.desc("score"), F.asc("ddoc"))
+    ranked = sc.withColumn("rnk", F.row_number().over(w))
+    return (
+        truth.join(ranked, ["qdoc", "ddoc"])
+        .groupBy("qdoc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.min("rnk").cast("bigint").alias("best_rank"),
+            F.round(F.lit(1.0) / F.min("rnk"), 6).alias("rr"),
+        )
+        .select(F.col("qdoc").alias("query_doc"), "n_truth", "best_rank", "rr")
+    )

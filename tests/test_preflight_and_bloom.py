@@ -319,3 +319,50 @@ def test_q210_no_cluster_straddles_and_the_split_actually_moves_docs(
             assert r["split"] == _split_class(r["doc_id"])
     assert all(len(s) == 1 for s in by_cluster.values())
     assert moved > 0
+
+
+# --- q211: retrieval-MRR audit ---------------------------------------------------
+
+
+def test_q211_verbatim_copy_ranks_first_above_partial_distractor(
+    spark, tmp_path_factory
+):
+    """A query doc planted as a verbatim copy of a corpus doc must retrieve
+    it at rank 1 (rr = 1.0) even with a distractor corpus doc that shares
+    10 of the 30 query tokens (a candidate by term overlap, but NOT a
+    truth partner — under the 16-token gram law — and scored below the
+    full copy)."""
+    para = " ".join(f"mrplant{i}" for i in range(30))
+    distract = " ".join(f"mrplant{i}" for i in range(10)) + " " + " ".join(
+        f"mrnoise{i}" for i in range(10)
+    )
+    plant = {
+        "documents": f"""SELECT * FROM '{{src}}'
+            UNION ALL SELECT 9700001 AS doc_id, '{para}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT 9700011 AS doc_id, '{distract}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT 9700004 AS doc_id, '{para}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_mrr", plant)
+    spec = get("q211_retrieval_mrr")
+    rows = {r["query_doc"]: r for r in spec.build(spark, fixture).collect()}
+    planted = rows[9700004]
+    assert planted["n_truth"] == 1  # only the verbatim copy shares a 16-gram
+    assert planted["best_rank"] == 1
+    assert planted["rr"] == 1.0
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q211")
+    finally:
+        con.close()
+
+
+def test_q211_eval_set_is_nonempty_on_gate_data(spark, sf_dir):
+    rows = get("q211_retrieval_mrr").build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r["best_rank"]
+        assert r["n_truth"] >= 1
+        assert 0 < r["rr"] <= 1.0
