@@ -1660,3 +1660,117 @@ def q211_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("qdoc").alias("query_doc"), "n_truth", "best_rank", "rr")
     )
+
+
+# --- q212: incremental split assignment for a rolling ingest --------------------
+@query(
+    "q212_incremental_split_assign",
+    f"""
+    WITH RECURSIVE wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits),
+    cpairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+               FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+               WHERE a.doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
+                 AND b.doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
+                 AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sym AS (SELECT pa AS a, pb AS b FROM cpairs UNION SELECT pb, pa FROM cpairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+    bm AS (SELECT q.doc_id AS qdoc, c.doc_id AS cdoc
+           FROM sig q JOIN sig c
+             ON q.doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
+            AND c.doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
+            AND bit_count(xor(q.simhash, c.simhash)) <= 3),
+    inherit AS (SELECT bm.qdoc AS doc_id,
+                       MIN(COALESCE(cc.cluster_id, bm.cdoc)) AS ck
+                FROM bm LEFT JOIN cc ON cc.doc_id = bm.cdoc GROUP BY bm.qdoc),
+    keys AS (SELECT d.doc_id, COALESCE(i.ck, d.doc_id) AS cluster_key
+             FROM documents d LEFT JOIN inherit i ON d.doc_id = i.doc_id
+             WHERE d.doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1})
+    SELECT doc_id, cluster_key,
+           CASE WHEN ((cluster_key % 2147483648) * {_SPLIT_MULT}) % 4294967296 % 10 < 8
+                  THEN 'train'
+                WHEN ((cluster_key % 2147483648) * {_SPLIT_MULT}) % 4294967296 % 10 = 8
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM keys
+    """,
+    tags=("dedup", "components", "sample", "incremental", "pipeline"),
+)
+def q212_incremental_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q210's leakage-safe split as the PER-BATCH job a rolling ingest runs:
+    incoming docs (doc_id%{NEW_BATCH_MOD}=={NEW_BATCH_MOD - 1}, the q59/q202
+    convention) are simhash-matched against the FROZEN corpus signature
+    index (hamming <= 3 via the Manku pigeonhole band join — asymmetric:
+    only the batch is hashed at ingest time); a matched doc inherits the
+    split of its corpus cluster's canonical (min canonical across matches,
+    deterministic), an unmatched doc keys on its own id — so a new
+    near-duplicate of existing training data lands in TRAIN, never leaking
+    into a later eval split. The corpus cluster map (q45's contraction over
+    corpus-only pairs) and the banded signature index are the persisted
+    artifacts; per-batch cost is O(batch) hashing + one band-bucket probe
+    join, never a corpus re-scan.
+
+    Index-frozen semantics (the q202 discipline): two batch docs that
+    duplicate only EACH OTHER both key on their own ids this round — they
+    join the index, and the NEXT batch's copies will inherit — which is
+    exactly what makes the assignment independent of how the ingest is
+    batched. Contrast q210, whose global contraction may merge two corpus
+    clusters through a batch doc; the frozen index cannot, and the planted
+    test pins the difference."""
+    from ..operators.components import connected_components_twophase
+
+    sig = q43_simhash(spark, sf_dir)
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    csig = sig.filter(~is_new)
+    cc = connected_components_twophase(
+        simhash_banded_pairs(csig), src="doc_a", dst="doc_b"
+    )  # (v, cluster_id) over the corpus only
+
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunk_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), j * chunk_bits).bitwiseAND(F.lit(mask))
+            for j in range(SIMHASH_CHUNKS)
+        ]
+    )
+    bq = sig.filter(is_new).select(
+        F.col("doc_id").alias("qdoc"),
+        F.col("simhash").alias("qsim"),
+        F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val"),
+    )
+    bc = csig.select(
+        F.col("doc_id").alias("cdoc"),
+        F.col("simhash").alias("csim"),
+        F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val"),
+    )
+    bm = (
+        bq.join(bc, ["chunk_idx", "chunk_val"])
+        .filter(F.bit_count(F.col("qsim").bitwiseXOR(F.col("csim"))) <= SIMHASH_MAX_HAMMING)
+        .select("qdoc", "cdoc")
+        .dropDuplicates(["qdoc", "cdoc"])
+    )
+    inherit = (
+        bm.join(cc, bm.cdoc == cc.v, "left")
+        .groupBy("qdoc")
+        .agg(F.min(F.coalesce("cluster_id", "cdoc")).alias("ck"))
+    )
+    keys = (
+        _documents(spark, sf_dir)
+        .filter(is_new)
+        .select("doc_id")
+        .join(inherit, F.col("doc_id") == F.col("qdoc"), "left")
+        .select("doc_id", F.coalesce("ck", "doc_id").alias("cluster_key"))
+    )
+    bucket = ((F.col("cluster_key") % 2147483648) * _SPLIT_MULT) % 4294967296 % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return keys.select("doc_id", "cluster_key", split.alias("split"))

@@ -366,3 +366,60 @@ def test_q211_eval_set_is_nonempty_on_gate_data(spark, sf_dir):
         assert 1 <= r["best_rank"]
         assert r["n_truth"] >= 1
         assert 0 < r["rr"] <= 1.0
+
+
+# --- q212: incremental split assignment -------------------------------------------
+
+
+def test_q212_batch_doc_inherits_corpus_side_and_within_batch_twins_do_not(
+    spark, tmp_path_factory
+):
+    """A batch doc identical to a CORPUS doc must inherit the corpus doc's
+    split (ids chosen so the naive law would place them apart); two batch
+    docs that duplicate only EACH OTHER must both keep their own ids under
+    the frozen index (they join the index; the NEXT batch inherits) —
+    q210's global contraction would have merged them, which is exactly the
+    incremental-semantics contrast."""
+    a = 9800001  # corpus (id%5==1)
+    b = next(
+        i
+        for i in range(9800004, 9800400, 5)  # batch ids (%5==4)
+        if _split_class(i) != _split_class(a)
+    )
+    t1, t2 = 9800104, 9800109  # batch twins (%5==4)
+    text = " ".join(f"isplant{i}" for i in range(30))
+    twin = " ".join(f"istwin{i}" for i in range(30))
+    plant = {
+        "documents": f"""SELECT * FROM '{{src}}'
+            UNION ALL SELECT {a} AS doc_id, '{text}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT {b} AS doc_id, '{text}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT {t1} AS doc_id, '{twin}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT {t2} AS doc_id, '{twin}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_incr_split", plant)
+    spec = get("q212_incremental_split_assign")
+    rows = {
+        r["doc_id"]: (r["cluster_key"], r["split"])
+        for r in spec.build(spark, fixture).collect()
+    }
+    assert rows[b] == (a, _split_class(a))  # inherited the corpus side
+    assert _split_class(b) != _split_class(a)  # ...which the naive law refuses
+    assert rows[t1] == (t1, _split_class(t1))  # frozen index: own ids
+    assert rows[t2] == (t2, _split_class(t2))
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q212")
+    finally:
+        con.close()
+
+
+def test_q212_matches_are_nonvacuous_on_gate_data(spark, sf_dir):
+    rows = get("q212_incremental_split_assign").build(spark, sf_dir).collect()
+    inherited = [r for r in rows if r["cluster_key"] != r["doc_id"]]
+    assert len(inherited) > 0  # 61/100 batch docs at sf0.001
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")

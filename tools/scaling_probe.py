@@ -44,9 +44,20 @@ SF1_PROBES = frozenset([
     # round-11: the IVF-PQ composition's whole claim is sub-linear per-query
     # cost vs q196's flat scan at the 10x tier; q202's is per-batch cost
     "q200_ivfpq_knn", "q202_incremental_substring_dedup",
+    # round-11 session 2: the bloom prefilter must hold q206 at-or-below
+    # q202's per-batch wall at 10x; q209's pair join is bounded by
+    # sources-per-gram; q210 must add ~nothing over q45's contraction
+    "q206_bloom_substring_dedup", "q209_source_overlap_matrix",
+    "q210_leakage_safe_split",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
+    "q206_bloom_substring_dedup",
+    "q207_key_skew_profile",
+    "q208_join_explosion_audit",
+    "q209_source_overlap_matrix",
+    "q210_leakage_safe_split",
+    "q211_retrieval_mrr",
     "q40_exact_dedup",
     "q41_minhash_lsh_pairs",
     "q44_simhash_neardup",
