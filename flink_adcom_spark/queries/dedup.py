@@ -368,7 +368,15 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash (majority vote over word-hash bits, words
     weighted by occurrence). Near-dup detection then compares hamming distance
     on the signature — O(1) per pair vs O(|doc|) for raw text."""
-    wrds = _documents(spark, sf_dir).select("doc_id", F.explode(words_col()).alias("word"))
+    return simhash_rows(_documents(spark, sf_dir))
+
+
+def simhash_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over any (doc_id, text) relation — q43's body,
+    extracted so the streaming split-assigner (q213) signs each arriving
+    micro-batch with the IDENTICAL hash the persisted corpus index was
+    built with."""
+    wrds = docs.select("doc_id", F.explode(words_col()).alias("word"))
     # conv() md5-prefix hash: value-identical to the oracle's ascii-chain
     # _H16_SQL, ~2x cheaper on the Spark side (see minhash_band_rows)
     h = wrds.select(
@@ -1732,7 +1740,26 @@ def q212_incremental_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame
     cc = connected_components_twophase(
         simhash_banded_pairs(csig), src="doc_a", dst="doc_b"
     )  # (v, cluster_id) over the corpus only
+    batch_ids = _documents(spark, sf_dir).filter(is_new).select("doc_id")
+    return split_assign_vs_index(batch_ids, sig.filter(is_new), csig, cc)
 
+
+def split_assign_vs_index(
+    batch_ids: DataFrame,
+    batch_sig: DataFrame,
+    corpus_sig: DataFrame,
+    cluster_map: DataFrame,
+) -> DataFrame:
+    """(doc_id, cluster_key, split) for a BATCH probed against the frozen
+    corpus artifacts — the body shared by q212 (batch) and the q213
+    streaming assigner. `batch_ids` is the full id universe to assign
+    (a wordless doc has no signature but still needs a split);
+    `batch_sig`/`corpus_sig` are (doc_id, simhash); `cluster_map` is q45's
+    (v, cluster_id) over the corpus only. The probe is the asymmetric
+    Manku pigeonhole band join (only the batch side is freshly hashed);
+    inheritance takes the MIN corpus-cluster canonical across matches,
+    unmatched docs key on their own id, and q49's split law runs on the
+    resulting key."""
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
     chunk_vals = F.array(
@@ -1741,12 +1768,12 @@ def q212_incremental_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame
             for j in range(SIMHASH_CHUNKS)
         ]
     )
-    bq = sig.filter(is_new).select(
+    bq = batch_sig.select(
         F.col("doc_id").alias("qdoc"),
         F.col("simhash").alias("qsim"),
         F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val"),
     )
-    bc = csig.select(
+    bc = corpus_sig.select(
         F.col("doc_id").alias("cdoc"),
         F.col("simhash").alias("csim"),
         F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val"),
@@ -1758,14 +1785,12 @@ def q212_incremental_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicates(["qdoc", "cdoc"])
     )
     inherit = (
-        bm.join(cc, bm.cdoc == cc.v, "left")
+        bm.join(cluster_map, bm.cdoc == cluster_map.v, "left")
         .groupBy("qdoc")
         .agg(F.min(F.coalesce("cluster_id", "cdoc")).alias("ck"))
     )
     keys = (
-        _documents(spark, sf_dir)
-        .filter(is_new)
-        .select("doc_id")
+        batch_ids.select("doc_id")
         .join(inherit, F.col("doc_id") == F.col("qdoc"), "left")
         .select("doc_id", F.coalesce("ck", "doc_id").alias("cluster_key"))
     )

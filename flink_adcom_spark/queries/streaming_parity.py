@@ -725,6 +725,66 @@ def q205_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q213: stream-side split assignment vs the batch assigner --------------------
+def _q213_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # streamed per-batch assignments against the persisted signature index +
+    # cluster map must equal q212's batch relation exactly (artifacts frozen
+    # across the run)
+    return _REGISTRY["q212_incremental_split_assign"].oracle
+
+
+@query(
+    "q213_stream_split_assign",
+    _q213_oracle(),
+    tags=("streaming", "dedup", "components", "sample", "incremental", "pipeline"),
+)
+def q213_stream_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest leakage-safe split assignment, externally gated (the
+    serving face of q212, the q198/q205 gating pattern): the incoming
+    batch (doc_id % 5 == 4) is replayed as a 4-micro-batch document
+    stream; each micro-batch is simhash-signed with the SHARED
+    simhash_rows body and probed against the PERSISTED corpus signature
+    index and cluster map (q212's artifacts written to parquet once — what
+    a rolling ingest maintains beside its dedup index) through the SHARED
+    split_assign_vs_index body, assignments landing as batch_id-
+    partitioned idempotent epochs. The drained (doc_id, cluster_key,
+    split) rows must hash-match q212's batch relation — proving a new
+    near-duplicate of existing training data receives its TRAIN assignment
+    at ingest time, before it can ever leak into an eval shard, and that
+    the assignment is independent of how the ingest is micro-batched.
+
+    Scale shape: per micro-batch cost is O(batch tokens) hashing + one
+    band-bucket probe join against the signature scan; the cluster map
+    joins on the matched corpus ids only. At 100 TB both artifacts are
+    bucketed by their join keys so the probe shuffles only the batch."""
+    from .dedup import NEW_BATCH_MOD, q43_simhash, simhash_banded_pairs
+    from ..operators.components import connected_components_twophase
+
+    work = gate_workdir("split_stream_gate")
+    feed = os.path.join(work, "feed")
+    sig_path = os.path.join(work, "sig")
+    cc_path = os.path.join(work, "cc")
+    out = os.path.join(work, "assign")
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    # the persisted artifacts: corpus signature index + corpus cluster map
+    csig = q43_simhash(spark, sf_dir).filter(~is_new)
+    csig.write.mode("overwrite").parquet(sig_path)
+    connected_components_twophase(
+        simhash_banded_pairs(spark.read.parquet(sig_path)),
+        src="doc_a", dst="doc_b",
+    ).write.mode("overwrite").parquet(cc_path)
+    # the ingest stream: the batch docs, 4 micro-batches
+    docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_split_assign_materialize(
+        spark, feed, out, sig_path, cc_path,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select("doc_id", "cluster_key", "split")
+
+
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
 RUNNER_TRACE_DECISIONS = 25  # decisions requested from the live paced runner
 RUNNER_TRACE_MIN = 8  # floor below which the gate is a scheduling failure

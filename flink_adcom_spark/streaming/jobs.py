@@ -960,6 +960,55 @@ def streaming_substring_dedup_materialize(
         q.stop()
 
 
+def split_assign_writer(
+    spark: SparkSession, docs_dir: str, out_path: str, sig_path: str,
+    cc_path: str, checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_split_assign_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.dedup import simhash_rows, split_assign_vs_index
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sig = simhash_rows(batch_df)
+        corpus_sig = spark.read.parquet(sig_path)
+        cluster_map = spark.read.parquet(cc_path)
+        out = split_assign_vs_index(
+            batch_df.select("doc_id"), batch_sig, corpus_sig, cluster_map
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_split_assign_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str, sig_path: str,
+    cc_path: str, checkpoint: str | None = None, **kw
+) -> None:
+    """Rolling-ingest leakage-safe split assignment (q213; q212's batch job
+    as the per-micro-batch stream): each arriving document batch is
+    simhash-signed with the SHARED simhash_rows body, probed against the
+    PERSISTED corpus signature index and cluster map (parquet artifacts —
+    never re-derived at serve time) through the SHARED
+    split_assign_vs_index body, and the (doc_id, cluster_key, split)
+    assignments landed as batch_id-partitioned idempotent epochs. The
+    artifacts are frozen across the run (q212's index-frozen semantics),
+    so any micro-batching of the ingest drains to the same assignment —
+    a checkpoint-replayed batch REPLACES its partition without moving any
+    other doc's split."""
+    q = split_assign_writer(
+        spark, docs_dir, out_path, sig_path, cc_path, checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_classifier_scores_materialize(
     spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
     checkpoint: str | None = None, **kw

@@ -423,3 +423,15 @@ def test_q212_matches_are_nonvacuous_on_gate_data(spark, sf_dir):
     assert len(inherited) > 0  # 61/100 batch docs at sf0.001
     for r in rows:
         assert r["split"] in ("train", "val", "test")
+
+
+# --- q213: the streaming assigner must equal the batch assigner --------------------
+
+
+def test_q213_stream_equals_q212_batch(spark, sf_dir):
+    batch = {tuple(r) for r in
+             get("q212_incremental_split_assign").build(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in
+              get("q213_stream_split_assign").build(spark, sf_dir).collect()}
+    assert stream == batch
+    assert len(stream) > 0
