@@ -1799,3 +1799,191 @@ def split_assign_vs_index(
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )
     return keys.select("doc_id", "cluster_key", split.alias("split"))
+
+
+# --- q214: impact-capped retrieval vs the exact baseline --------------------------
+WAND_POSTING_CAP = 64  # per-term posting budget for the capped searcher
+
+
+def _mrr_capped_oracle() -> str:
+    from .text import BM25_B, BM25_K1, _D
+
+    return f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+               WHERE text IS NOT NULL),
+    t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+          WHERE len(w) >= {SUBSTR_L}),
+    qg AS (SELECT DISTINCT doc_id AS qdoc, gd FROM ({_SUBSTR_GRAM_SQL}
+        FROM t WHERE doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}) x),
+    cg AS (SELECT DISTINCT doc_id AS ddoc, gd FROM ({_SUBSTR_GRAM_SQL}
+        FROM t WHERE doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}) x),
+    truth AS (SELECT DISTINCT qdoc, ddoc FROM qg JOIN cg USING (gd)),
+    ctoks AS (SELECT doc_id, unnest(w) AS term FROM d
+              WHERE doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}),
+    lens AS (SELECT doc_id, COUNT(*) AS dl FROM ctoks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+    qterms AS (SELECT DISTINCT doc_id AS qdoc, unnest(w) AS term FROM d
+               WHERE doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}),
+    tf AS (SELECT doc_id AS ddoc, term, COUNT(*) AS tf FROM ctoks
+           WHERE term IN (SELECT DISTINCT term FROM qterms)
+           GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    imp AS (SELECT f.ddoc, f.term,
+                   LN(CAST('1' AS DOUBLE)
+                      + (n_docs - df + {_D('0.5')}) / (df + {_D('0.5')}))
+                   * ((f.tf * {_D(repr(BM25_K1 + 1))})
+                      / (f.tf + {_D(repr(BM25_K1))}
+                             * ({_D(repr(1 - BM25_B))}
+                                + {_D(repr(BM25_B))} * (dl / avgdl)))) AS s
+            FROM tf f JOIN dfq USING (term)
+                 JOIN lens ON lens.doc_id = f.ddoc CROSS JOIN stats),
+    capped AS (SELECT ddoc, term, s FROM (
+                 SELECT ddoc, term, s,
+                        ROW_NUMBER() OVER (PARTITION BY term
+                                           ORDER BY ROUND(s, 6) DESC, ddoc)
+                          AS prank
+                 FROM imp) z
+               WHERE prank <= {WAND_POSTING_CAP}),
+    sc AS (SELECT q.qdoc, c.ddoc,
+                  SUM(CAST(ROUND(c.s, 6) AS DECIMAL(28,6))) AS score
+           FROM qterms q JOIN capped c USING (term)
+           GROUP BY q.qdoc, c.ddoc),
+    ranked AS (SELECT qdoc, ddoc,
+                      ROW_NUMBER() OVER (PARTITION BY qdoc
+                                         ORDER BY score DESC, ddoc) AS rnk
+               FROM sc),
+    per AS (SELECT t.qdoc,
+                   COUNT(*) AS n_truth,
+                   COUNT(r.rnk) AS n_found,
+                   MIN(r.rnk) AS best_rank
+            FROM truth t LEFT JOIN ranked r
+                 ON t.qdoc = r.qdoc AND t.ddoc = r.ddoc
+            GROUP BY t.qdoc)
+    SELECT qdoc AS query_doc,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(best_rank AS BIGINT) AS best_rank,
+           ROUND(CASE WHEN best_rank IS NULL THEN CAST('0' AS DOUBLE)
+                      ELSE CAST('1' AS DOUBLE) / best_rank END, 6) AS rr
+    FROM per
+    """
+
+
+@query(
+    "q214_retrieval_mrr_capped",
+    _mrr_capped_oracle(),
+    tags=("text", "retrieval", "audit", "dedup", "pipeline"),
+)
+def q214_retrieval_mrr_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q211's retrieval eval under the SCALE-PATH searcher: each term's
+    posting list is capped to its top-{WAND_POSTING_CAP} docs by per-term
+    BM25 impact (the precomputed idf x tf-saturation partial — note it is
+    query-independent, which is what makes impact-ordered posting
+    truncation a BUILD-time artifact) before queries are scored; a truth
+    partner that falls out of every capped posting simply cannot be
+    retrieved (n_found < n_truth, rr 0 when nothing is found). Run beside
+    q211 this is the recall audit for the cheap searcher — the q197/q201
+    discipline (exact baseline vs compressed/routed index) applied to the
+    lexical tier; the sf0.1 probe has the exact eval at 37.7 s where the
+    capped parts relation is ~{WAND_POSTING_CAP}x-bounded per (query,
+    term). Cap rank is deterministic: ROUND(impact,6) DESC, doc_id ASC.
+
+    Scale shape: the cap is a per-term window over postings (one shuffle
+    on term, bounded output {WAND_POSTING_CAP} rows/term); scoring joins
+    the bounded posting table, so per-query work is <= |query terms| x
+    {WAND_POSTING_CAP} regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from .text import BM25_B, BM25_K1
+
+    k1, b = BM25_K1, BM25_B
+    docs = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
+    is_q = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    base = (
+        docs.select("doc_id", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= SUBSTR_L)
+    )
+    qg = (
+        _substr_grams(base.filter(is_q))
+        .select(F.col("doc_id").alias("qdoc"), "gd")
+        .distinct()
+    )
+    cg = (
+        _substr_grams(base.filter(~is_q))
+        .select(F.col("doc_id").alias("ddoc"), "gd")
+        .distinct()
+    )
+    truth = qg.join(cg, "gd").select("qdoc", "ddoc").distinct()
+
+    ctoks = docs.filter(~is_q).select(
+        "doc_id", F.explode(words_col()).alias("term")
+    )
+    lens = ctoks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = (
+        docs.filter(is_q)
+        .select(F.col("doc_id").alias("qdoc"), F.explode(words_col()).alias("term"))
+        .distinct()
+    )
+    qvocab = qterms.select("term").distinct()
+    tf = (
+        ctoks.join(F.broadcast(qvocab), "term", "left_semi")
+        .groupBy(F.col("doc_id").alias("ddoc"), "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * (
+        (F.col("tf") * F.lit(k1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    imp = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(lens.withColumnRenamed("doc_id", "ddoc"), "ddoc")
+        .crossJoin(F.broadcast(stats))
+        .select("ddoc", "term", s.alias("s"))
+    )
+    wcap = Window.partitionBy("term").orderBy(
+        F.round("s", 6).desc(), F.asc("ddoc")
+    )
+    capped = (
+        imp.withColumn("prank", F.row_number().over(wcap))
+        .filter(F.col("prank") <= WAND_POSTING_CAP)
+        .select("ddoc", "term", "s")
+    )
+    sc = (
+        qterms.join(capped, "term")
+        .groupBy("qdoc", "ddoc")
+        .agg(F.sum(F.round("s", 6).cast("decimal(28,6)")).alias("score"))
+    )
+    w = Window.partitionBy("qdoc").orderBy(F.desc("score"), F.asc("ddoc"))
+    ranked = sc.withColumn("rnk", F.row_number().over(w))
+    per = (
+        truth.join(ranked, ["qdoc", "ddoc"], "left")
+        .groupBy("qdoc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.count("rnk").cast("bigint").alias("n_found"),
+            F.min("rnk").cast("bigint").alias("best_rank"),
+        )
+    )
+    rr = F.round(
+        F.when(F.col("best_rank").isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / F.col("best_rank")
+        ),
+        6,
+    )
+    return per.select(
+        F.col("qdoc").alias("query_doc"), "n_truth", "n_found", "best_rank", rr.alias("rr")
+    )

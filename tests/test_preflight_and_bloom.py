@@ -435,3 +435,83 @@ def test_q213_stream_equals_q212_batch(spark, sf_dir):
               get("q213_stream_split_assign").build(spark, sf_dir).collect()}
     assert stream == batch
     assert len(stream) > 0
+
+
+# --- q214: impact-capped retrieval recall audit -------------------------------------
+
+
+def test_q214_cap_crowds_out_a_weak_partner_that_exact_retrieval_finds(
+    spark, tmp_path_factory
+):
+    """70 short decoy docs with tf=3 of every paragraph word outrank the
+    one true partner (tf=1, diluted by 100 filler tokens) in EVERY capped
+    posting list (cap 64 < 70), so the capped searcher cannot retrieve it:
+    n_found 0, best_rank NULL, rr 0.0 — while q211's exact searcher still
+    finds it. This is the recall loss the audit exists to measure, and it
+    exercises the NULL/zero branch through the oracle hash too."""
+    words = [f"capw{i}" for i in range(16)]
+    para = " ".join(words)
+    partner = para + " " + " ".join(f"pfill{i}" for i in range(100))
+    decoy = " ".join(w for w in words for _ in range(3))
+    decoys = "\n".join(
+        f"""UNION ALL SELECT {9900006 + 5 * k} AS doc_id, '{decoy}' AS text,
+            'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars"""
+        for k in range(70)
+    )
+    plant = {
+        "documents": f"""SELECT * FROM '{{src}}'
+            UNION ALL SELECT 9900001 AS doc_id, '{partner}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT 9900004 AS doc_id, '{para}' AS text,
+                   'en' AS lang, 'plant' AS source, CAST(0 AS BIGINT) AS n_chars
+            {decoys}"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_cap_miss", plant)
+
+    exact = {
+        r["query_doc"]: r
+        for r in get("q211_retrieval_mrr").build(spark, fixture).collect()
+    }
+    assert exact[9900004]["n_truth"] == 1
+    assert exact[9900004]["rr"] > 0  # the exact searcher finds the partner
+
+    capped = {
+        r["query_doc"]: r
+        for r in get("q214_retrieval_mrr_capped").build(spark, fixture).collect()
+    }
+    row = capped[9900004]
+    assert row["n_truth"] == 1
+    assert row["n_found"] == 0
+    assert row["best_rank"] is None
+    assert row["rr"] == 0.0
+
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(
+            get("q214_retrieval_mrr_capped"), spark, fixture, con, name="q214"
+        )
+    finally:
+        con.close()
+
+
+def test_q214_cap_keeps_every_gate_partner_findable(spark, sf_dir):
+    """On the gate corpus the 64-doc cap keeps every truth partner
+    RETRIEVABLE (n_found == n_truth, rr > 0) — ranks may shift in either
+    direction because capping removes score mass from partners and
+    competitors alike (the shared ~60-word vocabulary makes every posting
+    corpus-length, i.e. the cap is aggressive here, which is exactly what
+    the audit's rr column is for: q211 exact 0.0333 vs capped 0.0079 on
+    one sf0.001 query). The eval sets must coincide."""
+    exact = {
+        r["query_doc"]: r for r in
+        get("q211_retrieval_mrr").build(spark, sf_dir).collect()
+    }
+    capped = {
+        r["query_doc"]: r for r in
+        get("q214_retrieval_mrr_capped").build(spark, sf_dir).collect()
+    }
+    assert set(capped) == set(exact) and len(capped) > 0
+    for q, r in capped.items():
+        assert r["n_truth"] == exact[q]["n_truth"]
+        assert r["n_found"] == r["n_truth"]
+        assert r["rr"] > 0
