@@ -49,6 +49,10 @@ SF1_PROBES = frozenset([
     # sources-per-gram; q210 must add ~nothing over q45's contraction
     "q206_bloom_substring_dedup", "q209_source_overlap_matrix",
     "q210_leakage_safe_split",
+    # q214's capped searcher must stay bounded at the tier where q211's
+    # exact eval is deliberately left unprobed (the 2.75e9-row worst case);
+    # q212's per-batch probe must stay ~flat vs q210's full contraction
+    "q212_incremental_split_assign", "q214_retrieval_mrr_capped",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -58,6 +62,8 @@ PROBES = [
     "q209_source_overlap_matrix",
     "q210_leakage_safe_split",
     "q211_retrieval_mrr",
+    "q212_incremental_split_assign",
+    "q214_retrieval_mrr_capped",
     "q40_exact_dedup",
     "q41_minhash_lsh_pairs",
     "q44_simhash_neardup",
