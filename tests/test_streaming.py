@@ -989,3 +989,73 @@ def test_pq_codes_kill_recover_exactly_once(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_split_assign_kill_recover_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the q213 split assigner mid-stream, restart from its checkpoint:
+    the recovered run must replay the in-flight epoch idempotently and
+    finish with EXACTLY the batch q212 assignment — no doc unassigned,
+    none assigned twice, no split moved."""
+    import time
+
+    from flink_adcom_spark.operators.components import (
+        connected_components_twophase,
+    )
+    from flink_adcom_spark.queries.dedup import (
+        NEW_BATCH_MOD,
+        q43_simhash,
+        simhash_banded_pairs,
+    )
+    from flink_adcom_spark.registry import get
+    from flink_adcom_spark.streaming.jobs import split_assign_writer
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    sig_path = str(tmp_path / "sig")
+    cc_path = str(tmp_path / "cc")
+    q43_simhash(spark, sf_dir).filter(~is_new).write.parquet(sig_path)
+    connected_components_twophase(
+        simhash_banded_pairs(spark.read.parquet(sig_path)),
+        src="doc_a", dst="doc_b",
+    ).write.parquet(cc_path)
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "assign")
+    ckpt = str(tmp_path / "ckpt")
+    batch = docs.filter(is_new)
+    # stage the feed in two halves so the restart deterministically has new
+    # files to process (the q184 kill-test discipline)
+    batch.filter(F.col("doc_id") % 2 == 0).repartition(3).write.parquet(feed)
+
+    q = split_assign_writer(
+        spark, feed, out, sig_path, cc_path, ckpt, maxFilesPerTrigger=1
+    ).start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop()  # kill after >= 1 committed batch
+
+    batch.filter(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
+        "append"
+    ).parquet(feed)
+    q2 = split_assign_writer(
+        spark, feed, out, sig_path, cc_path, ckpt, maxFilesPerTrigger=1
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r["doc_id"], r["cluster_key"], r["split"])
+        for r in spark.read.parquet(out)
+        .select("doc_id", "cluster_key", "split")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in get("q212_incremental_split_assign").build(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert spark.read.parquet(out).count() == len(want)
