@@ -1987,3 +1987,108 @@ def q214_retrieval_mrr_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         F.col("qdoc").alias("query_doc"), "n_truth", "n_found", "best_rank", rr.alias("rr")
     )
+
+
+# --- q215: split-leakage audit (naive law vs cluster-keyed law) -------------------
+@query(
+    "q215_split_leakage_audit",
+    f"""
+    WITH RECURSIVE wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits),
+    pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sym AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+    keyed AS (SELECT d.doc_id,
+                     d.doc_id AS id_key,
+                     COALESCE(cc.cluster_id, d.doc_id) AS cluster_key
+              FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+    lawed AS (SELECT doc_id,
+                     CASE WHEN ((id_key % 2147483648) * {_SPLIT_MULT})
+                              % 4294967296 % 10 < 8 THEN 'train' ELSE 'eval'
+                       END AS naive_side,
+                     CASE WHEN ((cluster_key % 2147483648) * {_SPLIT_MULT})
+                              % 4294967296 % 10 < 8 THEN 'train' ELSE 'eval'
+                       END AS safe_side
+              FROM keyed)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+           CAST(SUM(CASE WHEN la.naive_side <> lb.naive_side THEN 1 ELSE 0 END)
+             AS BIGINT) AS naive_leaky_pairs,
+           CAST(SUM(CASE WHEN la.safe_side <> lb.safe_side THEN 1 ELSE 0 END)
+             AS BIGINT) AS safe_leaky_pairs
+    FROM pairs p JOIN lawed la ON p.pa = la.doc_id
+                 JOIN lawed lb ON p.pb = lb.doc_id
+    """,
+    tags=("dedup", "audit", "sample", "pipeline"),
+)
+def q215_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE leakage number: over every simhash near-dup pair, how many pairs
+    straddle train and eval (val+test folded to 'eval' — leakage between
+    val and test is harmless) under (a) q49's raw-id split law vs (b)
+    q210's cluster-canonical law. safe_leaky_pairs is ZERO BY CONSTRUCTION
+    (both members share a cluster key), and the audit proves it through
+    the external hash gate rather than asserting it in a docstring;
+    naive_leaky_pairs is the eval-contamination a pipeline silently ships
+    when it splits before (or without) dedup — 260 of 997 pairs at
+    sf0.001. One row, three exact integers.
+
+    Scale shape: the pair relation is the banded join the dedup pipeline
+    already produces (q44), the law columns are scan-side arithmetic, and
+    the audit is a doc-keyed join + one global sum. Run it as the
+    post-condition of every split build (the q137 expectations
+    discipline)."""
+    from ..operators.components import connected_components_twophase
+
+    pairs = q44_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components_twophase(pairs, src="doc_a", dst="doc_b").select(
+        F.col("v").alias("doc_id"), "cluster_id"
+    )
+    keyed = (
+        _documents(spark, sf_dir)
+        .select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("id_key"),
+            F.coalesce("cluster_id", "doc_id").alias("cluster_key"),
+        )
+    )
+
+    def side(key: str):
+        bucket = ((F.col(key) % 2147483648) * _SPLIT_MULT) % 4294967296 % 10
+        return F.when(bucket < 8, "train").otherwise("eval")
+
+    lawed = keyed.select(
+        "doc_id", side("id_key").alias("naive_side"), side("cluster_key").alias("safe_side")
+    )
+    la = lawed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("naive_side").alias("na"),
+        F.col("safe_side").alias("sa"),
+    )
+    lb = lawed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("naive_side").alias("nb"),
+        F.col("safe_side").alias("sb"),
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs"),
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("naive_leaky_pairs"),
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("safe_leaky_pairs"),
+        )
+    )

@@ -515,3 +515,18 @@ def test_q214_cap_keeps_every_gate_partner_findable(spark, sf_dir):
         assert r["n_truth"] == exact[q]["n_truth"]
         assert r["n_found"] == r["n_truth"]
         assert r["rr"] > 0
+
+
+# --- q215: split-leakage audit -------------------------------------------------------
+
+
+def test_q215_safe_law_leaks_zero_and_naive_law_leaks(spark, sf_dir):
+    rows = get("q215_split_leakage_audit").build(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_neardup_pairs"] > 0
+    assert r["safe_leaky_pairs"] == 0  # the q210 guarantee, measured
+    assert r["naive_leaky_pairs"] > 0  # what splitting on raw ids ships
+    # ~26% straddle at sf0.001 — consistent with a 20% eval share
+    # (P(different sides) = 2*0.8*0.2 = 0.32 under independent hashing)
+    assert r["naive_leaky_pairs"] < r["n_neardup_pairs"]
