@@ -4107,3 +4107,60 @@ def q186_needle_eval_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(NEEDLE_CTX + 4).cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", part1, needle, part2)).alias("digest"),
     )
+
+
+# --- q216: per-source calibrated quality gate ------------------------------------
+@query(
+    "q216_per_source_quality_gate",
+    f"""
+    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    cnt AS (SELECT word, COUNT(*) AS c FROM wrds GROUP BY word),
+    tot AS (SELECT SUM(c) AS t FROM cnt),
+    lp AS (SELECT doc_id, ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+           FROM wrds JOIN cnt USING (word) CROSS JOIN tot GROUP BY doc_id),
+    j AS (SELECT d.doc_id, d.source, lp.avg_logprob
+          FROM documents d JOIN lp ON d.doc_id = lp.doc_id),
+    r AS (SELECT doc_id, source, avg_logprob,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY avg_logprob, doc_id) AS src_rank,
+                 COUNT(*) OVER (PARTITION BY source) AS src_n
+          FROM j)
+    SELECT doc_id, source, avg_logprob,
+           CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(src_n AS BIGINT) AS src_n,
+           (src_rank * 4 > src_n) AS keep
+    FROM r
+    """,
+    tags=("text", "quality", "audit", "pipeline"),
+)
+def q216_per_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE calibrated quality gate: drop each source's bottom
+    quartile by unigram LM score (q77's avg_logprob), rank-based — keep
+    iff src_rank*4 > src_n, pure integer arithmetic on a deterministic
+    (rounded score, doc_id) order, no percentile interpolation to diverge
+    between engines. The calibration point is WHY real pipelines gate
+    per-domain: one absolute logprob threshold keeps 90% of a clean feed
+    and 40% of a noisy one, silently reweighting the mixture; a per-source
+    quantile keeps the mixture shares fixed while still dropping each
+    feed's worst tail (the fastText-filter practice; same spirit as q149's
+    per-source caps, applied to quality instead of volume).
+
+    Scale shape: q77's two-pass vocabulary score + one rank window
+    partitioned by source. The per-source sort is the exact baseline (the
+    q72 discipline); at unbounded source sizes swap the window for a
+    percentile_approx threshold per source (two aggs, same gate column)."""
+    from pyspark.sql import Window
+
+    lp = q77_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    docs = _documents(spark, sf_dir).select("doc_id", "source")
+    j = docs.join(lp, "doc_id")
+    w = Window.partitionBy("source").orderBy("avg_logprob", "doc_id")
+    wn = Window.partitionBy("source")
+    return j.select(
+        "doc_id",
+        "source",
+        "avg_logprob",
+        F.row_number().over(w).cast("bigint").alias("src_rank"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("src_n"),
+        (F.row_number().over(w) * 4 > F.count(F.lit(1)).over(wn)).alias("keep"),
+    )

@@ -530,3 +530,55 @@ def test_q215_safe_law_leaks_zero_and_naive_law_leaks(spark, sf_dir):
     # ~26% straddle at sf0.001 — consistent with a 20% eval share
     # (P(different sides) = 2*0.8*0.2 = 0.32 under independent hashing)
     assert r["naive_leaky_pairs"] < r["n_neardup_pairs"]
+
+
+# --- q216: per-source calibrated quality gate --------------------------------------
+
+
+def test_q216_gibberish_planted_in_one_source_is_dropped_there_only(
+    spark, tmp_path_factory
+):
+    """A fresh source with six ordinary-vocabulary docs and two rare-token
+    docs: exactly the two gibberish docs (the source's bottom quartile) are
+    dropped, the six ordinary ones kept — per-source calibration never
+    consults other sources' scores."""
+    common = "the a key value table row scan fast part hash join query line sort batch merge"
+    normal = "\n".join(
+        f"""UNION ALL SELECT {9950000 + k} AS doc_id, '{common}' AS text,
+            'en' AS lang, 'plantQ' AS source, CAST(0 AS BIGINT) AS n_chars"""
+        for k in range(6)
+    )
+    gib = "\n".join(
+        f"""UNION ALL SELECT {9950010 + k} AS doc_id,
+            'zzrare{k}a zzrare{k}b zzrare{k}c zzrare{k}d zzrare{k}e' AS text,
+            'en' AS lang, 'plantQ' AS source, CAST(0 AS BIGINT) AS n_chars"""
+        for k in range(2)
+    )
+    plant = {"documents": f"SELECT * FROM '{{src}}'\n{normal}\n{gib}"}
+    fixture = make_fixture_dir(tmp_path_factory, "planted_src_quality", plant)
+    spec = get("q216_per_source_quality_gate")
+    rows = {
+        r["doc_id"]: r
+        for r in spec.build(spark, fixture).collect()
+        if r["source"] == "plantQ"
+    }
+    assert len(rows) == 8
+    assert all(not rows[9950010 + k]["keep"] for k in range(2))  # bottom quartile
+    assert all(rows[9950000 + k]["keep"] for k in range(6))
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q216")
+    finally:
+        con.close()
+
+
+def test_q216_keeps_exactly_the_top_three_quarters_per_source(spark, sf_dir):
+    rows = get("q216_per_source_quality_gate").build(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        n = rs[0]["src_n"]
+        assert len(rs) == n
+        kept = sum(1 for r in rs if r["keep"])
+        assert kept == n - n // 4  # drop exactly floor(n/4)
