@@ -410,6 +410,18 @@ _ROUND10_GATE = frozenset(
         "q83_stream_incremental_mv",
     ]
 )
+# Registered AFTER the r11 gate froze (mirror-verified at sf0.001 AND
+# sf0.01, full-registry driver simulation green; rotate into r12 as the
+# never-checked tier): q203 stream-side IVF-PQ search, q204 embedding-drift
+# TV audit, q205 stream-side incremental substring dedup, q206
+# bloom-prefiltered substring dedup, q207 key-skew profile, q208
+# join-explosion audit, q209 source-overlap matrix, q210 leakage-safe
+# split, q211 retrieval-MRR audit, q212 incremental split assignment, q213
+# stream-side split assignment, q214 impact-capped retrieval recall audit,
+# q215 split-leakage audit, q216 per-source quality gate. Builders modified
+# after the freeze (r12 tier 2): q43 (simhash_rows extraction), q202 (the
+# shared-oracle constant + _substr_grams extra-column signature), q45/q46
+# unchanged in semantics but upstream of the new split family.
 # Round 11 drains (a) the 12 never-checked entries — the nine post-r10-freeze
 # additions q191-q199 plus this round's q200 IVF-PQ, q201 its recall audit,
 # and q202 incremental substring dedup — then (b) the 8 builders modified
