@@ -2092,3 +2092,75 @@ def q215_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("safe_leaky_pairs"),
         )
     )
+
+
+# --- q217: per-source batch novelty rate (rolling-ingest dedup observability) -----
+@query(
+    "q217_batch_novelty_by_source",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents),
+    t AS (SELECT doc_id, source, w, CAST(len(w) AS BIGINT) AS n FROM d
+          WHERE len(w) >= {SUBSTR_L}),
+    bg AS ({_SUBSTR_GRAM_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")}
+      FROM t WHERE doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}),
+    ix AS (SELECT DISTINCT gd FROM ({_SUBSTR_GRAM_SQL}
+        FROM t WHERE doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}) cg),
+    hits AS (SELECT bg.source, COUNT(*) AS n_dup_grams
+             FROM bg JOIN ix USING (gd) GROUP BY bg.source),
+    tots AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+                    COUNT(*) AS n_grams
+             FROM bg GROUP BY source)
+    SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(h.n_dup_grams, 0) * 1000000 // t.n_grams AS BIGINT)
+             AS dup_ppm
+    FROM tots t LEFT JOIN hits h ON t.source = h.source
+    """,
+    tags=("dedup", "audit", "incremental", "pipeline"),
+)
+def q217_batch_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling-ingest dedup dashboard: for each SOURCE in the incoming
+    batch (q202's doc_id%5==4 convention), the fraction of its sliding
+    {SUBSTR_L}-token gram positions already present in the corpus digest
+    index, in exact ppm — a per-feed dup_ppm spike is a crawler
+    re-fetching old content, caught at ingest time before the batch is
+    even deduplicated (the streaming-era complement of q144's corpus-wide
+    rates, and the aggregate behind q202's spans: q217 tells you HOW MUCH
+    is duplicated per feed, q202 tells you WHERE).
+
+    Scale shape: the batch gram pass carries `source` through the explode
+    (one pass, no join-back); the index probe is the same digest-keyed
+    join q202 pays (or q206's bloom-prefiltered form); the rollup is a
+    |sources|-row aggregate. Per-batch cost, never a corpus re-scan."""
+    docs = _documents(spark, sf_dir)
+    base = (
+        docs.select("doc_id", "source", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= SUBSTR_L)
+    )
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    # bg feeds both the totals and the probe: one gram pass (q188 lesson)
+    bg = _substr_grams(base.filter(is_new), "source").localCheckpoint(eager=False)
+    ix = _substr_grams(base.filter(~is_new)).select("gd").distinct()
+    hits = (
+        bg.join(ix, "gd")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    tots = bg.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    return (
+        tots.join(hits, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.expr(
+                "CAST((COALESCE(n_dup_grams, 0) * 1000000) DIV n_grams AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -582,3 +582,35 @@ def test_q216_keeps_exactly_the_top_three_quarters_per_source(spark, sf_dir):
         assert len(rs) == n
         kept = sum(1 for r in rs if r["keep"])
         assert kept == n - n // 4  # drop exactly floor(n/4)
+
+
+# --- q217: per-source batch novelty rate ----------------------------------------------
+
+
+def test_q217_replayed_feed_spikes_to_full_duplication(spark, tmp_path_factory):
+    """A planted feed whose batch doc is a verbatim copy of its own corpus
+    doc must report dup_ppm == 1e6 (every gram already indexed), while a
+    planted all-novel feed reports 0 — the spike/quiet contrast the
+    dashboard exists to show."""
+    para = " ".join(f"nvplant{i}" for i in range(30))
+    fresh = " ".join(f"nvfresh{i}" for i in range(30))
+    plant = {
+        "documents": f"""SELECT * FROM '{{src}}'
+            UNION ALL SELECT 9960001 AS doc_id, '{para}' AS text,
+                   'en' AS lang, 'plantR' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT 9960004 AS doc_id, '{para}' AS text,
+                   'en' AS lang, 'plantR' AS source, CAST(0 AS BIGINT) AS n_chars
+            UNION ALL SELECT 9960009 AS doc_id, '{fresh}' AS text,
+                   'en' AS lang, 'plantN' AS source, CAST(0 AS BIGINT) AS n_chars"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_novelty", plant)
+    spec = get("q217_batch_novelty_by_source")
+    rows = {r["source"]: r for r in spec.build(spark, fixture).collect()}
+    assert rows["plantR"]["dup_ppm"] == 1_000_000
+    assert rows["plantR"]["n_dup_grams"] == rows["plantR"]["n_grams"] == 15
+    assert rows["plantN"]["dup_ppm"] == 0
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q217")
+    finally:
+        con.close()
