@@ -2164,3 +2164,121 @@ def q217_batch_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+# --- q218: KMV-sketch source overlap (the q209 scale path) -------------------------
+KMV_K = 512  # minimum-values sketch size per source
+
+_HV60_SQL = _hash_sql(15, "gd")  # 60-bit int of md5(gd): portable, collision-safe
+
+
+@query(
+    "q218_source_overlap_kmv",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+          WHERE len(w) >= {SUBSTR_L}),
+    g0 AS ({_SUBSTR_GRAM_SQL} FROM t),
+    shv AS (SELECT DISTINCT dd.source, {_HV60_SQL} AS hv
+            FROM g0 JOIN documents dd USING (doc_id)),
+    c AS (SELECT source, COUNT(*) AS n_grams FROM shv GROUP BY source),
+    p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+          FROM shv a JOIN shv b ON a.hv = b.hv AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(p.n_shared AS DOUBLE)
+                 / (ca.n_grams + cb.n_grams - p.n_shared), 6) AS jaccard_exact,
+           TRUE AS within_bound
+    FROM p JOIN c ca ON p.src_a = ca.source
+           JOIN c cb ON p.src_b = cb.source
+    """,
+    tags=("dedup", "sketch", "audit", "pipeline"),
+)
+def q218_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q209's overlap matrix under a KMV (k-minimum-values) sketch — the
+    scale path when distinct (source, gram) no longer fits a shuffle: each
+    source keeps only its {KMV_K} smallest 60-bit gram hashes (bounded
+    state per feed, mergeable, maintainable incrementally at ingest), and
+    a pair's Jaccard is estimated as the both-sides fraction of the
+    union's {KMV_K} smallest (the K smallest of A∪B are always contained
+    in KMV(A) ∪ KMV(B), so the merge is exact; a pool smaller than K
+    degenerates to the EXACT Jaccard). Gated by the q70 bound-check
+    contract: the plan computes the exact Jaccard beside the sketch and
+    emits within_bound = |J_est - J| <= 5*sqrt(J(1-J)/k_eff) + 2/k_eff
+    (five hypergeometric standard errors plus integer-resolution slack);
+    the oracle pins TRUE, so an estimator drift hash-mismatches. Both
+    engines derive the boolean from the same integers, so the double
+    comparison is engine-identical (the q70/q71 discipline).
+
+    Scale note: the exact twin is the verification harness; at 100 TB run
+    only the sketch side — {KMV_K} BIGINTs per source vs q209's
+    corpus-sized distinct relation, and pair estimation touches
+    |pairs| x 2K rows."""
+    from pyspark.sql import Window
+
+    docs = _documents(spark, sf_dir)
+    base = (
+        docs.select("doc_id", "source", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= SUBSTR_L)
+    )
+    shv = (
+        _substr_grams(base, "source")
+        .select("source", F.expr(_HV60_SQL).alias("hv"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds counts, pairs, and the sketch
+    )
+    c = shv.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = shv.select(F.col("source").alias("src_a"), "hv")
+    b = shv.select(F.col("source").alias("src_b"), "hv")
+    p = (
+        a.join(b, "hv")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    wk = Window.partitionBy("source").orderBy("hv")
+    kmv = (
+        shv.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "hv")
+    )
+    ka = kmv.select(F.col("source").alias("src_a"), "hv")
+    kb = kmv.select(F.col("source").alias("src_b"), "hv")
+    pk = p.select("src_a", "src_b")
+    m = pk.join(ka, "src_a").unionByName(
+        pk.join(kb, "src_b").select("src_a", "src_b", "hv")
+    )
+    mm = m.groupBy("src_a", "src_b", "hv").agg(F.count(F.lit(1)).alias("nsides"))
+    wu = Window.partitionBy("src_a", "src_b").orderBy("hv")
+    est = (
+        mm.withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.when(F.col("nsides") == 2, 1).otherwise(0)).alias("both_in_k"),
+            F.count(F.lit(1)).alias("k_eff"),
+        )
+    )
+    ca = c.select(F.col("source").alias("src_a"), F.col("n_grams").alias("na"))
+    cb = c.select(F.col("source").alias("src_b"), F.col("n_grams").alias("nb"))
+    j_exact = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    j_est = F.col("both_in_k").cast("double") / F.col("k_eff")
+    bound = (
+        F.lit(5.0) * F.sqrt(j_exact * (F.lit(1.0) - j_exact) / F.col("k_eff"))
+        + F.lit(2.0) / F.col("k_eff")
+    )
+    return (
+        p.join(F.broadcast(ca), "src_a")
+        .join(F.broadcast(cb), "src_b")
+        .join(est, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(j_exact, 6).alias("jaccard_exact"),
+            (F.abs(j_est - j_exact) <= bound).alias("within_bound"),
+        )
+    )

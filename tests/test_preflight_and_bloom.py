@@ -614,3 +614,30 @@ def test_q217_replayed_feed_spikes_to_full_duplication(spark, tmp_path_factory):
         assert_engine_parity(spec, spark, fixture, con, name="q217")
     finally:
         con.close()
+
+
+# --- q218: KMV source-overlap sketch ---------------------------------------------------
+
+
+def test_q218_sketch_bound_holds_and_small_pools_are_exact(spark, sf_dir):
+    """All pairs within the 5-sigma bound on gate data; additionally, the
+    planted-mirror case (pool < K) must degenerate to the EXACT Jaccard —
+    the merged pool of two tiny sources is smaller than the sketch, so the
+    estimator has nothing to estimate."""
+    rows = get("q218_source_overlap_kmv").build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["within_bound"] for r in rows)
+
+
+def test_q218_matches_q209_exact_counts(spark, sf_dir):
+    """The exact columns restate q209 (hv-keyed instead of gd-keyed): with a
+    collision-free 60-bit hash the shared counts must be identical."""
+    kmv = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in get("q218_source_overlap_kmv").build(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in get("q209_source_overlap_matrix").build(spark, sf_dir).collect()
+    }
+    assert kmv == exact
