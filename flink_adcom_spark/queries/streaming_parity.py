@@ -785,6 +785,76 @@ def q213_stream_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "cluster_key", "split")
 
 
+# --- q219: stream-emitted novelty dashboard vs the batch audit --------------------
+def _q219_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # per-micro-batch partial counters, summed per source at read time, must
+    # equal q217's whole-batch relation (index frozen across the run)
+    return _REGISTRY["q217_batch_novelty_by_source"].oracle
+
+
+@query(
+    "q219_stream_novelty_counters",
+    _q219_oracle(),
+    tags=("streaming", "dedup", "audit", "incremental", "pipeline"),
+)
+def q219_stream_novelty_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-observability dashboard emitted by the REAL rolling ingest,
+    externally gated: the incoming batch replayed as a 4-micro-batch
+    stream, each micro-batch probing the PERSISTED corpus digest index and
+    landing PARTIAL per-source counters (docs, grams, index hits) as
+    batch_id-partitioned idempotent epochs. The gate reads the epochs back
+    and SUMS them per source — because the index is frozen, the partials
+    are mergeable and the merged relation must hash-match q217's
+    whole-batch audit (and its DuckDB restatement). This is the new
+    pattern element beside q205/q213: the materialized artifact is a
+    partial AGGREGATE, so a dashboard can aggregate any window of epochs
+    at read time without reprocessing a document.
+
+    dup_ppm is computed at READ time from the exact integer sums (a ppm of
+    partials would not merge); per-epoch doc counts sum because a doc
+    arrives in exactly one micro-batch."""
+    work = gate_workdir("novelty_stream_gate")
+    feed = os.path.join(work, "feed")
+    index = os.path.join(work, "index")
+    out = os.path.join(work, "counters")
+    from .dedup import NEW_BATCH_MOD, SUBSTR_L, _substr_grams
+    from .text import words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    base = docs.select("doc_id", words_col().alias("w")).withColumn(
+        "n", F.size("w").cast("bigint")
+    ).filter(F.col("n") >= SUBSTR_L)
+    _substr_grams(base.filter(~is_new)).select("gd").distinct().write.mode(
+        "overwrite"
+    ).parquet(index)
+    docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_novelty_counters_materialize(
+        spark, feed, out, index,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("CAST((n_dup_grams * 1000000) DIV n_grams AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
 RUNNER_TRACE_DECISIONS = 25  # decisions requested from the live paced runner
 RUNNER_TRACE_MIN = 8  # floor below which the gate is a scheduling failure

@@ -1009,6 +1009,76 @@ def streaming_split_assign_materialize(
         q.stop()
 
 
+def novelty_counters_writer(
+    spark: SparkSession, docs_dir: str, out_path: str, index_path: str,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_novelty_counters_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.dedup import SUBSTR_L, _substr_grams
+    from ..queries.text import words_col
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        base = (
+            batch_df.select("doc_id", "source", words_col().alias("w"))
+            .withColumn("n", F.size("w").cast("bigint"))
+            .filter(F.col("n") >= SUBSTR_L)
+        )
+        bg = _substr_grams(base, "source").localCheckpoint(eager=False)
+        index = spark.read.parquet(index_path)
+        hits = (
+            bg.join(index, "gd")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+        )
+        out = (
+            bg.groupBy("source")
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_grams"),
+            )
+            .join(hits, "source", "left")
+            .select(
+                "source",
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                F.col("n_grams").cast("bigint").alias("n_grams"),
+                F.coalesce("n_dup_grams", F.lit(0))
+                .cast("bigint")
+                .alias("n_dup_grams"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_novelty_counters_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str, index_path: str,
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Rolling-ingest dedup observability (q219; q217's dashboard emitted by
+    the real stream): each arriving micro-batch probes the PERSISTED corpus
+    digest index and lands PARTIAL per-source counters (docs, grams, index
+    hits) as batch_id-partitioned idempotent epochs. Because the index is
+    frozen across the run, the counters are MERGEABLE — summing the epochs
+    per source reproduces the whole-batch q217 relation exactly, which is
+    what lets a dashboard aggregate at read time over any window of epochs
+    without reprocessing a single document."""
+    q = novelty_counters_writer(
+        spark, docs_dir, out_path, index_path, checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_classifier_scores_materialize(
     spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
     checkpoint: str | None = None, **kw

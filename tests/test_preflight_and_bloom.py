@@ -641,3 +641,15 @@ def test_q218_matches_q209_exact_counts(spark, sf_dir):
         for r in get("q209_source_overlap_matrix").build(spark, sf_dir).collect()
     }
     assert kmv == exact
+
+
+# --- q219: streamed novelty counters must merge to the batch audit ------------------
+
+
+def test_q219_merged_epochs_equal_q217(spark, sf_dir):
+    batch = {tuple(r) for r in
+             get("q217_batch_novelty_by_source").build(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in
+              get("q219_stream_novelty_counters").build(spark, sf_dir).collect()}
+    assert stream == batch
+    assert len(stream) > 0
