@@ -53,6 +53,9 @@ SF1_PROBES = frozenset([
     # exact eval is deliberately left unprobed (the 2.75e9-row worst case);
     # q212's per-batch probe must stay ~flat vs q210's full contraction
     "q212_incremental_split_assign", "q214_retrieval_mrr_capped",
+    # the leakage audit rides the contraction; the KMV sketch must hold its
+    # bounded-state shape at the duplicate-heavy 10x corpus
+    "q215_split_leakage_audit", "q218_source_overlap_kmv",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -64,6 +67,10 @@ PROBES = [
     "q211_retrieval_mrr",
     "q212_incremental_split_assign",
     "q214_retrieval_mrr_capped",
+    "q215_split_leakage_audit",
+    "q216_per_source_quality_gate",
+    "q217_batch_novelty_by_source",
+    "q218_source_overlap_kmv",
     "q40_exact_dedup",
     "q41_minhash_lsh_pairs",
     "q44_simhash_neardup",
