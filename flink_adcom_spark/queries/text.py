@@ -4164,3 +4164,81 @@ def q216_per_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wn).cast("bigint").alias("src_n"),
         (F.row_number().over(w) * 4 > F.count(F.lit(1)).over(wn)).alias("keep"),
     )
+
+
+# --- q220: preference-pair construction (reward-model data prep) -------------------
+@query(
+    "q220_preference_pairs",
+    f"""
+    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    cnt AS (SELECT word, COUNT(*) AS c FROM wrds GROUP BY word),
+    tot AS (SELECT SUM(c) AS t FROM cnt),
+    lp AS (SELECT doc_id, ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS lpscore
+           FROM wrds JOIN cnt USING (word) CROSS JOIN tot GROUP BY doc_id),
+    j AS (SELECT d.doc_id, d.source, lp.lpscore
+          FROM documents d JOIN lp ON d.doc_id = lp.doc_id),
+    r AS (SELECT doc_id, source, lpscore,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY lpscore DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM j)
+    SELECT hi.source,
+           hi.doc_id AS chosen_doc, lo.doc_id AS rejected_doc,
+           ROUND(hi.lpscore - lo.lpscore, 6) AS score_gap
+    FROM r hi JOIN r lo
+      ON hi.source = lo.source AND lo.rk = hi.rk + hi.n - (hi.n // 2)
+    WHERE hi.rk <= hi.n // 2
+    """,
+    tags=("text", "quality", "sample", "pipeline"),
+)
+def q220_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic preference pairs for reward-model / DPO data prep: within
+    each source, rank docs by the unigram LM score (q77, deterministic
+    (rounded score, doc_id) order) and pair rank i of the TOP half with
+    rank i + ceil(n/2) of the BOTTOM half — the standard best-vs-worst
+    rank-aligned pairing, which maximizes the minimum score gap across
+    pairs for a fixed pairing count (floor(n/2) pairs per source, each doc
+    used at most once). Pairing within the source keeps the contrast about
+    QUALITY, not domain (a cross-source pair would teach the reward model
+    to prefer one feed's vocabulary). score_gap is emitted so a downstream
+    trainer can weight or threshold pairs.
+
+    Scale shape: q77's vocabulary-bound score + one rank window per source
+    + a self-join on the ALIGNED RANK (equi-join on (source, rank offset)
+    — never a pairwise product). Deterministic under any partitioning."""
+    from pyspark.sql import Window
+
+    lp = q77_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("lpscore")
+    )
+    j = _documents(spark, sf_dir).select("doc_id", "source").join(lp, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("lpscore"), F.asc("doc_id"))
+    wn = Window.partitionBy("source")
+    r = j.select(
+        "doc_id",
+        "source",
+        "lpscore",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    hi = r.filter(F.col("rk") <= F.expr("n DIV 2")).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("lpscore").alias("hs"),
+        (F.col("rk") + F.col("n") - F.expr("n DIV 2")).alias("lo_rk"),
+    )
+    lo = r.select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("lpscore").alias("ls"),
+        F.col("rk").alias("lo_rk"),
+    )
+    return (
+        hi.join(lo, ["source", "lo_rk"])
+        .select(
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            F.round(F.col("hs") - F.col("ls"), 6).alias("score_gap"),
+        )
+    )

@@ -653,3 +653,52 @@ def test_q219_merged_epochs_equal_q217(spark, sf_dir):
               get("q219_stream_novelty_counters").build(spark, sf_dir).collect()}
     assert stream == batch
     assert len(stream) > 0
+
+
+# --- q220: preference pairs ---------------------------------------------------------
+
+
+def test_q220_rank_aligned_pairing_on_planted_ordered_source(
+    spark, tmp_path_factory
+):
+    """Four planted docs with strictly ordered LM scores (common words =
+    high score, unique rare words = low): ranks 1..4 must pair as
+    (1st,3rd) and (2nd,4th), gaps positive."""
+    # graded quality: more common-corpus words -> higher avg logprob
+    texts = {
+        9970001: "the a key value table row scan fast part hash",   # best
+        9970002: "the a key value table row scan fast pfx0 pfx1",
+        9970003: "the a key value pfy0 pfy1 pfy2 pfy3 pfy4 pfy5",
+        9970004: "pfz0 pfz1 pfz2 pfz3 pfz4 pfz5 pfz6 pfz7 pfz8 pfz9",  # worst
+    }
+    rows_sql = "\n".join(
+        f"""UNION ALL SELECT {i} AS doc_id, '{t}' AS text, 'en' AS lang,
+            'plantP' AS source, CAST(0 AS BIGINT) AS n_chars"""
+        for i, t in texts.items()
+    )
+    plant = {"documents": f"SELECT * FROM '{{src}}'\n{rows_sql}"}
+    fixture = make_fixture_dir(tmp_path_factory, "planted_pref_pairs", plant)
+    spec = get("q220_preference_pairs")
+    pairs = {
+        (r["chosen_doc"], r["rejected_doc"]): r["score_gap"]
+        for r in spec.build(spark, fixture).collect()
+        if r["source"] == "plantP"
+    }
+    assert set(pairs) == {(9970001, 9970003), (9970002, 9970004)}
+    assert all(g > 0 for g in pairs.values())
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q220")
+    finally:
+        con.close()
+
+
+def test_q220_each_doc_used_once_and_gaps_nonnegative(spark, sf_dir):
+    rows = get("q220_preference_pairs").build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    used = {}
+    for r in rows:
+        assert r["score_gap"] >= 0  # chosen ranks above rejected by law
+        for d in (r["chosen_doc"], r["rejected_doc"]):
+            assert (r["source"], d) not in used  # at most one role per doc
+            used[(r["source"], d)] = True
