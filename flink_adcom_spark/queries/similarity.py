@@ -2308,3 +2308,75 @@ def q169_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.array_max(dots).alias("max_eval_cos"),
     ).withColumn("contaminated", F.col("max_eval_cos") >= DECON_COS)
+
+
+# --- q221: index-selection report (the recall audits composed) ---------------------
+def _index_report_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q197 = _REGISTRY["q197_pq_recall"].oracle
+    q201 = _REGISTRY["q201_ivfpq_recall"].oracle
+    q194 = _REGISTRY["q194_dim_truncation_recall"].oracle
+    legs = [
+        f"""SELECT 'float32_flat' AS variant, CAST({EMB_DIM * 4} AS BIGINT)
+                AS bytes_per_vec, CAST(COUNT(*) AS BIGINT) AS n_queries,
+                ROUND(AVG(CAST('1' AS DOUBLE)), 6) AS avg_recall
+            FROM ({q197}) z0""",
+        f"""SELECT 'pq_adc', CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                ROUND(AVG(recall), 6) FROM ({q197}) z1""",
+        f"""SELECT 'ivfpq_probed', CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                ROUND(AVG(recall), 6) FROM ({q201}) z2""",
+    ] + [
+        f"""SELECT 'trunc{t}', CAST({t * 4} AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                ROUND(AVG(recall), 6) FROM ({q194}) z{t}
+            WHERE n_dims = {t}"""
+        for t in TRUNC_DIMS
+    ]
+    return " UNION ALL ".join(legs)
+
+
+@query(
+    "q221_index_selection_report",
+    _index_report_oracle(),
+    tags=("similarity", "knn", "ablation", "audit", "pipeline", "composite"),
+)
+def q221_index_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE index-selection table an ANN deployment decision reads: every
+    audited index variant with its storage cost and measured mean
+    recall@{TOP_K} against the q50 exact truth, composed from the VERIFIED
+    recall relations (q197 flat ADC, q201 IVF-PQ routing, q194 Matryoshka
+    truncations) so the report can never disagree with its audits —
+    the q192/q175 composition discipline applied to the vector tier.
+    float32_flat is the definitional 1.0-recall baseline at {EMB_DIM * 4}
+    bytes/vector; PQ rows cost 4 bytes/vector (8 subspaces x 4-bit codes);
+    truncations cost dims x 4. The bytes-vs-recall frontier is exactly
+    what q201's nprobe dial and q197's codebook budget trade against.
+
+    Scale shape: three bounded-workload recall relations rolled to one row
+    each — the report adds |variants| aggregates to audits a deployment
+    already runs before an index swap."""
+    reports = []
+    pq = q197_pq_recall(spark, sf_dir)
+    n = F.count(F.lit(1)).cast("bigint").alias("n_queries")
+
+    def leg(df: DataFrame, variant: str, bytes_per_vec: int) -> DataFrame:
+        return df.agg(
+            F.lit(variant).alias("variant"),
+            F.lit(bytes_per_vec).cast("bigint").alias("bytes_per_vec"),
+            n,
+            F.round(F.avg("recall"), 6).alias("avg_recall"),
+        )
+
+    flat = pq.withColumn("recall", F.lit(1.0))
+    reports.append(leg(flat, "float32_flat", EMB_DIM * 4))
+    reports.append(leg(pq, "pq_adc", 4))
+    reports.append(leg(q201_ivfpq_recall(spark, sf_dir), "ivfpq_probed", 4))
+    trunc = q194_dim_truncation_recall(spark, sf_dir)
+    for t in TRUNC_DIMS:
+        reports.append(
+            leg(trunc.filter(F.col("n_dims") == t), f"trunc{t}", t * 4)
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

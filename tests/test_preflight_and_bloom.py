@@ -702,3 +702,24 @@ def test_q220_each_doc_used_once_and_gaps_nonnegative(spark, sf_dir):
         for d in (r["chosen_doc"], r["rejected_doc"]):
             assert (r["source"], d) not in used  # at most one role per doc
             used[(r["source"], d)] = True
+
+
+# --- q221: index-selection report -----------------------------------------------------
+
+
+def test_q221_report_agrees_with_its_constituent_audits(spark, sf_dir):
+    """The composition can never disagree with its audits: each variant's
+    avg_recall must equal the mean of the constituent per-query relation,
+    and the flat baseline is definitionally 1.0 at 64x4 bytes."""
+    rows = {r["variant"]: r for r in
+            get("q221_index_selection_report").build(spark, sf_dir).collect()}
+    assert rows["float32_flat"]["avg_recall"] == 1.0
+    assert rows["float32_flat"]["bytes_per_vec"] == 256
+    pq = [r["recall"] for r in get("q197_pq_recall").build(spark, sf_dir).collect()]
+    assert rows["pq_adc"]["n_queries"] == len(pq) > 0
+    assert abs(rows["pq_adc"]["avg_recall"] - sum(pq) / len(pq)) < 1e-6
+    ivf = [r["recall"] for r in
+           get("q201_ivfpq_recall").build(spark, sf_dir).collect()]
+    assert abs(rows["ivfpq_probed"]["avg_recall"] - sum(ivf) / len(ivf)) < 1e-6
+    # routing can only lose recall vs the flat scan over the same codes
+    assert rows["ivfpq_probed"]["avg_recall"] <= rows["pq_adc"]["avg_recall"]
