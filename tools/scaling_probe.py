@@ -71,6 +71,8 @@ PROBES = [
     "q216_per_source_quality_gate",
     "q217_batch_novelty_by_source",
     "q218_source_overlap_kmv",
+    "q220_preference_pairs",
+    "q221_index_selection_report",
     "q40_exact_dedup",
     "q41_minhash_lsh_pairs",
     "q44_simhash_neardup",
