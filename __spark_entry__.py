@@ -420,7 +420,8 @@ _ROUND10_GATE = frozenset(
 # stream-side split assignment, q214 impact-capped retrieval recall audit,
 # q215 split-leakage audit, q216 per-source quality gate, q217 batch
 # novelty rate, q218 KMV overlap sketch, q219 stream novelty counters,
-# q220 preference pairs, q221 index-selection report.
+# q220 preference pairs, q221 index-selection report, q222 classifier
+# calibration.
 # Builders modified
 # after the freeze (r12 tier 2): q43 (simhash_rows extraction), q202 (the
 # shared-oracle constant + _substr_grams extra-column signature), q45/q46

@@ -4242,3 +4242,76 @@ def q220_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hs") - F.col("ls"), 6).alias("score_gap"),
         )
     )
+
+
+# --- q222: classifier calibration table (reliability diagram) ----------------------
+def _calibration_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q178 = _REGISTRY["q178_quality_classifier"].oracle
+    return f"""
+    WITH base AS ({q178}),
+    r AS (SELECT score, label,
+                 ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM base)
+    SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS pos_ppm,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM r GROUP BY 1
+    """
+
+
+@query(
+    "q222_classifier_calibration",
+    _calibration_oracle(),
+    tags=("text", "quality", "classifier", "audit", "pipeline", "composite"),
+)
+def q222_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the trained quality classifier (q178): docs
+    bucketed into ten equal-population SCORE deciles (exact integer rank
+    law, the q78 discipline: decile = (rank-1)*10 div n over the
+    deterministic (score, doc_id) order), each with its population,
+    positive-label count, exact-ppm positive rate, and the decile's score
+    range. The table a pipeline reads before turning the classifier into a
+    GATE (q182): if pos_ppm does not climb with the decile, the score is
+    not rankable and no threshold is safe; the score ranges are what a
+    threshold in gate-units actually selects. Composed from q178's
+    verified relation, so calibration can never be reported against
+    different scores than the gate uses.
+
+    Scale shape: the exact global rank is the audited baseline (a single
+    bounded sort at eval scale); at 100 TB swap the rank law for
+    percentile_approx score cuts — same table, sketch-derived edges (the
+    q71/q72 exact-twin discipline)."""
+    from pyspark.sql import Window
+
+    base = q178_quality_classifier(spark, sf_dir).select("doc_id", "label", "score")
+    w = Window.orderBy("score", "doc_id")
+    r = base.select(
+        "label",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    return (
+        r.groupBy(F.expr("CAST(((rk - 1) * 10) DIV n AS BIGINT)").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.expr(
+                "CAST((SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) * 1000000)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("pos_ppm"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+        )
+    )

@@ -723,3 +723,22 @@ def test_q221_report_agrees_with_its_constituent_audits(spark, sf_dir):
     assert abs(rows["ivfpq_probed"]["avg_recall"] - sum(ivf) / len(ivf)) < 1e-6
     # routing can only lose recall vs the flat scan over the same codes
     assert rows["ivfpq_probed"]["avg_recall"] <= rows["pq_adc"]["avg_recall"]
+
+
+# --- q222: classifier calibration ------------------------------------------------------
+
+
+def test_q222_deciles_are_equal_population_ordered_and_rankable(spark, sf_dir):
+    rows = sorted(
+        get("q222_classifier_calibration").build(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    n = sum(r["n_docs"] for r in rows)
+    assert all(abs(r["n_docs"] - n // 10) <= 1 for r in rows)  # equal-population
+    # score ranges tile in order (decile edges come from the same rank law)
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_score"] <= b["min_score"]
+        assert a["n_pos"] * 1_000_000 // a["n_docs"] == a["pos_ppm"]
+    # rankable: the top decile's positive rate strictly exceeds the bottom's
+    assert rows[-1]["pos_ppm"] > rows[0]["pos_ppm"]
