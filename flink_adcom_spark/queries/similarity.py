@@ -2380,3 +2380,78 @@ def q221_index_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- q223: rank-aware nDCG audit of the compressed indexes -------------------------
+def _ndcg_oracle() -> str:
+    import math
+
+    from ..registry import _REGISTRY
+
+    q50 = _REGISTRY["q50_knn_bruteforce"].oracle
+    idcg = repr(sum((TOP_K - i + 1) / math.log2(i + 1) for i in range(1, TOP_K + 1)))
+    legs = []
+    for variant, name in (("pq_adc", "q196_pq_adc_knn"), ("ivfpq_probed", "q200_ivfpq_knn")):
+        hits = _REGISTRY[name].oracle
+        dcg = " + ".join(
+            f"COALESCE(MAX(CASE WHEN h.rnk = {i} THEN CAST({TOP_K} - t.rnk + 1 AS DOUBLE) END), 0)"
+            f" / CAST('{math.log2(i + 1)!r}' AS DOUBLE)"
+            for i in range(1, TOP_K + 1)
+        )
+        legs.append(f"""
+        SELECT '{variant}' AS variant, h.q_id,
+               ROUND(({dcg}) / CAST('{idcg}' AS DOUBLE), 6) AS ndcg
+        FROM ({hits}) h LEFT JOIN ({q50}) t
+          ON h.q_id = t.q_id AND h.n_id = t.n_id
+        GROUP BY h.q_id""")
+    return " UNION ALL ".join(legs)
+
+
+@query(
+    "q223_index_ndcg_audit",
+    _ndcg_oracle(),
+    tags=("similarity", "knn", "ablation", "audit", "pipeline", "composite"),
+)
+def q223_index_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-AWARE audit of the compressed indexes: per query, nDCG@{TOP_K}
+    of the PQ/ADC (q196) and routed IVF-PQ (q200) hit lists against the
+    exact searcher's graded truth (q50's rank r gets gain {TOP_K}-r+1) —
+    set recall (q197/q201) treats a truth hit at rank 1 and rank {TOP_K}
+    the same; this is the metric that notices the compressed index finding
+    the right neighbors in the WRONG order, which is exactly what ADC's
+    distance distortion does first. DCG folds in fixed rank order
+    (conditional MAX per position, the q157 discipline), gains are small
+    integers, and the log2 discounts + ideal DCG are injected as repr'd
+    double literals identical on both engines.
+
+    Scale shape: two bounded hit lists LEFT-joined to the bounded truth on
+    (q_id, n_id) — |eval queries| x {TOP_K} rows per leg, regardless of
+    corpus size."""
+    import math
+
+    idcg = sum((TOP_K - i + 1) / math.log2(i + 1) for i in range(1, TOP_K + 1))
+    truth = q50_knn_bruteforce(spark, sf_dir).select(
+        "q_id", "n_id", F.col("rnk").alias("t_rnk")
+    )
+
+    def leg(hits: DataFrame, variant: str) -> DataFrame:
+        j = hits.select("q_id", "n_id", "rnk").join(truth, ["q_id", "n_id"], "left")
+        dcg = None
+        for i in range(1, TOP_K + 1):
+            term = F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rnk") == i,
+                        (F.lit(TOP_K) - F.col("t_rnk") + 1).cast("double"),
+                    )
+                ),
+                F.lit(0.0),
+            ) / F.lit(math.log2(i + 1))
+            dcg = term if dcg is None else dcg + term
+        return j.groupBy("q_id").agg(
+            F.round(dcg / F.lit(idcg), 6).alias("ndcg")
+        ).select(F.lit(variant).alias("variant"), "q_id", "ndcg")
+
+    return leg(q196_pq_adc_knn(spark, sf_dir), "pq_adc").unionByName(
+        leg(q200_ivfpq_knn(spark, sf_dir), "ivfpq_probed")
+    )

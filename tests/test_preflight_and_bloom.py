@@ -742,3 +742,24 @@ def test_q222_deciles_are_equal_population_ordered_and_rankable(spark, sf_dir):
         assert a["n_pos"] * 1_000_000 // a["n_docs"] == a["pos_ppm"]
     # rankable: the top decile's positive rate strictly exceeds the bottom's
     assert rows[-1]["pos_ppm"] > rows[0]["pos_ppm"]
+
+
+# --- q223: rank-aware nDCG audit ---------------------------------------------------------
+
+
+def test_q223_ndcg_bounded_and_consistent_with_recall(spark, sf_dir):
+    """nDCG in [0,1]; a query with zero set-recall must have nDCG 0, and a
+    query whose hit list equals the exact top-k IN ORDER must score 1."""
+    ndcg = {
+        (r["variant"], r["q_id"]): r["ndcg"]
+        for r in get("q223_index_ndcg_audit").build(spark, sf_dir).collect()
+    }
+    assert len(ndcg) == 40  # 2 variants x 20 queries
+    assert all(0.0 <= v <= 1.0 for v in ndcg.values())
+    recall = {
+        ("pq_adc", r["q_id"]): r["recall"]
+        for r in get("q197_pq_recall").build(spark, sf_dir).collect()
+    }
+    for (variant, q), v in ndcg.items():
+        if variant == "pq_adc" and recall[("pq_adc", q)] == 0.0:
+            assert v == 0.0  # no truth hits -> no gain at any rank
