@@ -2282,3 +2282,65 @@ def q218_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(j_est - j_exact) <= bound).alias("within_bound"),
         )
     )
+
+
+# --- q224: dedup cluster-size audit (template-spam detector) ------------------------
+TEMPLATE_PPM = 10000  # clusters holding > 1% of the corpus are template spam
+
+
+@query(
+    "q224_cluster_size_audit",
+    f"""
+    WITH RECURSIVE wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, {_H16_SQL} AS h16 FROM wrds),
+    bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM bits),
+    pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sym AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM cc GROUP BY cluster_id)
+    SELECT s.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(s.cluster_size * 1000000 // n.n_docs AS BIGINT) AS share_ppm,
+           (s.cluster_size * 1000000 // n.n_docs > {TEMPLATE_PPM}) AS is_template
+    FROM sizes s CROSS JOIN n
+    """,
+    tags=("dedup", "components", "audit", "pipeline"),
+)
+def q224_cluster_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability at the CLUSTER grain: every near-dup cluster with
+    its size, exact-ppm share of the corpus, and a template flag (share >
+    {TEMPLATE_PPM} ppm = 1%) — the detector for boilerplate/templated spam,
+    which shows up as one enormous component long before per-doc metrics
+    move (a crawler trapped in a calendar, a mirror farm, a template with
+    rotating tokens). The flagged cluster's canonical id IS the sample a
+    human inspects; a pipeline alerts on MAX(share_ppm) the way q143
+    alerts on volume.
+
+    Scale shape: q45's contraction (already run by the dedup pipeline) +
+    one count per cluster + a broadcast scalar corpus count. The histogram
+    and the power-law tail are GROUP BYs over this relation."""
+    clusters = q45_dedup_clusters(spark, sf_dir)
+    n_docs = _documents(spark, sf_dir).count()  # bounded: one scalar
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.expr(f"CAST((cluster_size * 1000000) DIV {n_docs} AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"(cluster_size * 1000000) DIV {n_docs} > {TEMPLATE_PPM}"
+            ).alias("is_template"),
+        )
+    )

@@ -763,3 +763,21 @@ def test_q223_ndcg_bounded_and_consistent_with_recall(spark, sf_dir):
     for (variant, q), v in ndcg.items():
         if variant == "pq_adc" and recall[("pq_adc", q)] == 0.0:
             assert v == 0.0  # no truth hits -> no gain at any rank
+
+
+# --- q224: cluster-size audit ------------------------------------------------------------
+
+
+def test_q224_flags_the_giant_template_cluster_only(spark, sf_dir):
+    """The synthetic corpus's one giant near-dup component (313 docs, 62.6%
+    share at sf0.001) must be flagged as template spam; ordinary 2-4 doc
+    clusters must not. Share arithmetic is exact ppm."""
+    rows = get("q224_cluster_size_audit").build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    flagged = [r for r in rows if r["is_template"]]
+    assert len(flagged) == 1 and flagged[0]["cluster_size"] > 100
+    total_docs = 500
+    for r in rows:
+        assert r["cluster_size"] >= 2  # q45 emits only paired docs
+        assert r["share_ppm"] == r["cluster_size"] * 1_000_000 // total_docs
+        assert r["is_template"] == (r["share_ppm"] > 10_000)
