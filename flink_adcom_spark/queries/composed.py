@@ -12,8 +12,8 @@ from ..registry import _REGISTRY, query
 from ..tables import load_table
 
 # force the constituents' decorators to have run (idempotent imports; the
-# central loader imports text/dedup/similarity before this module anyway)
-from . import dedup, similarity, text  # noqa: F401
+# central loader imports text/dedup/similarity/prep before this module anyway)
+from . import dedup, prep, similarity, text  # noqa: F401
 
 # the q110 manifest's n-gram drop threshold (dedup.CONTAM_MAX)
 _CONTAM_MAX = dedup.CONTAM_MAX
@@ -184,4 +184,115 @@ def q192_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(names, F.col("stage") + 1).alias("stage_name"),
             "n_docs",
         )
+    )
+
+
+
+CTX_TOKENS = text.CTX_TOKENS  # the packing window size under audit
+# --- q225: packing-efficiency audit ----------------------------------------------------
+def _packing_efficiency_oracle() -> str:
+    q86 = _REGISTRY["q86_sequence_pack"].oracle
+    q87 = _REGISTRY["q87_greedy_pack"].oracle
+    q134 = _REGISTRY["q134_chunked_pack"].oracle
+    concat_leg = f"""
+        SELECT 'concat_chunk' AS packer,
+               CAST(MAX(win_last) + 1 AS BIGINT) AS n_windows,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST((MAX(win_last) + 1) * {CTX_TOKENS} - SUM(n_tokens) AS BIGINT)
+                 AS padded_tokens,
+               CAST(0 AS BIGINT) AS n_oversize,
+               CAST(SUM(n_tokens) * 1000000
+                    // ((MAX(win_last) + 1) * {CTX_TOKENS}) AS BIGINT) AS fill_ppm
+        FROM ({q86}) a"""
+    chunked_leg = f"""
+        SELECT 'cdc_chunk_pack',
+               CAST(MAX(win_last) + 1 AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT),
+               CAST((MAX(win_last) + 1) * {CTX_TOKENS} - SUM(n_tokens) AS BIGINT),
+               CAST(0 AS BIGINT),
+               CAST(SUM(n_tokens) * 1000000
+                    // ((MAX(win_last) + 1) * {CTX_TOKENS}) AS BIGINT)
+        FROM ({q134}) c"""
+    greedy_leg = f"""
+        SELECT 'greedy_whole_doc',
+               CAST(COUNT(DISTINCT CASE WHEN NOT oversize
+                     THEN shard * 4294967296 + window_id END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT oversize THEN n_tokens ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT CASE WHEN NOT oversize
+                     THEN shard * 4294967296 + window_id END) * {CTX_TOKENS}
+                    - SUM(CASE WHEN NOT oversize THEN n_tokens ELSE 0 END)
+                 AS BIGINT),
+               CAST(SUM(CASE WHEN oversize THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT oversize THEN n_tokens ELSE 0 END) * 1000000
+                    // (COUNT(DISTINCT CASE WHEN NOT oversize
+                          THEN shard * 4294967296 + window_id END)
+                        * {CTX_TOKENS}) AS BIGINT)
+        FROM ({q87}) g"""
+    return " UNION ALL ".join([concat_leg, chunked_leg, greedy_leg])
+
+
+@query(
+    "q225_packing_efficiency",
+    _packing_efficiency_oracle(),
+    tags=("text", "packing", "audit", "pipeline", "composite"),
+)
+def q225_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE packing scorecard: for each context-packing strategy the corpus
+    actually supports — concat-and-chunk (q86, splits docs across window
+    boundaries), CDC-chunked packing (q134), greedy whole-document bins
+    (q87) — the window count, packed tokens, PADDING tokens, and exact-ppm
+    fill rate at CTX={CTX_TOKENS}. Padding is wasted pretraining compute
+    one-for-one, so this table is how a pipeline prices the
+    document-integrity-vs-efficiency trade: concat packing pads only the
+    final partial window (~1.0 fill), greedy whole-doc bins pay real
+    padding per bin and exclude oversize docs (counted separately — they
+    go to truncation, not padding). Composed from the three VERIFIED
+    packing relations (the q175/q221 discipline), integer-exact
+    throughout.
+
+    Scale shape: three aggregates over relations the packing stage already
+    produced; the greedy leg's bin count is a COUNT(DISTINCT composite
+    key) over |docs| rows."""
+    q86 = text.q86_sequence_pack(spark, sf_dir)
+    q134 = prep.q134_chunked_pack(spark, sf_dir)
+    q87 = text.q87_greedy_pack(spark, sf_dir)
+
+    def windows_leg(df: DataFrame, packer: str) -> DataFrame:
+        wins = F.max("win_last") + 1
+        return df.agg(
+            F.lit(packer).alias("packer"),
+            wins.cast("bigint").alias("n_windows"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (wins * CTX_TOKENS - F.sum("n_tokens"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.lit(0).cast("bigint").alias("n_oversize"),
+            F.expr(
+                f"CAST((SUM(n_tokens) * 1000000) DIV ((MAX(win_last) + 1) * {CTX_TOKENS}) AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+
+    bin_key = F.when(
+        ~F.col("oversize"), F.col("shard") * F.lit(4294967296) + F.col("window_id")
+    )
+    packed = F.sum(F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(0))
+    bins = F.count_distinct(bin_key)
+    greedy = q87.agg(
+        F.lit("greedy_whole_doc").alias("packer"),
+        bins.cast("bigint").alias("n_windows"),
+        packed.cast("bigint").alias("total_tokens"),
+        (bins * CTX_TOKENS - packed).cast("bigint").alias("padded_tokens"),
+        F.sum(F.when(F.col("oversize"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversize"),
+        F.expr(
+            "CAST((SUM(CASE WHEN NOT oversize THEN n_tokens ELSE 0 END) * 1000000)"
+            " DIV (COUNT(DISTINCT CASE WHEN NOT oversize"
+            f" THEN shard * 4294967296 + window_id END) * {CTX_TOKENS}) AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+    return (
+        windows_leg(q86, "concat_chunk")
+        .unionByName(windows_leg(q134, "cdc_chunk_pack"))
+        .unionByName(greedy)
     )

@@ -781,3 +781,21 @@ def test_q224_flags_the_giant_template_cluster_only(spark, sf_dir):
         assert r["cluster_size"] >= 2  # q45 emits only paired docs
         assert r["share_ppm"] == r["cluster_size"] * 1_000_000 // total_docs
         assert r["is_template"] == (r["share_ppm"] > 10_000)
+
+
+# --- q225: packing-efficiency scorecard -----------------------------------------------
+
+
+def test_q225_scorecard_internally_consistent(spark, sf_dir):
+    rows = {r["packer"]: r for r in
+            get("q225_packing_efficiency").build(spark, sf_dir).collect()}
+    assert set(rows) == {"concat_chunk", "cdc_chunk_pack", "greedy_whole_doc"}
+    for r in rows.values():
+        assert r["padded_tokens"] == r["n_windows"] * 2048 - r["total_tokens"]
+        assert 0 < r["fill_ppm"] <= 1_000_000
+    # concat and greedy pack the SAME corpus tokens (greedy had no oversize)
+    assert rows["greedy_whole_doc"]["n_oversize"] == 0
+    assert (rows["concat_chunk"]["total_tokens"]
+            == rows["greedy_whole_doc"]["total_tokens"])
+    # the whole point: document-respecting bins pay real padding
+    assert rows["concat_chunk"]["fill_ppm"] > rows["greedy_whole_doc"]["fill_ppm"]
