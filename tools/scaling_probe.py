@@ -73,6 +73,10 @@ PROBES = [
     "q218_source_overlap_kmv",
     "q220_preference_pairs",
     "q221_index_selection_report",
+    "q222_classifier_calibration",
+    "q223_index_ndcg_audit",
+    "q224_cluster_size_audit",
+    "q225_packing_efficiency",
     "q40_exact_dedup",
     "q41_minhash_lsh_pairs",
     "q44_simhash_neardup",
