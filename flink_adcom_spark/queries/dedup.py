@@ -2344,3 +2344,88 @@ def q224_cluster_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_template"),
         )
     )
+
+
+# --- q226: dataset-version diff (the changelog between two corpus snapshots) -------
+# Snapshot simulation over the one documents table, exercising every change
+# class a real re-crawl produces:
+#   previous snapshot = docs outside the q202 ingest batch (doc_id%5 != 4),
+#     with doc_id%20 == 3 docs present only as their FIRST-HALF prefix (the
+#     partial fetch the new crawl completed -> 'changed');
+#   current snapshot  = every doc EXCEPT doc_id%50 == 21 (takedown/RTBF
+#     removals -> 'removed'); the ingest batch is 'added'.
+@query(
+    "q226_dataset_version_diff",
+    f"""
+    WITH w0 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    ws AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM w0),
+    old AS (SELECT doc_id,
+                   CASE WHEN doc_id % 20 = 3
+                        THEN md5(array_to_string(w[1:(n + 1) // 2], ' '))
+                        ELSE md5(array_to_string(w, ' ')) END AS fp,
+                   CASE WHEN doc_id % 20 = 3 THEN (n + 1) // 2 ELSE n END
+                     AS n_tokens
+            FROM ws WHERE doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}),
+    new AS (SELECT doc_id, md5(array_to_string(w, ' ')) AS fp, n AS n_tokens
+            FROM ws WHERE doc_id % 50 <> 21),
+    j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.fp <> n.fp THEN 'changed'
+                      ELSE 'unchanged' END AS change_type,
+                 COALESCE(n.n_tokens, 0) - COALESCE(o.n_tokens, 0) AS tok_delta,
+                 COALESCE(n.n_tokens, o.n_tokens) AS n_tokens
+          FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+    FROM j GROUP BY change_type
+    """,
+    tags=("dedup", "audit", "incremental", "pipeline"),
+)
+def q226_dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset CHANGELOG between two corpus snapshots (simulation law in
+    the module comment — every class a real re-crawl produces is
+    exercised): per change class, document count, token mass, and net
+    token delta, keyed on doc_id with a content fingerprint deciding
+    'changed'. This is the version section of a dataset card and what a
+    training team reviews before retraining on a new snapshot: a silent
+    mass deletion or a re-crawl that rewrote half the corpus is one row,
+    not a forensic exercise; SUM(token_delta) across classes is exactly
+    the snapshot-over-snapshot token growth.
+
+    Scale shape: one full-outer join on the doc key, fingerprints computed
+    scan-side on both snapshots, 4-group rollup. At 100 TB this runs
+    snapshot-parquet vs snapshot-parquet — the same doc-keyed shuffle a
+    MERGE would pay anyway."""
+    docs = _documents(spark, sf_dir)
+    ws = docs.select(
+        "doc_id", words_col().alias("w")
+    ).withColumn("n", F.size("w").cast("bigint"))
+    old = ws.filter(
+        F.col("doc_id") % NEW_BATCH_MOD != NEW_BATCH_MOD - 1
+    ).selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 20 = 3"
+        " THEN md5(array_join(slice(w, 1, (n + 1) DIV 2), ' '))"
+        " ELSE md5(array_join(w, ' ')) END AS ofp",
+        "CASE WHEN doc_id % 20 = 3 THEN (n + 1) DIV 2 ELSE n END AS otok",
+    )
+    new = ws.filter(F.col("doc_id") % 50 != 21).selectExpr(
+        "doc_id", "md5(array_join(w, ' ')) AS nfp", "n AS ntok"
+    )
+    j = old.join(new, "doc_id", "full").select(
+        F.when(F.col("ofp").isNull(), "added")
+        .when(F.col("nfp").isNull(), "removed")
+        .when(F.col("ofp") != F.col("nfp"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (F.coalesce("ntok", F.lit(0)) - F.coalesce("otok", F.lit(0))).alias(
+            "tok_delta"
+        ),
+        F.coalesce("ntok", "otok").alias("n_tokens"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("tok_delta").cast("bigint").alias("token_delta"),
+    )

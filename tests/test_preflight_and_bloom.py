@@ -799,3 +799,36 @@ def test_q225_scorecard_internally_consistent(spark, sf_dir):
             == rows["greedy_whole_doc"]["total_tokens"])
     # the whole point: document-respecting bins pay real padding
     assert rows["concat_chunk"]["fill_ppm"] > rows["greedy_whole_doc"]["fill_ppm"]
+
+
+# --- q226: dataset-version diff --------------------------------------------------------
+
+
+def test_q226_all_change_classes_fire_and_deltas_reconcile(spark, sf_dir):
+    rows = {r["change_type"]: r for r in
+            get("q226_dataset_version_diff").build(spark, sf_dir).collect()}
+    assert set(rows) == {"added", "changed", "removed", "unchanged"}
+    assert rows["unchanged"]["token_delta"] == 0
+    assert rows["removed"]["token_delta"] == -rows["removed"]["n_tokens"]
+    assert rows["added"]["token_delta"] == rows["added"]["n_tokens"]
+    assert rows["changed"]["token_delta"] > 0  # the re-crawl COMPLETED prefixes
+    # the changelog reconciles to the snapshot-over-snapshot token growth
+    from flink_adcom_spark.queries.dedup import NEW_BATCH_MOD
+    from flink_adcom_spark.queries.text import words_col
+    from flink_adcom_spark.tables import load_table
+
+    ws = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words_col()).cast("bigint").alias("n")
+    )
+    new_total = (
+        ws.filter(F.col("doc_id") % 50 != 21).agg(F.sum("n")).collect()[0][0]
+    )
+    old_total = (
+        ws.filter(F.col("doc_id") % NEW_BATCH_MOD != NEW_BATCH_MOD - 1)
+        .selectExpr(
+            "CASE WHEN doc_id % 20 = 3 THEN (n + 1) DIV 2 ELSE n END AS o"
+        )
+        .agg(F.sum("o"))
+        .collect()[0][0]
+    )
+    assert sum(r["token_delta"] for r in rows.values()) == new_total - old_total
