@@ -4315,3 +4315,77 @@ def q222_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score").cast("bigint").alias("max_score"),
         )
     )
+
+
+# --- q227: length-bucketed training batches -----------------------------------------
+LEN_BUCKET = 128  # token-length bucket width
+BATCH_DOCS = 8  # documents per training batch
+
+
+@query(
+    "q227_length_bucket_batches",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+               FROM documents WHERE len({_WORDS_SQL}) >= 1),
+    b AS (SELECT doc_id, n_tokens,
+                 (n_tokens - 1) // {LEN_BUCKET} AS bucket,
+                 ROW_NUMBER() OVER (PARTITION BY (n_tokens - 1) // {LEN_BUCKET}
+                                    ORDER BY n_tokens, doc_id) AS rk
+          FROM t)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST((rk - 1) // {BATCH_DOCS} AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST((COUNT(*) * MAX(n_tokens) - SUM(n_tokens)) * 1000000
+                // (COUNT(*) * MAX(n_tokens)) AS BIGINT) AS pad_ppm
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("text", "packing", "sample", "pipeline"),
+)
+def q227_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-minimizing batching a
+    NON-packed fine-tuning run uses (each sequence padded to its batch
+    max): docs bucketed by token length ({LEN_BUCKET}-token bands), ranked
+    deterministically within the bucket by (n_tokens, doc_id), and grouped
+    into {BATCH_DOCS}-doc batches in rank order — so every batch holds
+    near-equal-length docs and pads each only to the BATCH max, not the
+    global max. Emitted per batch: population, max/sum tokens, and the
+    exact-ppm padding rate (the number the q225 scorecard tracks for
+    packed pretraining, here for padded fine-tuning). The in-repo test
+    measures the claim: bucketed batches pad an order of magnitude less
+    than hash-random batches of the same size on the same corpus.
+
+    Scale shape: one rank window per bucket (a distributed sort on
+    (bucket, n_tokens) — the same shape as any range partitioning), then a
+    (bucket, batch) rollup. Deterministic under any partitioning."""
+    from pyspark.sql import Window
+
+    t = (
+        _documents(spark, sf_dir)
+        .select("doc_id", F.size(words_col()).cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    b = t.withColumn(
+        "bucket", F.expr(f"(n_tokens - 1) DIV {LEN_BUCKET}")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+        ),
+    )
+    return (
+        b.groupBy(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.expr(f"CAST((rk - 1) DIV {BATCH_DOCS} AS BIGINT)").alias("batch_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.expr(
+                "CAST((COUNT(*) * MAX(n_tokens) - SUM(n_tokens)) * 1000000"
+                " DIV (COUNT(*) * MAX(n_tokens)) AS BIGINT)"
+            ).alias("pad_ppm"),
+        )
+    )

@@ -832,3 +832,42 @@ def test_q226_all_change_classes_fire_and_deltas_reconcile(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r["token_delta"] for r in rows.values()) == new_total - old_total
+
+
+# --- q227: length-bucketed batches -------------------------------------------------------
+
+
+def test_q227_bucketed_batches_pad_far_less_than_random_batches(spark, sf_dir):
+    """The operator's reason to exist, measured: total padding under
+    length-bucketed batching must be well under half the padding of
+    hash-random batches of the same size over the same corpus."""
+    from flink_adcom_spark.queries.text import BATCH_DOCS, words_col
+    from flink_adcom_spark.tables import load_table
+    from pyspark.sql import Window
+
+    rows = get("q227_length_bucket_batches").build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r["n_docs"] <= BATCH_DOCS
+        assert r["pad_ppm"] == (
+            (r["n_docs"] * r["max_tokens"] - r["sum_tokens"]) * 1_000_000
+            // (r["n_docs"] * r["max_tokens"])
+        )
+    bucketed_pad = sum(r["n_docs"] * r["max_tokens"] - r["sum_tokens"] for r in rows)
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(words_col()).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    w = Window.orderBy(F.xxhash64("doc_id"), "doc_id")  # hash-random order
+    rand = (
+        t.withColumn("rk", F.row_number().over(w))
+        .groupBy(F.expr(f"(rk - 1) DIV {BATCH_DOCS}").alias("b"))
+        .agg(
+            (F.count(F.lit(1)) * F.max("n") - F.sum("n")).alias("pad")
+        )
+        .agg(F.sum("pad"))
+        .collect()[0][0]
+    )
+    assert bucketed_pad * 2 < rand, (bucketed_pad, rand)
