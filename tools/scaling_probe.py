@@ -77,6 +77,8 @@ PROBES = [
     "q223_index_ndcg_audit",
     "q224_cluster_size_audit",
     "q225_packing_efficiency",
+    "q226_dataset_version_diff",
+    "q227_length_bucket_batches",
     "q40_exact_dedup",
     "q41_minhash_lsh_pairs",
     "q44_simhash_neardup",
