@@ -2405,17 +2405,22 @@ def q226_dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % NEW_BATCH_MOD != NEW_BATCH_MOD - 1
     ).selectExpr(
         "doc_id",
+        "TRUE AS in_old",  # presence marker: a NULL-text doc still EXISTS
         "CASE WHEN doc_id % 20 = 3"
         " THEN md5(array_join(slice(w, 1, (n + 1) DIV 2), ' '))"
         " ELSE md5(array_join(w, ' ')) END AS ofp",
         "CASE WHEN doc_id % 20 = 3 THEN (n + 1) DIV 2 ELSE n END AS otok",
     )
     new = ws.filter(F.col("doc_id") % 50 != 21).selectExpr(
-        "doc_id", "md5(array_join(w, ' ')) AS nfp", "n AS ntok"
+        "doc_id", "TRUE AS in_new", "md5(array_join(w, ' ')) AS nfp", "n AS ntok"
     )
+    # classification keys on JOIN-SIDE PRESENCE (the oracle's o.doc_id IS
+    # NULL), never on fingerprint NULLness — a NULL-text doc has a NULL fp
+    # but is present in both snapshots (robustness sweep caught the
+    # fp-keyed form misclassifying those docs as 'added')
     j = old.join(new, "doc_id", "full").select(
-        F.when(F.col("ofp").isNull(), "added")
-        .when(F.col("nfp").isNull(), "removed")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
         .when(F.col("ofp") != F.col("nfp"), "changed")
         .otherwise("unchanged")
         .alias("change_type"),
