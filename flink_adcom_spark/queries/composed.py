@@ -296,3 +296,68 @@ def q225_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(windows_leg(q134, "cdc_chunk_pack"))
         .unionByName(greedy)
     )
+
+
+# --- q228: curation-bias report (mixture shift under the rules gate) ----------------
+def _mixture_shift_oracle() -> str:
+    q114 = _REGISTRY["q114_quality_gate"].oracle
+    return f"""
+    WITH g AS ({q114}),
+    j AS (SELECT d.source, g.keep FROM documents d JOIN g ON d.doc_id = g.doc_id),
+    tot AS (SELECT COUNT(*) AS n_all,
+                   SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept FROM j)
+    SELECT j.source,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN j.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+           CAST(COUNT(*) * 1000000 // t.n_all AS BIGINT) AS share_before_ppm,
+           CAST(SUM(CASE WHEN j.keep THEN 1 ELSE 0 END) * 1000000 // t.n_kept
+             AS BIGINT) AS share_after_ppm,
+           CAST(SUM(CASE WHEN j.keep THEN 1 ELSE 0 END) * 1000000 // t.n_kept
+                - COUNT(*) * 1000000 // t.n_all AS BIGINT) AS shift_ppm
+    FROM j CROSS JOIN tot t GROUP BY j.source, t.n_all, t.n_kept
+    """
+
+
+@query(
+    "q228_mixture_shift_report",
+    _mixture_shift_oracle(),
+    tags=("text", "quality", "audit", "pipeline", "composite"),
+)
+def q228_mixture_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-bias report: how the quality-rules gate (q114) RESHAPES the
+    source mixture — per source, the population before and after the gate
+    and the exact-ppm share shift (after-share minus before-share). A
+    quality filter that disproportionately kills one feed silently
+    reweights the training mixture toward the others; this is the check
+    that says so in one table (the motivation for q216's per-source
+    calibrated gate, stated as measurement: shift_ppm ~ 0 for every source
+    under a per-source-quantile gate BY CONSTRUCTION, while an absolute
+    rule battery shifts feeds in both directions). Composed from q114's
+    verified relation (the q192/q221 discipline).
+
+    Scale shape: one doc-keyed join + a per-source rollup with two
+    broadcast scalars. Run beside every gate change."""
+    gate = _REGISTRY["q114_quality_gate"].build(spark, sf_dir).select("doc_id", "keep")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = docs.join(gate, "doc_id")
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("na"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "CAST(nb AS BIGINT) AS n_before",
+            "CAST(na AS BIGINT) AS n_after",
+            "CAST((nb * 1000000) DIV n_all AS BIGINT) AS share_before_ppm",
+            "CAST((na * 1000000) DIV n_kept AS BIGINT) AS share_after_ppm",
+            "CAST((na * 1000000) DIV n_kept - (nb * 1000000) DIV n_all AS BIGINT)"
+            " AS shift_ppm",
+        )
+    )

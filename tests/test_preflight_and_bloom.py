@@ -871,3 +871,19 @@ def test_q227_bucketed_batches_pad_far_less_than_random_batches(spark, sf_dir):
         .collect()[0][0]
     )
     assert bucketed_pad * 2 < rand, (bucketed_pad, rand)
+
+
+# --- q228: mixture-shift report ----------------------------------------------------------
+
+
+def test_q228_shift_reconciles_and_detects_penalized_feeds(spark, sf_dir):
+    rows = get("q228_mixture_shift_report").build(spark, sf_dir).collect()
+    assert len(rows) == 20  # every source reported
+    for r in rows:
+        assert r["n_after"] <= r["n_before"]
+        assert r["shift_ppm"] == r["share_after_ppm"] - r["share_before_ppm"]
+    # shares sum to ~1e6 on both sides (integer-division remainder only)
+    assert abs(sum(r["share_before_ppm"] for r in rows) - 1_000_000) < 20
+    assert abs(sum(r["share_after_ppm"] for r in rows) - 1_000_000) < 20
+    # the rules gate is NOT mixture-neutral on this corpus: some feed moves
+    assert any(r["shift_ppm"] != 0 for r in rows)
