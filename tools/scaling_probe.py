@@ -79,6 +79,7 @@ PROBES = [
     "q225_packing_efficiency",
     "q226_dataset_version_diff",
     "q227_length_bucket_batches",
+    "q228_mixture_shift_report",
     "q40_exact_dedup",
     "q41_minhash_lsh_pairs",
     "q44_simhash_neardup",
