@@ -423,7 +423,8 @@ _ROUND10_GATE = frozenset(
 # q220 preference pairs, q221 index-selection report, q222 classifier
 # calibration, q223 index nDCG audit, q224 cluster-size audit, q225
 # packing-efficiency scorecard, q226 dataset-version diff, q227
-# length-bucketed batches, q228 mixture-shift report.
+# length-bucketed batches, q228 mixture-shift report, q229
+# embedding-norm audit.
 # Builders modified
 # after the freeze (r12 tier 2): q43 (simhash_rows extraction), q202 (the
 # shared-oracle constant + _substr_grams extra-column signature), q45/q46

@@ -2455,3 +2455,51 @@ def q223_index_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leg(q196_pq_adc_knn(spark, sf_dir), "pq_adc").unionByName(
         leg(q200_ivfpq_knn(spark, sf_dir), "ivfpq_probed")
     )
+
+
+# --- q229: embedding-norm audit (broken-encoder detector) ---------------------------
+NORM_LO, NORM_HI = 0.5, 2.0  # healthy mean-norm band for ~unit embeddings
+
+
+@query(
+    "q229_embedding_norm_audit",
+    f"""
+    WITH x AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS val
+               FROM embeddings),
+    n AS (SELECT vec_id, label, sqrt(SUM(val * val)) AS nrm
+          FROM x GROUP BY vec_id, label)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(nrm), 6) AS mean_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm,
+           (AVG(nrm) < {NORM_LO} OR AVG(nrm) > {NORM_HI}) AS degenerate
+    FROM n GROUP BY label
+    """,
+    tags=("similarity", "audit", "pipeline"),
+)
+def q229_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health audit per label partition: L2-norm statistics and a
+    degenerate flag when the mean norm leaves the healthy [{NORM_LO},
+    {NORM_HI}] band — the detector for a broken encoder batch (norm
+    collapse toward 0, fp16 overflow inflation, or an un-normalized
+    re-embedding slipped into a normalized index). Catches the failure
+    mode BEFORE cosine-based dedup/search silently degrades, since every
+    downstream similarity operator here assumes ~unit norms; the planted
+    test scales one label's vectors to 0.01 and the flag must fire for
+    exactly that label. Complements q204 (distribution drift) with the
+    cheapest possible geometry check.
+
+    Scale shape: one scan with a per-vector fold (zero exchanges before
+    the |labels|-row rollup) — the same fold shape as q169's
+    decontamination scan."""
+    from ..operators.vectors import _norm
+
+    e = _emb(spark, sf_dir)
+    n = e.select("label", _norm(F.col("v")).alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        ((F.avg("nrm") < NORM_LO) | (F.avg("nrm") > NORM_HI)).alias("degenerate"),
+    )

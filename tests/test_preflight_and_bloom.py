@@ -887,3 +887,38 @@ def test_q228_shift_reconciles_and_detects_penalized_feeds(spark, sf_dir):
     assert abs(sum(r["share_after_ppm"] for r in rows) - 1_000_000) < 20
     # the rules gate is NOT mixture-neutral on this corpus: some feed moves
     assert any(r["shift_ppm"] != 0 for r in rows)
+
+
+# --- q229: embedding-norm audit -------------------------------------------------------------
+
+
+def test_q229_collapsed_label_flagged_exclusively(spark, tmp_path_factory):
+    """Scale one label's vectors by 0.01 (norm collapse): exactly that label
+    must be flagged degenerate, every other label stays healthy, and the
+    non-trivially-flagged relation hash-matches the oracle."""
+    plant = {
+        "embeddings": """SELECT vec_id,
+            CASE WHEN label = 3
+                 THEN list_transform(embedding, x -> x * 0.01)
+                 ELSE embedding END AS embedding,
+            label FROM '{src}'"""
+    }
+    fixture = make_fixture_dir(tmp_path_factory, "planted_norm_collapse", plant)
+    spec = get("q229_embedding_norm_audit")
+    rows = {r["label"]: r for r in spec.build(spark, fixture).collect()}
+    assert rows[3]["degenerate"] is True
+    assert rows[3]["mean_norm"] < 0.1
+    assert all(not r["degenerate"] for lbl, r in rows.items() if lbl != 3)
+    con = open_views(fixture)
+    try:
+        assert_engine_parity(spec, spark, fixture, con, name="q229")
+    finally:
+        con.close()
+
+
+def test_q229_gate_corpus_is_healthy(spark, sf_dir):
+    rows = get("q229_embedding_norm_audit").build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert not r["degenerate"]
+        assert 0 < r["min_norm"] <= r["mean_norm"] <= r["max_norm"]

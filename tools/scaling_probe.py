@@ -80,6 +80,7 @@ PROBES = [
     "q226_dataset_version_diff",
     "q227_length_bucket_batches",
     "q228_mixture_shift_report",
+    "q229_embedding_norm_audit",
     "q40_exact_dedup",
     "q41_minhash_lsh_pairs",
     "q44_simhash_neardup",
