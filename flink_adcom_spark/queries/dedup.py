@@ -459,6 +459,37 @@ def simhash_banded_pairs(
     )
 
 
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized q44 pair relation (doc_a, doc_b, hamming) — the
+    artifact a production dedup pass writes ONCE and every downstream
+    stage reads (VERDICT r11 #4). q44's own builder stays unmemoized so
+    its bench number keeps measuring the banded join; the CONSUMERS
+    (q45/q46/q47/q110/q210/q215/q224) share this materialization instead
+    of re-deriving signatures + the band join per query."""
+    from ..tables import memo_relation
+
+    return memo_relation(
+        spark, sf_dir, "q44_neardup_pairs",
+        lambda: simhash_banded_pairs(q43_simhash(spark, sf_dir)),
+    )
+
+
+def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized q45 cluster relation (doc_id, cluster_id): the
+    O(log n)-round two-phase contraction runs once per (sf_dir, table
+    fingerprint) — it dominated the split-family walls at sf1 (q210 61.8 s,
+    q215 78.5 s, ~96% artifact rebuild; SCALING.md) before memoization."""
+    from ..operators.components import connected_components_twophase
+    from ..tables import memo_relation
+
+    return memo_relation(
+        spark, sf_dir, "q45_clusters",
+        lambda: connected_components_twophase(
+            _neardup_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+        ).select(F.col("v").alias("doc_id"), "cluster_id"),
+    )
+
+
 @query(
     "q44_simhash_neardup",
     f"""
@@ -517,13 +548,14 @@ def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed per round, so even a pathological high-diameter chain (which
     the O(diameter) label-propagation loop provably cannot finish — see the
     600-vertex-path case in tests/test_components.py) converges in ~log n
-    shuffle rounds."""
-    from ..operators.components import connected_components_twophase
+    shuffle rounds.
 
-    pairs = q44_simhash_neardup(spark, sf_dir)
-    return connected_components_twophase(pairs, src="doc_a", dst="doc_b").select(
-        F.col("v").alias("doc_id"), "cluster_id"
-    )
+    Both the pair relation and the contraction output are session-memoized
+    per (sf_dir, table fingerprint) via tables.memo_relation (VERDICT r11
+    #4): in production both are PERSISTED artifacts the dedup pass writes
+    once — every downstream consumer (q46/q47/q110/q210/q215/q224) was
+    re-paying the dominant fixed cost of the chain per query."""
+    return _neardup_clusters(spark, sf_dir)
 
 
 @query(
@@ -1731,17 +1763,18 @@ def q212_incremental_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame
     exactly what makes the assignment independent of how the ingest is
     batched. Contrast q210, whose global contraction may merge two corpus
     clusters through a batch doc; the frozen index cannot, and the planted
-    test pins the difference."""
-    from ..operators.components import connected_components_twophase
+    test pins the difference.
 
-    sig = q43_simhash(spark, sf_dir)
+    The frozen corpus artifacts are session-memoized (_corpus_sig /
+    _corpus_cluster_map, VERDICT r11 #4): at sf1 ~96% of q212's 72.3 s
+    wall was the per-query rebuild of exactly the artifacts a rolling
+    ingest maintains on disk."""
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
-    csig = sig.filter(~is_new)
-    cc = connected_components_twophase(
-        simhash_banded_pairs(csig), src="doc_a", dst="doc_b"
-    )  # (v, cluster_id) over the corpus only
+    csig = _corpus_sig(spark, sf_dir)
+    cc = _corpus_cluster_map(spark, sf_dir)
+    batch_sig = q43_simhash(spark, sf_dir).filter(is_new)
     batch_ids = _documents(spark, sf_dir).filter(is_new).select("doc_id")
-    return split_assign_vs_index(batch_ids, sig.filter(is_new), csig, cc)
+    return split_assign_vs_index(batch_ids, batch_sig, csig, cc)
 
 
 def split_assign_vs_index(
@@ -1799,6 +1832,36 @@ def split_assign_vs_index(
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )
     return keys.select("doc_id", "cluster_key", split.alias("split"))
+
+
+def _corpus_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized FROZEN corpus signature index (doc_id, simhash) over
+    the non-batch docs — the persisted artifact q212/q213 probe against.
+    The doc_id filter pushes below the signature groupBy (grouping-key
+    predicate), so the memoized build scans only corpus rows."""
+    from ..tables import memo_relation
+
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    return memo_relation(
+        spark, sf_dir, "q212_corpus_sig",
+        lambda: q43_simhash(spark, sf_dir).filter(~is_new),
+    )
+
+
+def _corpus_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized corpus-only cluster map (v, cluster_id): q45's
+    contraction over corpus-only pairs — the second frozen artifact of the
+    rolling-ingest split assigner (q212 batch / q213 stream)."""
+    from ..operators.components import connected_components_twophase
+    from ..tables import memo_relation
+
+    return memo_relation(
+        spark, sf_dir, "q212_corpus_cc",
+        lambda: connected_components_twophase(
+            simhash_banded_pairs(_corpus_sig(spark, sf_dir)),
+            src="doc_a", dst="doc_b",
+        ),
+    )
 
 
 # --- q214: impact-capped retrieval vs the exact baseline --------------------------
@@ -2044,13 +2107,12 @@ def q215_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     already produces (q44), the law columns are scan-side arithmetic, and
     the audit is a doc-keyed join + one global sum. Run it as the
     post-condition of every split build (the q137 expectations
-    discipline)."""
-    from ..operators.components import connected_components_twophase
-
-    pairs = q44_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components_twophase(pairs, src="doc_a", dst="doc_b").select(
-        F.col("v").alias("doc_id"), "cluster_id"
-    )
+    discipline). Pair relation + contraction are the session-memoized
+    shared artifacts (_neardup_pairs/_neardup_clusters, VERDICT r11 #4) —
+    the audit reads what the dedup pass already wrote, paying only the
+    doc-keyed join + one global sum itself."""
+    pairs = _neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = _neardup_clusters(spark, sf_dir)
     keyed = (
         _documents(spark, sf_dir)
         .select("doc_id")

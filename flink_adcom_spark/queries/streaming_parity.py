@@ -759,8 +759,7 @@ def q213_stream_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket probe join against the signature scan; the cluster map
     joins on the matched corpus ids only. At 100 TB both artifacts are
     bucketed by their join keys so the probe shuffles only the batch."""
-    from .dedup import NEW_BATCH_MOD, q43_simhash, simhash_banded_pairs
-    from ..operators.components import connected_components_twophase
+    from .dedup import NEW_BATCH_MOD, _corpus_cluster_map, _corpus_sig
 
     work = gate_workdir("split_stream_gate")
     feed = os.path.join(work, "feed")
@@ -769,13 +768,11 @@ def q213_stream_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(work, "assign")
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
-    # the persisted artifacts: corpus signature index + corpus cluster map
-    csig = q43_simhash(spark, sf_dir).filter(~is_new)
-    csig.write.mode("overwrite").parquet(sig_path)
-    connected_components_twophase(
-        simhash_banded_pairs(spark.read.parquet(sig_path)),
-        src="doc_a", dst="doc_b",
-    ).write.mode("overwrite").parquet(cc_path)
+    # the persisted artifacts: corpus signature index + corpus cluster map —
+    # computed via the session-memoized relations q212 shares (VERDICT r11
+    # #4); the parquet write per build is just a block read + write
+    _corpus_sig(spark, sf_dir).write.mode("overwrite").parquet(sig_path)
+    _corpus_cluster_map(spark, sf_dir).write.mode("overwrite").parquet(cc_path)
     # the ingest stream: the batch docs, 4 micro-batches
     docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(feed)
     jobs.streaming_split_assign_materialize(
