@@ -1,10 +1,15 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The LAST stdout
+line is a compact JSON record sized to fit the driver's 2000-char stdout
+tail (VERDICT r11 #6 — the full line outgrew it at r9):
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {"q01_ride_count": sec, ...}, "sf": 0.1}
+     "queries": {"q01_ride_count": sec, ...}, "sf": 0.1, ...}
+
+The COMPLETE result dict (stream/bundle/canary metrics beside the queries)
+is printed as the second-to-last line and written to BENCH_FULL.json at the
+repo root, which the end-of-round snapshot commits.
 
 Timing is end-to-end per query: plan build + execution + a count-style
 materialization (foreach-noop via write to noop sink would skip result
@@ -116,12 +121,11 @@ def main() -> None:
     stream_rps = _stream_throughput(spark)
     stream_rps_skew = _stream_throughput(spark, skewed=True)
     pq_stream = _pq_stream_encode_metric(spark, sf_dir)
+    substr_stream = _substr_stream_probe_metric(spark, sf_dir)
     bundle = _adaptive_bundle_metric(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
+    result = {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
@@ -149,11 +153,45 @@ def main() -> None:
                 "stream_wordcount_skew30_n_steady_batches": stream_rps_skew["n_steady_batches"],
                 "stream_wordcount_skew30_ramp_excluded": stream_rps_skew["ramp_excluded"],
                 **pq_stream,
+                **substr_stream,
                 **({"errors": errors} if errors else {}),
                 **bundle,
             }
-        )
-    )
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # final JSON line out of that tail; the full result line outgrew the
+    # window at r9 and every round since recorded `parsed: null` with the
+    # queries map cut mid-key (VERDICT r11 #6). Three-part fix: (a) the full
+    # dict goes to BENCH_FULL.json in the repo (the end-of-round snapshot
+    # commits it, so the judge reads every number), (b) the full line still
+    # prints for humans/local tooling, (c) the LAST line printed is a compact
+    # record — contract fields + the complete per-query map — size-guarded
+    # under the tail window so the driver's parse finally succeeds.
+    spark.stop()  # no further JVM log lines may land after the final print
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result), flush=True)
+    compact = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": dict(timings),
+        "sf": sf_from_dir(sf_dir),
+        "load_factor": load_factor,
+        **({"n_errors": len(errors)} if errors else {}),
+        "full": "BENCH_FULL.json",
+    }
+    # 1700-byte budget leaves ~300 chars of tail slack for any straggler log
+    # line; if the headline set ever outgrows it, drop the FASTEST queries
+    # first (their absence costs the least round-over-round signal) and flag.
+    line = json.dumps(compact)
+    while len(line) > 1700 and compact["queries"]:
+        fastest = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][fastest]
+        compact["queries_truncated"] = True
+        line = json.dumps(compact)
+    print(line, flush=True)
 
 
 def _load_canary(spark) -> float:
@@ -276,9 +314,66 @@ def _pq_stream_encode_metric(spark, sf_dir: str, n_batches: int = 8) -> dict:
             "stream_pq_encode_vectors": int(encoded),
             "stream_pq_encode_n_batches": n_batches,
             "stream_pq_encode_wall_sec": round(wall, 3),
+            # batch-size-normalized scheduling overhead (VERDICT r11 #4 of
+            # "what's wrong"): at tiny bench batches the rows/s figure is
+            # dominated by per-micro-batch scheduling + sink commit, NOT
+            # encoder throughput — sec/batch is the number that projects to
+            # production batch sizes (cost ≈ n_batches * sec_per_batch +
+            # rows * encode_cost, and encode is one scan-side projection).
+            "stream_pq_encode_sec_per_batch": round(wall / n_batches, 3),
         }
     except Exception as e:  # noqa: BLE001 — one broken metric must not
         return {"stream_pq_encode_error": f"{type(e).__name__}: {e}"[:200]}
+
+
+def _substr_stream_probe_metric(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """Per-micro-batch cost of the streaming substring-dedup serving path
+    (q205; VERDICT r11 #7) — the rolling-ingest cost a 100 TB pipeline
+    actually pays: each arriving doc batch is gram-hashed and probed
+    against the PERSISTED corpus digest index (built outside the timed
+    window, like the PQ codebooks). Reported beside docs/s is sec/batch,
+    the batch-size-normalized overhead figure — at bench batch sizes the
+    wall is scheduling + probe-join fixed cost, not hashing throughput.
+    SCALING.md carries the sf1 row."""
+    from flink_adcom_spark.queries.dedup import NEW_BATCH_MOD, SUBSTR_L, _substr_grams
+    from flink_adcom_spark.queries.text import words_col
+    from flink_adcom_spark.streaming.jobs import streaming_substring_dedup_materialize
+    from flink_adcom_spark.tables import load_table
+    from flink_adcom_spark.workdirs import gate_workdir
+    from pyspark.sql import functions as F
+
+    try:
+        work = gate_workdir("bench_substr_stream")
+        feed = os.path.join(work, "feed")
+        index = os.path.join(work, "index")
+        out = os.path.join(work, "spans")
+        docs = load_table(spark, sf_dir, "documents")
+        is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+        base = docs.select("doc_id", words_col().alias("w")).withColumn(
+            "n", F.size("w").cast("bigint")
+        ).filter(F.col("n") >= SUBSTR_L)
+        _substr_grams(base.filter(~is_new)).select("gd").distinct().write.mode(
+            "overwrite"
+        ).parquet(index)
+        n_docs = docs.filter(is_new).count()
+        docs.filter(is_new).repartition(n_batches).write.mode("overwrite").parquet(feed)
+        t0 = time.time()
+        streaming_substring_dedup_materialize(
+            spark, feed, out, index,
+            checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+        )
+        wall = time.time() - t0
+        spans = spark.read.parquet(out).count()
+        return {
+            "stream_substr_dedup_docs_per_sec": round(n_docs / wall, 1),
+            "stream_substr_dedup_docs": int(n_docs),
+            "stream_substr_dedup_spans": int(spans),
+            "stream_substr_dedup_n_batches": n_batches,
+            "stream_substr_dedup_wall_sec": round(wall, 3),
+            "stream_substr_dedup_sec_per_batch": round(wall / n_batches, 3),
+        }
+    except Exception as e:  # noqa: BLE001 — one broken metric must not
+        return {"stream_substr_dedup_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0) -> dict:
