@@ -476,7 +476,65 @@ _ROUND11_GATE = frozenset(
         "q27_sliding_2h_counts", "q28_promo_window_stats", "q30_token_stats",
     ]
 )
-_GATE = _ROUND11_GATE
+# Registered AFTER the r12 gate froze (mirror-verified at sf0.001 and
+# sf0.01; rotate into r13 as the never-checked tier): q230 token-budget
+# data selection (two-phase distributed prefix sum), q231 per-source PSI
+# drift audit (bias-corrected, the binned complement of q193's KS).
+# Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
+# (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
+# streaming serving tier (q203/q205/q213/q219), the split-leakage family
+# (q210-q215), and the audit scorecards (q216-q229); (b) the 4 builders
+# modified since their newest green — q43 (simhash_rows extraction), q202
+# (shared-oracle constant + _substr_grams signature), q45/q46 (this round's
+# shared-artifact memoization, VERDICT r11 #4 — also upstream of the split
+# family); (c) the flagship anchor; (d) 18 of the 19 remaining r7-era
+# oldest-green entries in name order — q97_asof_next_purchase is the single
+# slot casualty and rotates into r13 with its r7 row intact. q47/q110/q224
+# consume the newly-memoized q45 relation but their own builders are
+# unchanged and the full sf0.01 driver simulation re-proved them this
+# session (the r10 infra-swap precedent); q110 keeps its r11 row, q47 its
+# r10 row, q224 gates in (a) anyway.
+_ROUND12_GATE = frozenset(
+    # (a) never driver-checked (post-r11-freeze registrations)
+    [
+        "q203_stream_ivfpq_search", "q204_embedding_drift_tv",
+        "q205_stream_substring_dedup", "q206_bloom_substring_dedup",
+        "q207_key_skew_profile", "q208_join_explosion_audit",
+        "q209_source_overlap_matrix", "q210_leakage_safe_split",
+        "q211_retrieval_mrr", "q212_incremental_split_assign",
+        "q213_stream_split_assign", "q214_retrieval_mrr_capped",
+        "q215_split_leakage_audit", "q216_per_source_quality_gate",
+        "q217_batch_novelty_by_source", "q218_source_overlap_kmv",
+        "q219_stream_novelty_counters", "q220_preference_pairs",
+        "q221_index_selection_report", "q222_classifier_calibration",
+        "q223_index_ndcg_audit", "q224_cluster_size_audit",
+        "q225_packing_efficiency", "q226_dataset_version_diff",
+        "q227_length_bucket_batches", "q228_mixture_shift_report",
+        "q229_embedding_norm_audit",
+    ]
+    # (b) modified since last green row
+    + [
+        "q43_simhash", "q202_incremental_substring_dedup",
+        "q45_dedup_clusters", "q46_dedup_keep_list",
+    ]
+    # (c) flagship anchor (every round)
+    + [
+        "q08_tpch_q1",
+    ]
+    # (d) oldest-green: r7-era tail, name order, 18 of the remaining 19
+    + [
+        "q31_quality_score", "q33_fingerprint", "q37_repetition_ratio",
+        "q40_exact_dedup", "q41_minhash_lsh_pairs", "q58_diversity_sample",
+        "q60_salted_type_counts", "q61_sql_count_distinct",
+        "q66_purchasers_with_errors", "q67_viewers_never_purchased",
+        "q68_salted_distinct_users", "q69_grouping_sets",
+        "q71_value_percentiles", "q78_value_deciles", "q81_frame_samples",
+        "q82_generic_topn_fold", "q88_embed_neardup_multiprobe",
+        "q95_media_resize",
+    ]
+)
+
+_GATE = _ROUND12_GATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

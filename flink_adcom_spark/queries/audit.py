@@ -708,3 +708,126 @@ def q208_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((prod * 1000000) DIV total_out AS BIGINT) AS share_ppm",
         )
     )
+
+
+# --- q231: PSI drift per source (binned complement of q193's exact KS) --------------
+PSI_BINS = 20  # fixed-width n_chars bins: bin = least(n_chars DIV 100, 19)
+PSI_BIN_W = 100
+PSI_THRESHOLD = "0.2"  # the standard PSI alert level (0.1 watch / 0.2 act)
+
+
+@query(
+    "q231_psi_drift",
+    f"""
+    WITH d AS (
+      SELECT source, LEAST(n_chars // {PSI_BIN_W}, {PSI_BINS - 1}) AS bin
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    cnts AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS a_cnt
+             FROM d GROUP BY 1, 2),
+    gl AS (SELECT bin, CAST(SUM(a_cnt) AS BIGINT) AS g_cnt FROM cnts GROUP BY 1),
+    srcs AS (SELECT source, CAST(SUM(a_cnt) AS BIGINT) AS n_s FROM cnts GROUP BY 1),
+    tot AS (SELECT CAST(SUM(g_cnt) AS BIGINT) AS n FROM gl),
+    grid AS (SELECT s.source, s.n_s, g.bin
+             FROM srcs s CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) g),
+    terms AS (
+      SELECT grid.source, grid.n_s, tot.n,
+             (CAST(COALESCE(gl.g_cnt, 0) - COALESCE(c.a_cnt, 0) + 1 AS DOUBLE)
+                / CAST(tot.n - grid.n_s + {PSI_BINS} AS DOUBLE)) AS p,
+             (CAST(COALESCE(c.a_cnt, 0) + 1 AS DOUBLE)
+                / CAST(grid.n_s + {PSI_BINS} AS DOUBLE)) AS q
+      FROM grid
+      LEFT JOIN cnts c ON c.source = grid.source AND c.bin = grid.bin
+      LEFT JOIN gl ON gl.bin = grid.bin
+      CROSS JOIN tot
+    )
+    SELECT source, n_s, (n - n_s) AS n_rest,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+           ROUND({PSI_BINS} * (1.0 / CAST(n_s AS DOUBLE)
+                 + 1.0 / CAST(n - n_s AS DOUBLE)), 6) AS psi_bias,
+           SUM((p - q) * ln(p / q))
+             - {PSI_BINS} * (1.0 / CAST(n_s AS DOUBLE)
+                             + 1.0 / CAST(n - n_s AS DOUBLE))
+             > {PSI_THRESHOLD} AS drifted
+    FROM terms GROUP BY source, n_s, n
+    """,
+    tags=("audit", "drift", "pipeline"),
+)
+def q231_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's n_chars distribution
+    against the REST of the corpus (the q193 pairing, so the two columns
+    are directly comparable): PSI = sum over {PSI_BINS} fixed-width bins of
+    (p - q) * ln(p / q) with Laplace-smoothed bin shares, flagged at the
+    industry-standard 0.2 act level AFTER subtracting the first-order
+    small-sample bias E[PSI | no drift] ~= B * (1/n_s + 1/n_rest) — without
+    it a 25-doc source reads PSI ~0.85 from sampling noise alone and every
+    small source false-alarms (both the raw psi and the bias ride along in
+    the output so the reader sees which regime a flag came from). PSI is
+    what a production monitor
+    actually alerts on (bounded mergeable bin counts, comparable across
+    sources of different sizes); q193's exact KS is the law those bins
+    approximate — run together they separate "a few big bins moved" (PSI
+    high, KS moderate) from "a subtle full-CDF shift" (KS high, PSI low).
+
+    Engine exactness: bin counts are exact integers; each smoothed term is
+    a pure double expression of those integers (ln agrees to <= 1 ulp
+    across libm implementations), and the per-source sum spans {PSI_BINS}
+    terms, so ROUND(..., 6) absorbs summation-order noise (the q136
+    discipline).
+
+    Scale shape: one (source, bin) count shuffle with map-side partials —
+    after it everything is |sources| x {PSI_BINS} rows regardless of corpus
+    size; the bin histogram is exactly the mergeable artifact each ingest
+    shard emits, so at 100 TB the audit is a metadata-size reduce over
+    shard histograms, never a second corpus scan."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & F.col("source").isNotNull())
+        .select(
+            "source",
+            F.least(
+                F.expr(f"n_chars DIV {PSI_BIN_W}"), F.lit(PSI_BINS - 1)
+            ).alias("bin"),
+        )
+    )
+    cnts = docs.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("a_cnt"))
+    gl = cnts.groupBy("bin").agg(F.sum("a_cnt").alias("g_cnt"))
+    srcs = cnts.groupBy("source").agg(F.sum("a_cnt").alias("n_s"))
+    n_total = docs.count()  # bounded: one scalar (the corpus row count)
+    grid = srcs.crossJoin(
+        F.broadcast(
+            spark.range(PSI_BINS).select(F.col("id").cast("bigint").alias("bin"))
+        )
+    )
+    a = F.coalesce(F.col("a_cnt"), F.lit(0))
+    g = F.coalesce(F.col("g_cnt"), F.lit(0))
+    p = (g - a + 1).cast("double") / (
+        F.lit(n_total) - F.col("n_s") + PSI_BINS
+    ).cast("double")
+    q = (a + 1).cast("double") / (F.col("n_s") + PSI_BINS).cast("double")
+    term = (p - q) * F.log(p / q)
+    return (
+        grid.join(cnts, ["source", "bin"], "left")
+        .join(F.broadcast(gl), "bin", "left")
+        .select("source", "n_s", term.alias("t"))
+        .groupBy("source", "n_s")
+        .agg(F.round(F.sum("t"), 6).alias("psi"), F.sum("t").alias("raw"))
+        .withColumn(
+            "bias",
+            PSI_BINS
+            * (
+                F.lit(1.0) / F.col("n_s").cast("double")
+                + F.lit(1.0) / (F.lit(n_total) - F.col("n_s")).cast("double")
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_s"),
+            (F.lit(n_total).cast("bigint") - F.col("n_s").cast("bigint")).alias(
+                "n_rest"
+            ),
+            "psi",
+            F.round("bias", 6).alias("psi_bias"),
+            (F.col("raw") - F.col("bias") > float(PSI_THRESHOLD)).alias("drifted"),
+        )
+    )

@@ -4389,3 +4389,111 @@ def q227_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_ppm"),
         )
     )
+
+
+# --- q230: token-budget data selection (distributed prefix-sum) ----------------------
+BUDGET_DIV = 5  # keep the best-scoring docs totalling <= total_tokens / 5
+CUM_BANDS = 32  # score bands for the two-phase distributed cumulative sum
+CUM_BAND_STEP = 1000000 // CUM_BANDS + 1  # ppm scores -> band 0..31
+
+
+@query(
+    "q230_token_budget_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(w, x -> x IN {_STOP_IN})) * 1000000
+                  AS BIGINT) // len(w) AS score
+      FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) d
+      WHERE len(w) >= 1
+    ),
+    b AS (SELECT CAST(SUM(n_tokens) // {BUDGET_DIV} AS BIGINT) AS budget FROM t),
+    r AS (
+      SELECT doc_id, score, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT r.doc_id, r.score, r.n_tokens, r.cum_tokens
+    FROM r CROSS JOIN b WHERE r.cum_tokens <= b.budget
+    """,
+    tags=("text", "sample", "pipeline", "window"),
+    bench=True,
+)
+def q230_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a hard token budget: rank every document by an
+    exact integer quality score (stopword ppm — the naturalness proxy the
+    q31 heuristics use), then keep the best-scoring prefix whose cumulative
+    token count fits total_tokens/{BUDGET_DIV} — the "spend my budget on
+    the best data" selection step between scoring and manifest build.
+
+    The oracle states the contract as ONE global running-sum window. A
+    naive Spark translation of that window moves the whole corpus to a
+    single partition (WindowExec's no-partition warning — the canonical
+    100 TB scale-killer). The engine instead runs the classic TWO-PHASE
+    distributed prefix sum:
+
+      1. bucket docs into {CUM_BANDS} score bands; one tiny shuffle
+         computes per-band token totals (<= {CUM_BANDS}+1 rows, collected
+         — bounded by the band count, never the corpus);
+      2. each band's cumulative OFFSET (sum of all better bands) becomes a
+         broadcast literal; bands whose offset already exceeds the budget
+         are PRUNED before any window work — at a 20% budget that skips
+         most of the corpus entirely;
+      3. the running sum runs per-band (Window PARTITION BY band), i.e.
+         {CUM_BANDS}-way parallel, and adds the offset.
+
+    Identical output to the global window (integer arithmetic, total
+    (score DESC, doc_id) order), but the only global structure is a
+    {CUM_BANDS}-row relation. At 100 TB the band count scales with the
+    cluster (e.g. 4096 range-partition boundaries from a quantile sketch)
+    — the plan shape is unchanged."""
+    from pyspark.sql import Window
+
+    t = (
+        _documents(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(words_col()).cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter(words_col(), lambda x: x.isin(*STOPWORDS))
+            ).cast("bigint").alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            # exact integer DIV (a double `/` + cast can truncate k - 1ulp)
+            F.expr("CAST((n_stop * 1000000) DIV n_tokens AS BIGINT)").alias("score"),
+        )
+        .withColumn("band", F.expr(f"CAST(score DIV {CUM_BAND_STEP} AS INT)"))
+    )
+    # phase 1: per-band totals — bounded collect (<= CUM_BANDS+1 rows)
+    totals = {
+        r["band"]: r["tok"]
+        for r in t.groupBy("band").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    budget = sum(totals.values()) // BUDGET_DIV
+    # phase 2: offsets (tokens in all BETTER bands — higher score = lower cum)
+    offsets = {
+        band: sum(v for b2, v in totals.items() if b2 > band) for band in totals
+    }
+    live = [band for band, off in offsets.items() if off < budget]
+    off_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for band in live for x in (band, offsets[band])]
+        ),
+        F.col("band"),
+    )
+    # phase 3: per-band running sum + offset; pruned bands never shuffle
+    win = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.filter(F.col("band").isin(live))
+        .withColumn("cum_tokens", (off_col + F.sum("n_tokens").over(win)).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "score", "n_tokens", "cum_tokens")
+    )
