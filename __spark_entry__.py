@@ -479,7 +479,9 @@ _ROUND11_GATE = frozenset(
 # Registered AFTER the r12 gate froze (mirror-verified at sf0.001 and
 # sf0.01; rotate into r13 as the never-checked tier): q230 token-budget
 # data selection (two-phase distributed prefix sum), q231 per-source PSI
-# drift audit (bias-corrected, the binned complement of q193's KS).
+# drift audit (bias-corrected, the binned complement of q193's KS), q232
+# stream-emitted PSI monitor (per-epoch mergeable histograms, q231's
+# serving face).
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

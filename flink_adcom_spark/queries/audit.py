@@ -780,20 +780,35 @@ def q231_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; the bin histogram is exactly the mergeable artifact each ingest
     shard emits, so at 100 TB the audit is a metadata-size reduce over
     shard histograms, never a second corpus scan."""
-    docs = (
+    cnts = psi_bin_counts(
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("n_chars").isNotNull() & F.col("source").isNotNull())
-        .select(
-            "source",
-            F.least(
-                F.expr(f"n_chars DIV {PSI_BIN_W}"), F.lit(PSI_BINS - 1)
-            ).alias("bin"),
-        )
+    ).groupBy("source", "bin").agg(F.count(F.lit(1)).alias("a_cnt"))
+    return psi_from_bin_counts(spark, cnts)
+
+
+def psi_bin_counts(docs: DataFrame) -> DataFrame:
+    """(source, bin) rows for the PSI histogram — q231's binning law,
+    extracted so the streaming monitor (q232) bins each arriving
+    micro-batch IDENTICALLY to the batch audit."""
+    return docs.filter(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    ).select(
+        "source",
+        F.least(F.expr(f"n_chars DIV {PSI_BIN_W}"), F.lit(PSI_BINS - 1)).alias(
+            "bin"
+        ),
     )
-    cnts = docs.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("a_cnt"))
+
+
+def psi_from_bin_counts(spark: SparkSession, cnts: DataFrame) -> DataFrame:
+    """q231's PSI relation computed from a MERGED (source, bin, a_cnt)
+    histogram — the read-time half shared by the batch audit (q231) and
+    the streaming monitor (q232), whose per-epoch partial histograms sum
+    into exactly this input because bin counts are mergeable."""
     gl = cnts.groupBy("bin").agg(F.sum("a_cnt").alias("g_cnt"))
     srcs = cnts.groupBy("source").agg(F.sum("a_cnt").alias("n_s"))
-    n_total = docs.count()  # bounded: one scalar (the corpus row count)
+    # bounded: one scalar (the corpus row count)
+    n_total = cnts.agg(F.sum("a_cnt")).collect()[0][0]
     grid = srcs.crossJoin(
         F.broadcast(
             spark.range(PSI_BINS).select(F.col("id").cast("bigint").alias("bin"))

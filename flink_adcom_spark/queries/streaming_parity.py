@@ -852,6 +852,55 @@ def q219_stream_novelty_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q232: stream-emitted PSI drift monitor vs the batch audit --------------------
+def _q232_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # per-micro-batch partial (source, bin) histograms, merged at read time
+    # and fed through the shared PSI law, must equal q231's batch relation
+    return _REGISTRY["q231_psi_drift"].oracle
+
+
+@query(
+    "q232_stream_psi_monitor",
+    _q232_oracle(),
+    tags=("streaming", "audit", "drift", "incremental", "pipeline"),
+)
+def q232_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift dashboard emitted by the REAL ingest stream, externally
+    gated (q231's serving face, the q219 mergeable-partials pattern): the
+    corpus replayed as a 4-micro-batch document stream, each micro-batch
+    landing its PARTIAL per-(source, bin) histogram as a batch_id-
+    partitioned idempotent epoch via the SHARED psi_bin_counts law; the
+    gate merges the epochs at read time and feeds them through the SHARED
+    psi_from_bin_counts body. The result must hash-match q231's batch
+    relation — proving the monitor's histograms are genuinely mergeable
+    (a dashboard can PSI any window of epochs without reprocessing a
+    document) and that stream and batch bin identically.
+
+    Scale shape: per micro-batch cost is one (source, bin) count with
+    map-side partials — the landed epoch is |sources| x bins rows, so a
+    year of epochs is still metadata-sized; the PSI computation itself
+    never touches documents."""
+    from .audit import psi_from_bin_counts
+
+    work = gate_workdir("psi_stream_gate")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "hist")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_bin_histogram_materialize(
+        spark, feed, out,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("source", "bin")
+        .agg(F.sum("a_cnt").alias("a_cnt"))
+    )
+    return psi_from_bin_counts(spark, merged)
+
+
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
 RUNNER_TRACE_DECISIONS = 25  # decisions requested from the live paced runner
 RUNNER_TRACE_MIN = 8  # floor below which the gate is a scheduling failure

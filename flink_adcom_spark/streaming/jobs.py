@@ -1079,6 +1079,50 @@ def streaming_novelty_counters_materialize(
         q.stop()
 
 
+def bin_histogram_writer(
+    spark: SparkSession, docs_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_bin_histogram_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.audit import psi_bin_counts
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = (
+            psi_bin_counts(batch_df)
+            .groupBy("source", "bin")
+            .agg(F.count(F.lit(1)).alias("a_cnt"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_bin_histogram_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Streaming drift-monitor ingestion (q232; q231's serving face): each
+    arriving document micro-batch lands its PARTIAL per-(source, bin)
+    histogram as a batch_id-partitioned idempotent epoch, binned by the
+    SHARED psi_bin_counts law. Bin counts are mergeable, so a dashboard
+    sums any window of epochs at read time and feeds the result to
+    psi_from_bin_counts — no document is ever reprocessed, and a
+    checkpoint-replayed epoch REPLACES its own partition (the q161/q219
+    idempotent-epoch discipline)."""
+    q = bin_histogram_writer(spark, docs_dir, out_path, checkpoint, **kw).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_classifier_scores_materialize(
     spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
     checkpoint: str | None = None, **kw

@@ -514,3 +514,17 @@ def test_q203_partitioned_index_gets_dynamic_partition_pruning(spark, sf_dir, tm
     )
     assert "dynamicpruning" in plan, plan[:3000]
     assert "BroadcastHashJoin [plabel" in plan, plan[:3000]
+
+
+def test_q230_prefix_sum_window_is_band_partitioned(spark, sf_dir):
+    """q230's whole point: the running-sum window must be PARTITIONED (by
+    score band), never the global no-partition window that moves the corpus
+    to one task — and the cross-band structure must be a literal offset map,
+    not a second corpus pass."""
+    df = get("q230_token_budget_select").build(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.lstrip().startswith("band"), f"unpartitioned window: {spec}"
+    assert "element_at(map(" in plan  # offsets ride as a literal, no join

@@ -56,6 +56,8 @@ SF1_PROBES = frozenset([
     # the leakage audit rides the contraction; the KMV sketch must hold its
     # bounded-state shape at the duplicate-heavy 10x corpus
     "q215_split_leakage_audit", "q218_source_overlap_kmv",
+    # round-12: the banded prefix sum and the bin-bounded PSI at 10x
+    "q230_token_budget_select", "q231_psi_drift",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -161,6 +163,10 @@ PROBES = [
     "q200_ivfpq_knn",
     "q201_ivfpq_recall",
     "q202_incremental_substring_dedup",
+    # round-12 additions: budget selection's banded prefix sum must stay
+    # window-bounded; the PSI audit must stay |sources| x bins flat
+    "q230_token_budget_select",
+    "q231_psi_drift",
 ]
 
 

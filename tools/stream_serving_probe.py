@@ -26,6 +26,7 @@ sys.path.insert(0, ROOT)
 ENCODE_BATCHES = 16
 SEARCH_BATCHES = 8
 N_SEARCH_QUERIES = 200
+SUBSTR_BATCHES = 8  # rolling-ingest substring dedup (q205 path, VERDICT r11 #7)
 
 
 def main() -> None:
@@ -74,16 +75,55 @@ def main() -> None:
         spark.read.parquet(found).select("q_id").distinct().count()
     )
 
+    # --- streaming substring-dedup serving path (VERDICT r11 #7): the
+    # rolling-ingest cost a 100 TB pipeline actually pays — per-micro-batch
+    # gram hashing + one digest probe join against the PERSISTED corpus
+    # index (built outside the clock, the q205 artifact posture)
+    from flink_adcom_spark.queries.dedup import NEW_BATCH_MOD, SUBSTR_L, _substr_grams
+    from flink_adcom_spark.queries.text import words_col
+    from flink_adcom_spark.streaming.jobs import streaming_substring_dedup_materialize
+
+    sfeed = os.path.join(work, "sfeed")
+    sindex = os.path.join(work, "sindex")
+    spans = os.path.join(work, "spans")
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    base = docs.select("doc_id", words_col().alias("w")).withColumn(
+        "n", F.size("w").cast("bigint")
+    ).filter(F.col("n") >= SUBSTR_L)
+    _substr_grams(base.filter(~is_new)).select("gd").distinct().write.mode(
+        "overwrite"
+    ).parquet(sindex)
+    n_docs = docs.filter(is_new).count()
+    docs.filter(is_new).repartition(SUBSTR_BATCHES).write.mode(
+        "overwrite"
+    ).parquet(sfeed)
+    t0 = time.time()
+    streaming_substring_dedup_materialize(
+        spark, sfeed, spans, sindex,
+        checkpoint=os.path.join(work, "ckpt_substr"), maxFilesPerTrigger=1,
+    )
+    sub_wall = time.time() - t0
+    n_spans = spark.read.parquet(spans).count()
+
     print(json.dumps({
         "sf_dir": sf_dir,
         "corpus_vectors": int(n_vec),
         "encode_batches": ENCODE_BATCHES,
         "encode_wall_sec": round(enc_wall, 2),
         "encode_rows_per_sec": round(encoded / enc_wall, 1),
+        "encode_sec_per_batch": round(enc_wall / ENCODE_BATCHES, 3),
         "search_batches": SEARCH_BATCHES,
         "search_queries": int(served),
         "search_wall_sec": round(srch_wall, 2),
         "search_queries_per_sec": round(served / srch_wall, 2),
+        "search_sec_per_batch": round(srch_wall / SEARCH_BATCHES, 3),
+        "substr_dedup_batches": SUBSTR_BATCHES,
+        "substr_dedup_docs": int(n_docs),
+        "substr_dedup_spans": int(n_spans),
+        "substr_dedup_wall_sec": round(sub_wall, 2),
+        "substr_dedup_docs_per_sec": round(n_docs / sub_wall, 1),
+        "substr_dedup_sec_per_batch": round(sub_wall / SUBSTR_BATCHES, 3),
     }))
 
 
