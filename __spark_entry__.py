@@ -481,7 +481,9 @@ _ROUND11_GATE = frozenset(
 # data selection (two-phase distributed prefix sum), q231 per-source PSI
 # drift audit (bias-corrected, the binned complement of q193's KS), q232
 # stream-emitted PSI monitor (per-epoch mergeable histograms, q231's
-# serving face).
+# serving face), q233 weighted exact-k sample without replacement
+# (Efraimidis-Spirakis over portable hash uniforms), q234 stratified
+# quota sample (proportional allocation, largest-remainder seating).
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

@@ -4497,3 +4497,171 @@ def q230_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "score", "n_tokens", "cum_tokens")
     )
+
+
+# --- q233: weighted sample without replacement (Efraimidis–Spirakis) -----------------
+WS_K = 100  # sample size
+WS_U_DEN = 4294967297  # (hash + 1) / (2^32 + 1) -> u in (0, 1), never 0 or 1
+
+
+@query(
+    "q233_weighted_sample_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+             ((doc_id % 2147483648) * {SAMPLE_MULT}) % 4294967296 AS h
+      FROM documents WHERE len({_WORDS_SQL}) >= 1
+    )
+    SELECT doc_id, n_tokens
+    FROM t
+    ORDER BY ln(CAST(h + 1 AS DOUBLE) / {WS_U_DEN}) / CAST(n_tokens AS DOUBLE)
+             DESC, doc_id
+    LIMIT {WS_K}
+    """,
+    tags=("text", "sample", "topn", "pipeline"),
+)
+def q233_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY {WS_K} documents sampled WITHOUT replacement with probability
+    proportional to token count — Efraimidis–Spirakis A-ES (IPL 2006): each
+    doc draws u from the portable multiplicative hash (so re-runs and
+    incremental ingests agree), keys on ln(u)/w (the monotone form of
+    u^(1/w)), and the k LARGEST keys are the sample. The weighted exact-k
+    completion of the sampling family: q152 is weighted-Bernoulli (expected
+    size, not exact), q133 is exact-k but uniform — this is exact-k AND
+    token-weighted, the "sample k docs proportional to length" op eval-pool
+    builders actually need.
+
+    Engine exactness: u and w are exact integers cast to double; ln agrees
+    to <= 1 ulp across libm implementations, and SET membership of the
+    top-k only flips if two keys straddle within a ulp at the k-boundary —
+    keys of distinct (h, w) pairs are ~uniform over (-inf, 0), so the gate
+    compares doc_id/n_tokens only (never the raw key, whose repr could
+    differ in the last digit).
+
+    Scale shape: orderBy + limit is Spark's TakeOrderedAndProject — each
+    partition keeps its own k-prefix, the driver merges |partitions| * k
+    rows; no global sort, no single-partition window. At 100 TB k rows per
+    partition stream to one merge — the same bounded-fold shape as the
+    reference's A8 top-N."""
+    t = (
+        _documents(spark, sf_dir)
+        .select("doc_id", F.size(words_col()).cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+        .withColumn(
+            "h", ((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296
+        )
+    )
+    key = F.log((F.col("h") + 1).cast("double") / F.lit(float(WS_U_DEN))) / F.col(
+        "n_tokens"
+    ).cast("double")
+    return (
+        t.withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WS_K)
+        .select("doc_id", "n_tokens")
+    )
+
+
+# --- q234: stratified quota sample (proportional allocation, largest remainder) ------
+SQ_K = 200  # total sample size across all strata
+SQ_LEN_BUCKET = 200  # n_chars stratum width (crossed with lang)
+SQ_LEN_MAX_BUCKET = 9  # lengths >= 9*200 chars fold into the top bucket
+
+
+@query(
+    "q234_stratified_quota_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             LEAST(n_chars // {SQ_LEN_BUCKET}, {SQ_LEN_MAX_BUCKET}) AS bucket,
+             ((doc_id % 2147483648) * {SAMPLE_MULT}) % 4294967296 AS h
+      FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    s AS (SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_s
+          FROM d GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s),
+    base AS (
+      SELECT s.lang, s.bucket, s.n_s,
+             ({SQ_K} * s.n_s) // tot.n AS floor_q,
+             ({SQ_K} * s.n_s) % tot.n AS rem
+      FROM s CROSS JOIN tot
+    ),
+    quota AS (
+      SELECT lang, bucket, n_s,
+             floor_q + CASE WHEN ROW_NUMBER() OVER (
+               ORDER BY rem DESC, lang, bucket)
+               <= {SQ_K} - (SELECT SUM(floor_q) FROM base)
+             THEN 1 ELSE 0 END AS q
+      FROM base
+    )
+    SELECT d.lang, d.bucket, d.doc_id
+    FROM (
+      SELECT lang, bucket, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang, bucket
+                                ORDER BY h, doc_id) AS rn
+      FROM d
+    ) d JOIN quota USING (lang, bucket)
+    WHERE d.rn <= quota.q
+    """,
+    tags=("text", "sample", "pipeline"),
+)
+def q234_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A stratified sample of EXACTLY {SQ_K} documents with proportional
+    allocation over (lang x length-bucket) strata and largest-remainder
+    rounding (the Hamilton apportionment survey samplers use): each stratum
+    gets floor(K * n_s / N) seats, the leftover seats go to the largest
+    remainders (ties broken by stratum name — fully deterministic), and
+    within a stratum the q133 deterministic-hash exact-k picks the members.
+    The estimator-grade eval-set constructor: per-stratum shares of the
+    sample match the corpus to within one document BY CONSTRUCTION, unlike
+    q58's diversity heuristic or q133's flat per-group k.
+
+    Integer-exact end to end (quota arithmetic is pure int64 — K * n_s <
+    2^53 for any real corpus; the within-stratum pick is the portable hash
+    order), so both engines keep the identical doc set.
+
+    Scale shape: the stratum table is |langs| x {SQ_LEN_MAX_BUCKET + 1}
+    rows (collected for exact largest-remainder seating — bounded by the
+    stratum grid, never the corpus); quotas broadcast back; the member pick
+    is one rank window partitioned by stratum — strata are near-uniform by
+    construction, no hot partition. At 100 TB swap the rank window for the
+    salted fold exactly as q133 does."""
+    docs = (
+        _documents(spark, sf_dir)
+        .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "lang",
+            F.least(
+                F.expr(f"n_chars DIV {SQ_LEN_BUCKET}"), F.lit(SQ_LEN_MAX_BUCKET)
+            ).cast("bigint").alias("bucket"),
+            "doc_id",
+            (((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296).alias(
+                "h"
+            ),
+        )
+    )
+    # bounded collect: |langs| x buckets strata (the quota grid, not docs)
+    strata = docs.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n_s")).collect()
+    n = sum(r["n_s"] for r in strata)
+    seats = {(r["lang"], r["bucket"]): (SQ_K * r["n_s"]) // n for r in strata}
+    rems = sorted(
+        ((SQ_K * r["n_s"]) % n, r["lang"], r["bucket"]) for r in strata
+    )
+    leftover = SQ_K - sum(seats.values())
+    for rem, lang, bucket in sorted(rems, key=lambda x: (-x[0], x[1], x[2]))[:leftover]:
+        seats[(lang, bucket)] += 1
+    quota = docs.sparkSession.createDataFrame(
+        [(lang, bucket, q) for (lang, bucket), q in seats.items()],
+        "lang string, bucket bigint, q bigint",
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+    )
+    return (
+        docs.withColumn("rn", rn)
+        .join(F.broadcast(quota), ["lang", "bucket"])
+        .filter(F.col("rn") <= F.col("q"))
+        .select("lang", "bucket", "doc_id")
+    )

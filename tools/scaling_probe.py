@@ -56,8 +56,10 @@ SF1_PROBES = frozenset([
     # the leakage audit rides the contraction; the KMV sketch must hold its
     # bounded-state shape at the duplicate-heavy 10x corpus
     "q215_split_leakage_audit", "q218_source_overlap_kmv",
-    # round-12: the banded prefix sum and the bin-bounded PSI at 10x
+    # round-12: the banded prefix sum and the bin-bounded PSI at 10x; the
+    # samplers' bounded folds
     "q230_token_budget_select", "q231_psi_drift",
+    "q233_weighted_sample_topk", "q234_stratified_quota_sample",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -164,9 +166,12 @@ PROBES = [
     "q201_ivfpq_recall",
     "q202_incremental_substring_dedup",
     # round-12 additions: budget selection's banded prefix sum must stay
-    # window-bounded; the PSI audit must stay |sources| x bins flat
+    # window-bounded; the PSI audit must stay |sources| x bins flat; the
+    # samplers must keep their bounded-fold / stratum-grid shapes
     "q230_token_budget_select",
     "q231_psi_drift",
+    "q233_weighted_sample_topk",
+    "q234_stratified_quota_sample",
 ]
 
 
