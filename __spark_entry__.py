@@ -483,7 +483,10 @@ _ROUND11_GATE = frozenset(
 # stream-emitted PSI monitor (per-epoch mergeable histograms, q231's
 # serving face), q233 weighted exact-k sample without replacement
 # (Efraimidis-Spirakis over portable hash uniforms), q234 stratified
-# quota sample (proportional allocation, largest-remainder seating).
+# quota sample (proportional allocation, largest-remainder seating), q235
+# stream-maintained weighted sample index (per-epoch mergeable top-k
+# generations, q233's serving face), q236 SCD2 effective-dated dimension
+# build from the event log.
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

@@ -1255,3 +1255,50 @@ def q176_pit_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("account_age_s"),
     )
+
+
+# --- q236: SCD2 dimension build (effective-dated versions from an event log) --------
+@query(
+    "q236_scd2_user_dimension",
+    """
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
+           ts AS effective_from,
+           LEAD(ts) OVER w AS effective_to,
+           value,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("events", "window", "temporal", "pipeline"),
+)
+def q236_scd2_user_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from an append-only event log:
+    each purchase opens a new effective-dated version of the user's value
+    state — (effective_from, effective_to) interval columns with the open
+    version flagged is_current — the warehouse dimension a point-in-time
+    join consumes (q176/q26 read exactly this shape; this operator BUILDS
+    it). Version order is (ts, event_id), so same-timestamp ties are
+    deterministic in both engines; a closed version's effective_to equals
+    its successor's effective_from (half-open intervals, the standard SCD2
+    contract).
+
+    Scale shape: one shuffle on user_id, then a single pass per user
+    (ROW_NUMBER + LEAD share one window spec, one sort). At 100 TB the
+    incremental form closes only the current versions of users present in
+    the new batch — an equi-join on user_id against the open-version
+    partition, never a dimension rebuild (the q212 frozen-artifact
+    posture)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("version_n"),
+            F.col("ts").alias("effective_from"),
+            F.lead("ts").over(w).alias("effective_to"),
+            "value",
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+    )

@@ -901,6 +901,51 @@ def q232_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_bin_counts(spark, merged)
 
 
+# --- q235: incrementally-maintained weighted sample index vs the batch sampler ----
+def _q235_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # the final generation of the incrementally-merged top-k index must
+    # equal q233's whole-corpus batch sample exactly
+    return _REGISTRY["q233_weighted_sample_topk"].oracle
+
+
+@query(
+    "q235_stream_weighted_sample",
+    _q235_oracle(),
+    tags=("streaming", "sample", "topn", "incremental", "pipeline"),
+)
+def q235_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted sample index MAINTAINED by the ingest stream, externally
+    gated (q233's serving face): the corpus replayed as a 4-micro-batch
+    document stream; each epoch keys its docs with the SHARED es_keys law,
+    merges them with the previous generation's k-row index, and writes
+    generation g{epoch} (never reading and overwriting one path in a job —
+    a replayed epoch re-derives its generation from the previous one and
+    overwrites with identical content). The final generation must
+    hash-match q233's batch relation — proving the Efraimidis–Spirakis
+    top-k is genuinely mergeable (top_k(A ∪ B) = top_k(top_k(A) ∪ B)), i.e.
+    the sample is independent of how the ingest was batched, which is the
+    whole point of deterministic-key weighted sampling at 100 TB: shards
+    sample locally, the index folds their k-prefixes, nobody rescans.
+
+    Scale shape: per-epoch state is k rows; per-epoch cost is O(batch)
+    keying + a (k + batch)-row TakeOrdered."""
+    from .text import WS_K
+
+    work = gate_workdir("es_topk_stream_gate")
+    feed = os.path.join(work, "feed")
+    state = os.path.join(work, "state")
+    os.makedirs(state, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(feed)
+    final = jobs.streaming_es_topk_materialize(
+        spark, feed, state, WS_K,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(final).select("doc_id", "n_tokens")
+
+
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
 RUNNER_TRACE_DECISIONS = 25  # decisions requested from the live paced runner
 RUNNER_TRACE_MIN = 8  # floor below which the gate is a scheduling failure

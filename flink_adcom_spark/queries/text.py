@@ -4543,9 +4543,25 @@ def q233_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; no global sort, no single-partition window. At 100 TB k rows per
     partition stream to one merge — the same bounded-fold shape as the
     reference's A8 top-N."""
+    return (
+        es_keys(_documents(spark, sf_dir))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WS_K)
+        .select("doc_id", "n_tokens")
+    )
+
+
+def es_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, es_key) over any documents relation — q233's
+    keying law, extracted so the streaming sample maintainer (q235) keys
+    each arriving micro-batch IDENTICALLY to the batch sampler. The keys
+    are per-doc deterministic, which is what makes the top-k MERGEABLE:
+    top_k(A ∪ B) = top_k(top_k(A) ∪ top_k(B)) — the property behind both
+    Spark's per-partition TakeOrdered fold and the incremental index."""
     t = (
-        _documents(spark, sf_dir)
-        .select("doc_id", F.size(words_col()).cast("bigint").alias("n_tokens"))
+        docs.select(
+            "doc_id", F.size(words_col()).cast("bigint").alias("n_tokens")
+        )
         .filter(F.col("n_tokens") >= 1)
         .withColumn(
             "h", ((F.col("doc_id") % 2147483648) * SAMPLE_MULT) % 4294967296
@@ -4554,12 +4570,7 @@ def q233_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.log((F.col("h") + 1).cast("double") / F.lit(float(WS_U_DEN))) / F.col(
         "n_tokens"
     ).cast("double")
-    return (
-        t.withColumn("es_key", key)
-        .orderBy(F.desc("es_key"), F.asc("doc_id"))
-        .limit(WS_K)
-        .select("doc_id", "n_tokens")
-    )
+    return t.select("doc_id", "n_tokens", key.alias("es_key"))
 
 
 # --- q234: stratified quota sample (proportional allocation, largest remainder) ------

@@ -18,6 +18,8 @@ generated); streaming_tumbling_hourly uses them properly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1121,6 +1123,59 @@ def streaming_bin_histogram_materialize(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def es_topk_writer(
+    spark: SparkSession, docs_dir: str, state_dir: str, k: int,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_es_topk_materialize."""
+    from ..queries.text import es_keys
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cur = es_keys(batch_df)
+        prev = os.path.join(state_dir, f"g{int(batch_id) - 1}")
+        if os.path.isdir(prev):
+            cur = spark.read.parquet(prev).unionByName(cur)
+        (
+            cur.orderBy(F.desc("es_key"), F.asc("doc_id"))
+            .limit(k)
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"g{int(batch_id)}"))
+        )
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_es_topk_materialize(
+    spark: SparkSession, docs_dir: str, state_dir: str, k: int,
+    checkpoint: str | None = None, **kw
+) -> str:
+    """Incremental maintenance of the weighted top-k sample index (q235;
+    q233's serving face): each arriving micro-batch is keyed by the SHARED
+    es_keys law, merged with the previous epoch's k-row index, and the new
+    top-k written as GENERATION g{batch_id} — a replayed epoch re-derives
+    its generation from g{batch_id-1} and overwrites it with identical
+    content (the keys are per-doc deterministic and top-k is a mergeable
+    fold), so the maintenance is exactly-once by idempotent epoch write
+    without ever reading and overwriting the same path in one job. Returns
+    the final generation's path. State is k rows per generation — the index
+    a 100 TB rolling ingest keeps beside its dedup artifacts, at metadata
+    size."""
+    q = es_topk_writer(spark, docs_dir, state_dir, k, checkpoint, **kw).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    gens = sorted(
+        (int(n[1:]) for n in os.listdir(state_dir) if n.startswith("g")),
+    )
+    return os.path.join(state_dir, f"g{gens[-1]}")
 
 
 def streaming_classifier_scores_materialize(

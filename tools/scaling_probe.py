@@ -172,6 +172,7 @@ PROBES = [
     "q231_psi_drift",
     "q233_weighted_sample_topk",
     "q234_stratified_quota_sample",
+    "q236_scd2_user_dimension",
 ]
 
 
