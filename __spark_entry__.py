@@ -486,7 +486,8 @@ _ROUND11_GATE = frozenset(
 # quota sample (proportional allocation, largest-remainder seating), q235
 # stream-maintained weighted sample index (per-epoch mergeable top-k
 # generations, q233's serving face), q236 SCD2 effective-dated dimension
-# build from the event log.
+# build from the event log, q237 incremental SCD2 merge (the MERGE INTO
+# pattern, gated to equal q236's full rebuild).
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

@@ -1287,18 +1287,103 @@ def q236_scd2_user_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ROW_NUMBER + LEAD share one window spec, one sort). At 100 TB the
     incremental form closes only the current versions of users present in
     the new batch — an equi-join on user_id against the open-version
-    partition, never a dimension rebuild (the q212 frozen-artifact
-    posture)."""
+    partition, never a dimension rebuild (q237 IS that form, gated to
+    equal this rebuild exactly)."""
+    return scd2_versions(
+        _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    )
+
+
+def scd2_versions(ev: DataFrame) -> DataFrame:
+    """SCD2 versions over any (user_id, ts, event_id, value) event relation
+    — q236's body, extracted so the incremental merge (q237) builds its
+    frozen corpus dimension and its batch-side versions with the IDENTICAL
+    law."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        _events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version_n"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        "value",
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# --- q237: incremental SCD2 merge (the MERGE INTO pattern, gated vs the rebuild) -----
+SCD2_CUTOFF = "2024-01-25"  # corpus = events before, incoming batch = at/after
+
+
+@query(
+    "q237_scd2_incremental_merge",
+    # the merged dimension must equal q236's full rebuild EXACTLY — the
+    # incremental form's whole contract (valid because every batch event is
+    # strictly later than every corpus event for the same user)
+    """
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
+           ts AS effective_from,
+           LEAD(ts) OVER w AS effective_to,
+           value,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("events", "window", "temporal", "incremental", "pipeline"),
+)
+def q237_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse MERGE INTO: an incoming purchase batch (ts >=
+    {SCD2_CUTOFF}) folded into the FROZEN corpus dimension (q236's law over
+    ts < {SCD2_CUTOFF}) — close each affected user's open version at the
+    user's first batch timestamp, append the batch's versions numbered
+    from the user's corpus max, pass every untouched row through. The
+    oracle is q236's FULL REBUILD: hash equality proves the merge is exact,
+    which holds because a time-cutoff batch is strictly later than the
+    corpus for every user (the assumption real SCD2 merges rely on — late
+    data breaks them, and this gate is the test that would catch it).
+
+    Scale shape: the corpus dimension is the persisted artifact; the merge
+    touches (a) the batch (window per user over batch rows only) and (b)
+    the open-version slice of affected users (equi-join on user_id — with
+    the dimension partitioned by is_current, the closed-version mass is
+    never read). Cost is O(batch + affected open versions), not
+    O(dimension) — the q212 frozen-artifact posture on the time axis."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cutoff = F.to_timestamp(F.lit(SCD2_CUTOFF))
+    corpus_dim = scd2_versions(ev.filter(F.col("ts") < cutoff))
+    batch = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = corpus_dim.groupBy("user_id").agg(
+        F.max("version_n").alias("base_ver")
+    )
+    new_rows = (
+        batch.withColumn("rn", F.row_number().over(wb))
+        .withColumn("next_ts", F.lead("ts").over(wb))
+        .join(base, "user_id", "left")
         .select(
             "user_id",
-            F.row_number().over(w).cast("bigint").alias("version_n"),
+            (F.coalesce("base_ver", F.lit(0)) + F.col("rn"))
+            .cast("bigint")
+            .alias("version_n"),
             F.col("ts").alias("effective_from"),
-            F.lead("ts").over(w).alias("effective_to"),
+            F.col("next_ts").alias("effective_to"),
             "value",
-            F.lead("ts").over(w).isNull().alias("is_current"),
+            F.col("next_ts").isNull().alias("is_current"),
         )
     )
+    first_batch = batch.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    closed = corpus_dim.join(first_batch, "user_id", "left").select(
+        "user_id",
+        "version_n",
+        "effective_from",
+        F.when(
+            F.col("is_current") & F.col("first_ts").isNotNull(), F.col("first_ts")
+        )
+        .otherwise(F.col("effective_to"))
+        .alias("effective_to"),
+        "value",
+        (F.col("is_current") & F.col("first_ts").isNull()).alias("is_current"),
+    )
+    return closed.unionByName(new_rows)

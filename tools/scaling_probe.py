@@ -173,6 +173,7 @@ PROBES = [
     "q233_weighted_sample_topk",
     "q234_stratified_quota_sample",
     "q236_scd2_user_dimension",
+    "q237_scd2_incremental_merge",
 ]
 
 
