@@ -487,7 +487,10 @@ _ROUND11_GATE = frozenset(
 # stream-maintained weighted sample index (per-epoch mergeable top-k
 # generations, q233's serving face), q236 SCD2 effective-dated dimension
 # build from the event log, q237 incremental SCD2 merge (the MERGE INTO
-# pattern, gated to equal q236's full rebuild).
+# pattern, gated to equal q236's full rebuild), q238 temporal
+# point-in-time join against the SCD2 dimension (Flink's FOR SYSTEM_TIME
+# AS OF, run as the as-of carry), q239 its streaming face (per-micro-batch
+# as-of against the persisted dimension, gated to equal the batch join).
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

@@ -1387,3 +1387,80 @@ def q237_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("is_current") & F.col("first_ts").isNull()).alias("is_current"),
     )
     return closed.unionByName(new_rows)
+
+
+# --- q238: temporal (point-in-time) join against the SCD2 dimension ------------------
+_SCD2_DIM_SQL = """
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
+           ts AS effective_from,
+           LEAD(ts) OVER w AS effective_to,
+           value
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query(
+    "q238_temporal_state_join",
+    f"""
+    WITH dim AS ({_SCD2_DIM_SQL}),
+    views AS (SELECT user_id, ts, event_id AS view_id FROM events
+              WHERE event_type = 'view')
+    SELECT v.view_id, v.user_id, v.ts, d.version_n,
+           d.value AS state_value
+    FROM views v LEFT JOIN dim d
+      ON v.user_id = d.user_id AND d.effective_from <= v.ts
+         AND (d.effective_to IS NULL OR v.ts < d.effective_to)
+    """,
+    tags=("events", "join", "asof", "temporal", "pipeline"),
+)
+def q238_temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's temporal table join, Spark-first: every view event enriched
+    with the SCD2 dimension version (q236) in effect AT the view's event
+    time — the point-in-time lookup a Flink user writes as `FOR SYSTEM_TIME
+    AS OF` against a versioned table. The oracle states the contract as the
+    half-open interval join (effective_from <= ts < effective_to, open
+    version unbounded), which matches at most one version per event BY
+    CONSTRUCTION since a user's versions partition the timeline.
+
+    The engine runs it as the as-of carry (operators/asof.py — one shuffle,
+    no interval blow-up): latest effective_from <= ts picks the covering
+    version, after collapsing zero-length versions (two purchases at one
+    timestamp) to their highest version_n, which is exactly the version
+    covering that instant under the half-open contract. Views before the
+    user's first purchase keep NULL state (left semantics).
+
+    Scale shape: one shuffle each side on user_id, the union-window carry,
+    zero interval-join fan-out. At 100 TB this is the enrichment pattern
+    for any versioned dimension: facts never scan closed versions."""
+    from ..operators.asof import as_of_join
+
+    dim = temporal_dim(spark, sf_dir)
+    views = _events(spark, sf_dir).filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    return as_of_join(
+        views, dim, on=["user_id"], left_ts="ts", right_ts="effective_from"
+    ).select("view_id", "user_id", "ts", "version_n", "state_value")
+
+
+def temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of-ready SCD2 dimension: q236's versions with zero-length
+    versions (equal effective_from within a user) collapsed to the highest
+    version_n — the relation both the batch temporal join (q238) and the
+    streaming enrichment (q239) look up."""
+    dim = scd2_versions(
+        _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    )
+    wd = Window.partitionBy("user_id", "effective_from").orderBy(
+        F.desc("version_n")
+    )
+    return (
+        dim.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "effective_from", "version_n",
+            F.col("value").alias("state_value"),
+        )
+    )

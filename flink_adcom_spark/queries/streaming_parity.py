@@ -946,6 +946,54 @@ def q235_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(final).select("doc_id", "n_tokens")
 
 
+# --- q239: streaming temporal table join vs the batch point-in-time join ----------
+def _q239_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # streamed per-batch enrichments against the persisted SCD2 dimension
+    # must equal q238's batch temporal join exactly (dimension frozen)
+    return _REGISTRY["q238_temporal_state_join"].oracle
+
+
+@query(
+    "q239_stream_temporal_enrich",
+    _q239_oracle(),
+    tags=("streaming", "join", "asof", "temporal", "incremental", "pipeline"),
+)
+def q239_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's temporal table join run as the REAL stream, externally gated
+    (q238's serving face): the view events replayed as a 4-micro-batch
+    stream, each batch as-of joined against the PERSISTED SCD2 dimension
+    (q236's artifact, written to parquet once — `FOR SYSTEM_TIME AS OF` in
+    Flink terms) through the SHARED as_of_join body, enriched rows landing
+    as batch_id-partitioned idempotent epochs. The drained relation must
+    hash-match q238's batch join — the lookup is stateless per event
+    against a frozen dimension, so enrichment is independent of how the
+    stream is micro-batched.
+
+    Scale shape: per micro-batch cost is one user_id shuffle of the batch
+    + the as-of carry against the dimension scan; at 100 TB the dimension
+    is bucketed by user_id so only the batch side shuffles."""
+    from .events import temporal_dim
+
+    work = gate_workdir("temporal_stream_gate")
+    feed = os.path.join(work, "feed")
+    dim_path = os.path.join(work, "dim")
+    out = os.path.join(work, "enriched")
+    ev = load_table(spark, sf_dir, "events")
+    temporal_dim(spark, sf_dir).write.mode("overwrite").parquet(dim_path)
+    ev.filter(F.col("event_type") == "view").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(feed)
+    jobs.streaming_temporal_enrich_materialize(
+        spark, feed, out, dim_path,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select(
+        "view_id", "user_id", "ts", "version_n", "state_value"
+    )
+
+
 # --- q189: the LIVE adaptive runner's decisions vs the band law ------------------
 RUNNER_TRACE_DECISIONS = 25  # decisions requested from the live paced runner
 RUNNER_TRACE_MIN = 8  # floor below which the gate is a scheduling failure

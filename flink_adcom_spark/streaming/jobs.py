@@ -1178,6 +1178,52 @@ def streaming_es_topk_materialize(
     return os.path.join(state_dir, f"g{gens[-1]}")
 
 
+def temporal_enrich_writer(
+    spark: SparkSession, views_dir: str, out_path: str, dim_path: str,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_temporal_enrich_materialize."""
+    from ..operators.asof import as_of_join
+    from ..operators.storage import upsert_partitions
+
+    stream = _documents_stream(spark, views_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dim = spark.read.parquet(dim_path)
+        out = as_of_join(
+            batch_df.select("user_id", "ts", F.col("event_id").alias("view_id")),
+            dim, on=["user_id"], left_ts="ts", right_ts="effective_from",
+        ).select("view_id", "user_id", "ts", "version_n", "state_value").withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_temporal_enrich_materialize(
+    spark: SparkSession, views_dir: str, out_path: str, dim_path: str,
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Streaming temporal table join (q239; Flink's `FOR SYSTEM_TIME AS OF`
+    lookup as a Spark micro-batch job): each arriving view batch is as-of
+    joined against the PERSISTED SCD2 dimension (q236's artifact written
+    once), enriched rows landing as batch_id-partitioned idempotent epochs.
+    The lookup is stateless per event (the dimension is frozen across the
+    run), so any micro-batching drains to the same enriched relation —
+    batching-invariance is the gate."""
+    q = temporal_enrich_writer(
+        spark, views_dir, out_path, dim_path, checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_classifier_scores_materialize(
     spark: SparkSession, docs_dir: str, out_path: str, weights: list[int],
     checkpoint: str | None = None, **kw

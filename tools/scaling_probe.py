@@ -174,6 +174,7 @@ PROBES = [
     "q234_stratified_quota_sample",
     "q236_scd2_user_dimension",
     "q237_scd2_incremental_merge",
+    "q238_temporal_state_join",
 ]
 
 
