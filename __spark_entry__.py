@@ -490,7 +490,10 @@ _ROUND11_GATE = frozenset(
 # pattern, gated to equal q236's full rebuild), q238 temporal
 # point-in-time join against the SCD2 dimension (Flink's FOR SYSTEM_TIME
 # AS OF, run as the as-of carry), q239 its streaming face (per-micro-batch
-# as-of against the persisted dimension, gated to equal the batch join).
+# as-of against the persisted dimension, gated to equal the batch join),
+# q240 erasure manifest (right-to-be-forgotten with near-dup closure —
+# a deleted doc's whole cluster purges, so content cannot survive via its
+# simhash copies or its kept canonical).
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

@@ -905,6 +905,65 @@ def q110_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q240: erasure (right-to-be-forgotten) with near-dup closure ---------------------
+DELETE_MOD, DELETE_REM = 101, 7  # the erasure request list: doc_id % 101 == 7 (~1%)
+
+
+@query(
+    "q240_erasure_manifest",
+    "WITH RECURSIVE " + _manifest_ctes() + f""",
+    del AS (SELECT doc_id FROM documents
+            WHERE doc_id % {DELETE_MOD} = {DELETE_REM}),
+    delc AS (
+      SELECT c2.doc_id
+      FROM clusters c1 JOIN clusters c2 ON c1.cluster_id = c2.cluster_id
+      WHERE c1.doc_id IN (SELECT doc_id FROM del)
+      UNION
+      SELECT doc_id FROM del
+    )
+    SELECT m.doc_id, m.lang, m.n_tokens, m.split FROM manifest m
+    WHERE m.doc_id NOT IN (SELECT doc_id FROM delc)
+    """,
+    tags=("dedup", "components", "pipeline", "composite"),
+)
+def q240_erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training manifest AFTER honoring an erasure request list
+    (right-to-be-forgotten), with NEAR-DUP CLOSURE: a deleted document's
+    whole near-dup cluster (q45) is purged, not just the requested id —
+    without the closure, erased content silently survives training through
+    its 3-bit-simhash copies (and through the cluster CANONICAL: if the
+    deleted doc was a non-canonical member, its text lives on in the kept
+    canonical — the closure is what makes the erasure real). The within-
+    corpus complement of q48's benchmark decontamination, on the deletion
+    axis.
+
+    Scale shape: the request list and its cluster expansion are two
+    left-semi joins against the session-memoized cluster relation (the
+    artifact the dedup pass already maintains) + one anti-join on the
+    manifest — O(manifest + clusters), no new corpus scan. Run it as the
+    manifest rebuild step of every erasure SLA window."""
+    deleted = (
+        _documents(spark, sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") % DELETE_MOD == DELETE_REM)
+    )
+    clusters = _neardup_clusters(spark, sf_dir)
+    bad_clusters = (
+        clusters.join(deleted, "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    expanded = (
+        clusters.join(bad_clusters, "cluster_id", "left_semi")
+        .select("doc_id")
+        .union(deleted)
+        .distinct()
+    )
+    return q110_training_manifest(spark, sf_dir).join(
+        expanded, "doc_id", "left_anti"
+    )
+
+
 # --- span-level exact dedup (C4 / MassiveText duplicate-span removal) ---------
 SPAN_W = 16  # tokens per span (the "duplicate three-sentence span" analogue)
 SPAN_KEY_SHIFT = 1 << 20  # (doc_id, span_idx) -> doc_id * SHIFT + idx; holds

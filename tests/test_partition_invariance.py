@@ -36,6 +36,17 @@ CASES = [
     "q143_daily_anomaly",
     "q144_dup_rate_by_source",
     "q147_value_concentration",
+    # round-12 additions: the banded prefix sum's band/window split, the
+    # float-keyed ES top-k's membership, the largest-remainder seating, and
+    # the as-of carry against equal-timestamp SCD2 versions are exactly the
+    # shapes where a shuffle-layout dependence would hide
+    "q230_token_budget_select",
+    "q231_psi_drift",
+    "q233_weighted_sample_topk",
+    "q234_stratified_quota_sample",
+    "q236_scd2_user_dimension",
+    "q237_scd2_incremental_merge",
+    "q238_temporal_state_join",
 ]
 
 
