@@ -4676,3 +4676,294 @@ def q234_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("q"))
         .select("lang", "bucket", "doc_id")
     )
+
+
+# --- CCNet-style reference-trained LM perplexity (q241/q242) -------------------
+# The canonical curation step q31/q136 only proxy: CCNet (Wenzek et al. 2020,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl Data")
+# trains a per-language KenLM on a CURATED reference corpus (Wikipedia) and
+# scores every crawled document by cross-entropy under that LM; documents are
+# then bucketed head/middle/tail per language by equal-population score
+# terciles. Here the reference slice is one curated feed (CCNET_REF_SOURCE)
+# and the LM is the add-one-smoothed bigram model q136 already proved
+# engine-portable — trained on the reference slice ONLY, with a per-language
+# vocabulary and an explicit <unk> type so out-of-reference words score
+# against the smoothing floor instead of silently vanishing.
+CCNET_REF_SOURCE = "src0"  # the curated reference feed (CCNet: Wikipedia)
+CCNET_UNK = "<unk>"
+# docs threshold under which the LM relations (vocab, bigram/predecessor
+# counts — O(reference bigram types) rows) are safely broadcastable; the
+# q190 LANGID_BCAST_MAX_DOCS size-gate discipline. Past it they join as
+# ordinary shuffle joins (a 100 TB deployment buckets them by (lang, w1)).
+CCNET_BCAST_MAX_DOCS = 2_000_000
+
+
+def _ccnet_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, w1, w2) adjacent-token pairs — q136's one-scan
+    slice-zip extraction (no self-join), with the source column carried so
+    the SAME body yields both the reference-slice training rows and the
+    score-side rows."""
+    w = words_col()
+    n = F.size(w)
+    return (
+        docs.filter(n >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(w, 1, n - 1),
+                    F.slice(w, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram"),
+        )
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .drop("bigram")
+    )
+
+
+def _ccnet_lm(spark: SparkSession, sf_dir: str):
+    """(vw, v, bc, uc): the per-language reference LM artifact relations —
+    vocabulary words, vocabulary size (+1 for the <unk> type), bigram counts,
+    predecessor counts — each session-memoized per (sf_dir, table
+    fingerprint) like similarity._pq_books: the LM is a fixed-cost artifact
+    a pipeline trains once and every scoring pass reuses."""
+    from ..tables import memo_relation
+
+    def ref_docs() -> DataFrame:
+        return widen_scan(_documents(spark, sf_dir)).filter(
+            F.col("source") == CCNET_REF_SOURCE
+        )
+
+    vw = memo_relation(
+        spark, sf_dir, "ccnet_vw",
+        lambda: ref_docs()
+        .select("lang", F.explode(words_col()).alias("word"))
+        .distinct(),
+    )
+    v = memo_relation(
+        spark, sf_dir, "ccnet_v",
+        lambda: vw.groupBy("lang").agg(
+            (F.count(F.lit(1)) + 1).cast("double").alias("vocab")
+        ),
+    )
+    bc = memo_relation(
+        spark, sf_dir, "ccnet_bc",
+        lambda: _ccnet_bigrams(ref_docs())
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12")),
+    )
+    uc = memo_relation(
+        spark, sf_dir, "ccnet_uc",
+        lambda: _ccnet_bigrams(ref_docs())
+        .groupBy("lang", "w1")
+        .agg(F.count(F.lit(1)).alias("c1")),
+    )
+    return vw, v, bc, uc
+
+
+def ccnet_score_vs_lm(
+    batch_docs: DataFrame,
+    vw: DataFrame,
+    v: DataFrame,
+    bc: DataFrame,
+    uc: DataFrame,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(doc_id, lang, n_bigrams, cross_entropy) for every >=2-token document
+    in `batch_docs`, scored against a FROZEN reference LM — the shared body
+    of the batch scorer (q241) and its streaming face: out-of-vocabulary
+    tokens map to <unk> (two equi-joins against the vocabulary), then each
+    mapped bigram looks up its reference counts and scores
+    -ln((c12+1)/(c1+V)) — unseen pairs fall to the add-one smoothing floor
+    via COALESCE(0). cross_entropy is the per-doc mean, rounded 6dp (the
+    q77/q136 transcendental discipline). Documents in a language with no
+    reference slice drop out (the inner vocab-size join): CCNet likewise
+    scores only languages it has an LM for.
+
+    Scale shape: one token-linear scan + four equi-joins against the LM
+    relations (broadcast under the size gate, bucketed by (lang, w1) at
+    100 TB) + one per-doc aggregation. No window, no self-join."""
+
+    def gate(df: DataFrame) -> DataFrame:
+        if n_docs is not None and n_docs <= CCNET_BCAST_MAX_DOCS:
+            return F.broadcast(df)
+        return df
+
+    bg = _ccnet_bigrams(batch_docs)
+    k1 = vw.select("lang", F.col("word").alias("w1"), F.lit(1).alias("k1"))
+    k2 = vw.select("lang", F.col("word").alias("w2"), F.lit(1).alias("k2"))
+    m = (
+        bg.join(gate(k1), ["lang", "w1"], "left")
+        .join(gate(k2), ["lang", "w2"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("k1").isNull(), F.lit(CCNET_UNK))
+            .otherwise(F.col("w1"))
+            .alias("u1"),
+            F.when(F.col("k2").isNull(), F.lit(CCNET_UNK))
+            .otherwise(F.col("w2"))
+            .alias("u2"),
+        )
+    )
+    bcr = bc.select(
+        "lang", F.col("w1").alias("u1"), F.col("w2").alias("u2"), "c12"
+    )
+    ucr = uc.select("lang", F.col("w1").alias("u1"), "c1")
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + 1.0)
+        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.col("vocab"))
+    )
+    return (
+        m.join(gate(bcr), ["lang", "u1", "u2"], "left")
+        .join(gate(ucr), ["lang", "u1"], "left")
+        .join(gate(v), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-lp), 6).alias("cross_entropy"),
+        )
+    )
+
+
+def _ccnet_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized full-corpus CCNet score relation — q241's output,
+    reused by the tercile bucketing (q242) and the curriculum order so the
+    LM join pipeline runs once per table generation."""
+    from ..tables import memo_relation
+
+    def build() -> DataFrame:
+        vw, v, bc, uc = _ccnet_lm(spark, sf_dir)
+        return ccnet_score_vs_lm(
+            widen_scan(_documents(spark, sf_dir)),
+            vw, v, bc, uc,
+            n_docs=_doc_count(spark, sf_dir),
+        )
+
+    return memo_relation(spark, sf_dir, "ccnet_scores", build)
+
+
+def _ccnet_score_sql(lm_filter: str = "", score_filter: str = "") -> str:
+    """The q241 oracle as a template: `lm_filter` narrows the TRAINING slice
+    (the streaming face freezes the LM on corpus-only docs), `score_filter`
+    narrows the SCORED docs (prefix each with ' AND ')."""
+    return f"""
+    WITH d AS (SELECT doc_id, lang, source, {_WORDS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT doc_id, lang, source,
+             unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      FROM d WHERE len(w) >= 2
+    ),
+    vw AS (SELECT DISTINCT lang, word FROM (
+             SELECT lang, unnest(w) AS word FROM d
+             WHERE source = '{CCNET_REF_SOURCE}'{lm_filter}) t),
+    v AS (SELECT lang, CAST(COUNT(*) + 1 AS DOUBLE) AS vocab FROM vw GROUP BY lang),
+    bc AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bg
+           WHERE source = '{CCNET_REF_SOURCE}'{lm_filter} GROUP BY lang, w1, w2),
+    uc AS (SELECT lang, w1, COUNT(*) AS c1 FROM bg
+           WHERE source = '{CCNET_REF_SOURCE}'{lm_filter} GROUP BY lang, w1),
+    m AS (
+      SELECT b.doc_id, b.lang,
+             CASE WHEN v1.word IS NULL THEN '{CCNET_UNK}' ELSE b.w1 END AS u1,
+             CASE WHEN v2.word IS NULL THEN '{CCNET_UNK}' ELSE b.w2 END AS u2
+      FROM bg b
+      LEFT JOIN vw v1 ON v1.lang = b.lang AND v1.word = b.w1
+      LEFT JOIN vw v2 ON v2.lang = b.lang AND v2.word = b.w2
+      WHERE TRUE{score_filter}
+    )
+    SELECT m.doc_id, m.lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((CAST(COALESCE(bc.c12, 0) AS DOUBLE) + 1) /
+                         (CAST(COALESCE(uc.c1, 0) AS DOUBLE) + v.vocab))), 6)
+             AS cross_entropy
+    FROM m
+    LEFT JOIN bc ON bc.lang = m.lang AND bc.w1 = m.u1 AND bc.w2 = m.u2
+    LEFT JOIN uc ON uc.lang = m.lang AND uc.w1 = m.u1
+    JOIN v ON v.lang = m.lang
+    GROUP BY m.doc_id, m.lang
+    """
+
+
+@query(
+    "q241_ccnet_lm_score",
+    _ccnet_score_sql(),
+    tags=("text", "quality", "ngram", "lm", "pipeline"),
+)
+def q241_ccnet_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a reference-trained per-language
+    bigram LM — the CCNet scoring pass (Wenzek et al. 2020): the LM trains
+    on the curated CCNET_REF_SOURCE slice only, everything (reference docs
+    included) is scored against it, and words outside the reference
+    vocabulary score as <unk>. Unlike q136's self-trained fluency score,
+    this measures distance from a QUALITY TARGET: boilerplate that is
+    frequent in the crawl but absent from the reference scores high
+    cross-entropy even though it is locally fluent.
+
+    Scale shape: see ccnet_score_vs_lm — the LM relations are fixed-cost
+    artifacts (memoized here, parquet at deployment), scoring is one
+    token-linear scan + equi-joins, no window or self-join anywhere."""
+    return _ccnet_scores(spark, sf_dir)
+
+
+_CCNET_BUCKET_SQL = (
+    "CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
+    "ELSE 'tail' END"
+)
+
+
+@query(
+    "q242_ccnet_ppl_buckets",
+    f"""
+    WITH s AS ({_ccnet_score_sql()}),
+    r AS (SELECT lang, doc_id, n_bigrams, cross_entropy,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY cross_entropy, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM s)
+    SELECT lang, {_CCNET_BUCKET_SQL} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+           ROUND(AVG(cross_entropy), 6) AS avg_ce
+    FROM r GROUP BY lang, bucket
+    """,
+    tags=("text", "quality", "lm", "audit", "pipeline", "composite"),
+)
+def q242_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition: per language, documents
+    rank into equal-population cross-entropy terciles (exact integer rank
+    law over the deterministic (cross_entropy, doc_id) order — the
+    q78/q222 discipline, portable where NTILE tie-handling is not), and
+    the table reports each bucket's population, bigram mass, and mean
+    cross-entropy. 'head' is the reference-like third a high-quality
+    mixture keeps; 'tail' is what a CCNet pipeline drops or down-weights.
+    Composed from q241's verified relation, so the buckets can never be
+    reported against different scores than the gate uses.
+
+    Scale shape: the exact per-language rank is the audited baseline (one
+    bounded sort per language at eval scale); at 100 TB swap the rank law
+    for percentile_approx cuts over a sample — CCNet itself derives its
+    cutoffs from a sampled histogram (the q222 scale note)."""
+    from pyspark.sql import Window
+
+    s = _ccnet_scores(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    r = s.select(
+        "lang",
+        "n_bigrams",
+        "cross_entropy",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    bucket = (
+        F.when(F.expr("((rk - 1) * 3) DIV n") == 0, "head")
+        .when(F.expr("((rk - 1) * 3) DIV n") == 1, "middle")
+        .otherwise("tail")
+    )
+    return r.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
+        F.round(F.avg("cross_entropy"), 6).alias("avg_ce"),
+    )
