@@ -4967,3 +4967,98 @@ def q242_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
         F.round(F.avg("cross_entropy"), 6).alias("avg_ce"),
     )
+
+
+# --- q243: curriculum-ordered training manifest --------------------------------
+# Distinct additive seed for the curriculum permutation (SHA-256 h0 constant —
+# a public nothing-up-my-sleeve number): the SAME Knuth multiplicative law as
+# the q180 shard permutation, but a different epoch-independent ordering so a
+# pipeline can export shards and a curriculum from the same corpus without the
+# two permutations aliasing.
+CURR_SEED = 1779033703
+_CURR_SKEY_SQL = (
+    f"CAST(((doc_id % 2147483648) * {SHARD_MULT} + {CURR_SEED}) "
+    "% 4294967296 AS BIGINT)"
+)
+
+
+@query(
+    "q243_curriculum_order",
+    f"""
+    WITH s AS ({_ccnet_score_sql()}),
+    r AS (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY cross_entropy, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM s),
+    st AS (SELECT doc_id, lang,
+                  CAST(((rk - 1) * 3) // n AS BIGINT) AS stage,
+                  {_CURR_SKEY_SQL} AS skey
+           FROM r)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY stage, skey, doc_id) AS BIGINT)
+             AS pos,
+           doc_id, lang, stage
+    FROM st
+    """,
+    tags=("text", "quality", "lm", "sample", "pipeline", "composite"),
+)
+def q243_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training manifest: every document's global training
+    position, easiest stage first. Stage = the document's per-language CCNet
+    cross-entropy tercile (0 = reference-like 'head' ... 2 = 'tail' — models
+    see clean text before noisy text, the curriculum-learning recipe);
+    within a stage the order is a SEEDED permutation (Knuth multiplicative
+    skey, q38/q180 discipline — reproducible across runs, engines and
+    partitionings, unlike rand()), tie-broken by doc_id.
+
+    Scale shape: the global position is a TWO-PHASE prefix count, never a
+    global sort — skey is uniform in [0, 2^32) so fixed-width key ranges
+    are order-aligned cells inside each stage; only the <= 3 x PACK_SHARDS
+    cell counts visit the driver (the sharded_prefix_sum law), and each
+    cell's row_number window sorts independently in parallel. The stage
+    assignment reuses q242's rank law (its 100 TB swap: sampled percentile
+    cuts)."""
+    from pyspark.sql import Window
+
+    s = _ccnet_scores(spark, sf_dir)
+    wl = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    st = (
+        s.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(wl).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CAST(((rk - 1) * 3) DIV n AS BIGINT)").alias("stage"),
+            (
+                ((F.col("doc_id") % 2147483648) * SHARD_MULT + CURR_SEED)
+                % 4294967296
+            ).cast("bigint").alias("skey"),
+        )
+        .withColumn("rng", F.expr(f"skey DIV {_SHARD_KEY_W}"))
+    )
+    # bounded collect: <= 3 stages x PACK_SHARDS key-range cells
+    cells = {
+        (r["stage"], r["rng"]): r["c"]
+        for r in st.groupBy("stage", "rng").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    base, offsets = 0, {}
+    for cell in sorted(cells):
+        offsets[cell] = base
+        base += cells[cell]
+    off_map = F.create_map(
+        *[
+            F.lit(x)
+            for (stg, rng) in sorted(offsets)
+            for x in (stg * PACK_SHARDS + rng, offsets[(stg, rng)])
+        ]
+    )
+    wc = Window.partitionBy("stage", "rng").orderBy("skey", "doc_id")
+    pos = (
+        off_map[F.col("stage") * PACK_SHARDS + F.col("rng")]
+        + F.row_number().over(wc)
+    ).cast("bigint")
+    return st.select(pos.alias("pos"), "doc_id", "lang", "stage")
