@@ -1238,3 +1238,76 @@ def q184_stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame
         checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
     )
     return spark.read.parquet(out).select("doc_id", "label", "score", "correct")
+
+
+# --- q244: stream-side CCNet LM scoring vs the batch scorer --------------------
+def _q244_oracle() -> str:
+    from .dedup import NEW_BATCH_MOD
+    from .text import _ccnet_score_sql
+
+    new_mod = f"% {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}"
+    # the LM trains on corpus-only docs (frozen before the ingest); only the
+    # incoming batch is scored
+    return _ccnet_score_sql(
+        lm_filter=f" AND NOT (doc_id {new_mod})",
+        score_filter=f" AND b.doc_id {new_mod}",
+    )
+
+
+@query(
+    "q244_stream_ccnet_score",
+    _q244_oracle(),
+    tags=("streaming", "text", "quality", "lm", "incremental", "pipeline"),
+)
+def q244_stream_ccnet_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest CCNet LM scoring, externally gated (the serving face
+    of q241, the q198/q205/q213 gating pattern): the incoming batch
+    (doc_id % 5 == 4) is replayed as a 4-micro-batch document stream; each
+    micro-batch is scored against the PERSISTED reference-LM artifacts
+    (q241's vocabulary/vocab-size/bigram/predecessor relations, trained on
+    the CORPUS docs' reference slice only and written to parquet once —
+    what a rolling ingest maintains beside its dedup index) through the
+    SHARED ccnet_score_vs_lm body, scores landing as batch_id-partitioned
+    idempotent epochs. The drained (doc_id, lang, n_bigrams,
+    cross_entropy) rows must hash-match the batch scoring of the same docs
+    under the same frozen LM — proving an arriving document receives its
+    quality score at ingest time, identically under any micro-batching,
+    BEFORE it can enter the mixture (the CCNet gate applied at the door,
+    not in a nightly rebuild).
+
+    Scale shape: per micro-batch cost is O(batch tokens) bigram extraction
+    + four broadcast probes against the LM artifacts + one per-doc
+    aggregation; nothing rescans the corpus."""
+    from .dedup import NEW_BATCH_MOD
+    from .text import CCNET_REF_SOURCE, _ccnet_bigrams, words_col
+
+    work = gate_workdir("ccnet_stream_gate")
+    feed = os.path.join(work, "feed")
+    lm_dir = os.path.join(work, "lm")
+    out = os.path.join(work, "scores")
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    # the persisted LM artifacts: trained once on the corpus reference slice
+    ref = docs.filter(~is_new & (F.col("source") == CCNET_REF_SOURCE))
+    vw = ref.select("lang", F.explode(words_col()).alias("word")).distinct()
+    vw.write.mode("overwrite").parquet(f"{lm_dir}/vw")
+    vw_p = spark.read.parquet(f"{lm_dir}/vw")
+    vw_p.groupBy("lang").agg(
+        (F.count(F.lit(1)) + 1).cast("double").alias("vocab")
+    ).write.mode("overwrite").parquet(f"{lm_dir}/v")
+    bg = _ccnet_bigrams(ref)
+    bg.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).write.mode("overwrite").parquet(f"{lm_dir}/bc")
+    bg.groupBy("lang", "w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    ).write.mode("overwrite").parquet(f"{lm_dir}/uc")
+    # the ingest stream: the batch docs, 4 micro-batches
+    docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_ccnet_score_materialize(
+        spark, feed, out, lm_dir,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select(
+        "doc_id", "lang", "n_bigrams", "cross_entropy"
+    )

@@ -1274,3 +1274,55 @@ def classifier_scores_writer(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def ccnet_score_writer(
+    spark: SparkSession, docs_dir: str, out_path: str, lm_dir: str,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_ccnet_score_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.text import ccnet_score_vs_lm
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        vw = spark.read.parquet(f"{lm_dir}/vw")
+        v = spark.read.parquet(f"{lm_dir}/v")
+        bc = spark.read.parquet(f"{lm_dir}/bc")
+        uc = spark.read.parquet(f"{lm_dir}/uc")
+        # persisted LM artifacts are pre-sized at build time; the serve-side
+        # probe always broadcast-hints them (n_docs=0 — a deployment re-gates
+        # the hint when the artifact outgrows the broadcast limit)
+        out = ccnet_score_vs_lm(batch_df, vw, v, bc, uc, n_docs=0).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_ccnet_score_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str, lm_dir: str,
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Rolling-ingest CCNet LM scoring (the q241 batch scorer as the
+    per-micro-batch stream): each arriving document batch is scored against
+    the PERSISTED reference-LM artifacts (vocabulary, vocab sizes, bigram
+    and predecessor counts — parquet tables trained once on the corpus
+    reference slice, never re-derived at serve time) through the SHARED
+    ccnet_score_vs_lm body, scores landing as batch_id-partitioned
+    idempotent epochs. The LM is frozen across the run, and cross-entropy
+    is a per-document aggregate, so any micro-batching of the ingest
+    drains to the same score set — a checkpoint-replayed batch REPLACES
+    its partition without moving any other doc's score."""
+    q = ccnet_score_writer(
+        spark, docs_dir, out_path, lm_dir, checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
