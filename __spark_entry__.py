@@ -493,7 +493,13 @@ _ROUND11_GATE = frozenset(
 # as-of against the persisted dimension, gated to equal the batch join),
 # q240 erasure manifest (right-to-be-forgotten with near-dup closure —
 # a deleted doc's whole cluster purges, so content cannot survive via its
-# simhash copies or its kept canonical).
+# simhash copies or its kept canonical), q241 CCNet reference-trained LM
+# cross-entropy scoring (per-language bigram LM trained on the curated
+# slice, <unk>-mapped OOV), q242 its head/middle/tail equal-population
+# tercile partition, q243 curriculum-ordered training manifest (staged by
+# q242's terciles, seeded within-stage permutation, two-phase positions),
+# q244 the streaming scoring face (frozen LM artifacts probed per
+# micro-batch, gated to the batch scorer).
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

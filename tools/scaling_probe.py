@@ -60,6 +60,9 @@ SF1_PROBES = frozenset([
     # samplers' bounded folds
     "q230_token_budget_select", "q231_psi_drift",
     "q233_weighted_sample_topk", "q234_stratified_quota_sample",
+    # round-12 session 2: the CCNet scorer's token-linear claim (one scan +
+    # LM equi-joins) and the curriculum's prefix-count law at 10x
+    "q241_ccnet_lm_score", "q243_curriculum_order",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -175,6 +178,12 @@ PROBES = [
     "q236_scd2_user_dimension",
     "q237_scd2_incremental_merge",
     "q238_temporal_state_join",
+    # round-12 session 2: reference-trained LM family — the scorer must be
+    # token-linear, the tercile/curriculum compositions must add only the
+    # rank/prefix-count stages over the memoized score relation
+    "q241_ccnet_lm_score",
+    "q242_ccnet_ppl_buckets",
+    "q243_curriculum_order",
 ]
 
 
