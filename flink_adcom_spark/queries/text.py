@@ -5020,50 +5020,283 @@ def q243_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts)."""
     from pyspark.sql import Window
 
-    s = _ccnet_scores(spark, sf_dir)
-    wl = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
-    st = (
-        s.select(
-            "doc_id",
-            "lang",
-            F.row_number().over(wl).alias("rk"),
-            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.expr("CAST(((rk - 1) * 3) DIV n AS BIGINT)").alias("stage"),
-            (
-                ((F.col("doc_id") % 2147483648) * SHARD_MULT + CURR_SEED)
-                % 4294967296
-            ).cast("bigint").alias("skey"),
-        )
-        .withColumn("rng", F.expr(f"skey DIV {_SHARD_KEY_W}"))
-        # both consumers below (the cell-count collect and the returned
-        # relation) read this frame; the checkpoint materializes the window
-        # stages once instead of re-deriving them per action (measured
-        # 3.8 -> ~1.9 s at sf1)
-        .localCheckpoint(eager=False)
-    )
-    # bounded collect: <= 3 stages x PACK_SHARDS key-range cells
-    cells = {
-        (r["stage"], r["rng"]): r["c"]
-        for r in st.groupBy("stage", "rng").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    base, offsets = 0, {}
-    for cell in sorted(cells):
-        offsets[cell] = base
-        base += cells[cell]
-    off_map = F.create_map(
-        *[
-            F.lit(x)
-            for (stg, rng) in sorted(offsets)
-            for x in (stg * PACK_SHARDS + rng, offsets[(stg, rng)])
-        ]
-    )
+    st = _staged_perm(spark, sf_dir)
+    off_map = _cell_offset_map(st, F.count(F.lit(1)))
     wc = Window.partitionBy("stage", "rng").orderBy("skey", "doc_id")
     pos = (
         off_map[F.col("stage") * PACK_SHARDS + F.col("rng")]
         + F.row_number().over(wc)
     ).cast("bigint")
     return st.select(pos.alias("pos"), "doc_id", "lang", "stage")
+
+
+def _staged_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, stage, skey, rng): every scored doc's curriculum stage
+    (per-language CCNet cross-entropy tercile, q242's rank law) and seeded
+    permutation key, with its order-aligned key-range cell. Session-memoized
+    (memo_relation localCheckpoints) so the q243 position law and the q246
+    token-packing law both read ONE materialization of the window stages —
+    the share that took q243 from 3.8 to ~0.9 s at sf1."""
+    from pyspark.sql import Window
+
+    from ..tables import memo_relation
+
+    def build() -> DataFrame:
+        s = _ccnet_scores(spark, sf_dir)
+        wl = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+        return (
+            s.select(
+                "doc_id",
+                "lang",
+                F.row_number().over(wl).alias("rk"),
+                F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                F.expr("CAST(((rk - 1) * 3) DIV n AS BIGINT)").alias("stage"),
+                (
+                    ((F.col("doc_id") % 2147483648) * SHARD_MULT + CURR_SEED)
+                    % 4294967296
+                ).cast("bigint").alias("skey"),
+            )
+            .withColumn("rng", F.expr(f"skey DIV {_SHARD_KEY_W}"))
+        )
+
+    return memo_relation(spark, sf_dir, "ccnet_staged_perm", build)
+
+
+def _cell_offset_map(df: DataFrame, agg) -> Column:
+    """Map expression from (stage * PACK_SHARDS + rng) to the total of `agg`
+    over all PRIOR cells in (stage, rng) order — the bounded driver state of
+    the two-phase prefix laws (q243 positions, q246 token offsets): only the
+    <= 3 x PACK_SHARDS cell totals visit the driver."""
+    cells = {
+        (r["stage"], r["rng"]): r["v"]
+        for r in df.groupBy("stage", "rng").agg(agg.alias("v")).collect()
+    }
+    base, items = 0, []
+    for cell in sorted(cells):
+        items += [F.lit(cell[0] * PACK_SHARDS + cell[1]), F.lit(base)]
+        base += cells[cell]
+    if not items:
+        return F.create_map(F.lit(0), F.lit(0))
+    return F.create_map(*items)
+
+
+# --- q245: fill-in-the-middle (FIM) sample construction ------------------------
+# Seeded split-point constants (xxhash64 primes — public nothing-up-my-sleeve
+# numbers): two independent Knuth-law keys per doc_id pick the prefix/middle
+# boundary and the middle/suffix boundary.
+FIM_S1 = 2246822519
+FIM_S2 = 3266489917
+_FIM_K_SQL = (
+    "CAST(((doc_id % 2147483648) * {mult} + {seed}) % 4294967296 AS BIGINT)"
+)
+
+
+@query(
+    "q245_fim_samples",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    s AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+                 {_FIM_K_SQL.format(mult=SHARD_MULT, seed=FIM_S1)} AS k1,
+                 {_FIM_K_SQL.format(mult=SHARD_MULT, seed=FIM_S2)} AS k2
+          FROM t WHERE len(w) >= 3),
+    c AS (SELECT doc_id, w, n, k2,
+                 CAST(1 + (k1 % (n - 2)) AS BIGINT) AS a FROM s),
+    d2 AS (SELECT doc_id, w, n, a,
+                  CAST(a + 1 + (k2 % (n - 1 - a)) AS BIGINT) AS b FROM c)
+    SELECT doc_id, n AS n_tokens,
+           a AS prefix_len, b - a AS middle_len, n - b AS suffix_len,
+           md5(array_to_string(w[b+1:n], ' ') || '#' ||
+               array_to_string(w[1:a], ' ') || '#' ||
+               array_to_string(w[a+1:b], ' ')) AS fim_fp
+    FROM d2
+    """,
+    tags=("text", "sample", "pipeline"),
+)
+def q245_fim_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training samples (the PSM transform of Bavarian et
+    al. 2022, "Efficient Training of Language Models to Fill in the
+    Middle"): each >=3-token document splits into (prefix, middle, suffix)
+    at two SEEDED split points (independent Knuth-law keys — reproducible
+    across runs/engines/partitionings, unlike rand(); every segment is
+    non-empty by construction) and is re-emitted in suffix-prefix-middle
+    order, fingerprinted. The relation a FIM data loader materializes:
+    segment lengths for packing + the PSM content digest for lineage.
+
+    Scale shape: a single scan-side projection — split points and slices
+    are pure column expressions over the token array; no shuffle at all."""
+    docs = widen_scan(_documents(spark, sf_dir))
+    k1 = _FIM_K_SQL.format(mult=SHARD_MULT, seed=FIM_S1)
+    k2 = _FIM_K_SQL.format(mult=SHARD_MULT, seed=FIM_S2)
+    return (
+        docs.select("doc_id", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") >= 3)
+        .withColumn("a", F.expr(f"CAST(1 + ({k1} % (n - 2)) AS BIGINT)"))
+        .withColumn("b", F.expr(f"CAST(a + 1 + ({k2} % (n - 1 - a)) AS BIGINT)"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.col("a").alias("prefix_len"),
+            (F.col("b") - F.col("a")).alias("middle_len"),
+            (F.col("n") - F.col("b")).alias("suffix_len"),
+            F.expr(
+                "md5(concat_ws(' ', slice(w, b + 1, CAST(n - b AS INT))) || '#' || "
+                "concat_ws(' ', slice(w, 1, CAST(a AS INT))) || '#' || "
+                "concat_ws(' ', slice(w, a + 1, CAST(b - a AS INT))))"
+            ).alias("fim_fp"),
+        )
+    )
+
+
+# --- q246: curriculum-ordered context-window packing ---------------------------
+@query(
+    "q246_curriculum_pack",
+    f"""
+    WITH s AS ({_ccnet_score_sql()}),
+    r AS (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY cross_entropy, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM s),
+    st AS (SELECT doc_id, CAST(((rk - 1) * 3) // n AS BIGINT) AS stage,
+                  {_CURR_SKEY_SQL} AS skey
+           FROM r),
+    t AS (SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+          FROM documents),
+    o AS (SELECT doc_id, stage, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY stage, skey, doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens AS BIGINT) AS start_tok
+          FROM st JOIN t USING (doc_id))
+    SELECT doc_id, stage, n_tokens, start_tok,
+           CAST(FLOOR(start_tok / {CTX_TOKENS}) AS BIGINT) AS win_first,
+           CAST(FLOOR((start_tok + n_tokens - 1) / {CTX_TOKENS}) AS BIGINT)
+             AS win_last
+    FROM o
+    """,
+    tags=("text", "packing", "lm", "pipeline", "composite"),
+)
+def q246_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataloader's ACTUAL token stream under the curriculum: q86's
+    context-window packing law applied in q243's curriculum order instead
+    of doc_id order — each scored document's global token offset and the
+    CTX_TOKENS-window span it lands in, stage 0 (reference-like) tokens
+    first. win_first/win_last tell a trainer exactly which optimizer steps
+    see which curriculum stage, and where the stage transitions fall
+    mid-window.
+
+    Scale shape: the same two-phase prefix law as q243 — token sums per
+    (stage, key-range) cell are the only driver state, the running sum
+    windows per cell in parallel (sharded_prefix_sum's posture with the
+    curriculum's composite order)."""
+    from pyspark.sql import Window
+
+    st = _staged_perm(spark, sf_dir)
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", F.size(words_col()).cast("bigint").alias("n_tokens")
+    )
+    j = st.join(toks, "doc_id")
+    off_map = _cell_offset_map(j, F.sum("n_tokens"))
+    wc = Window.partitionBy("stage", "rng").orderBy("skey", "doc_id")
+    start = (
+        off_map[F.col("stage") * PACK_SHARDS + F.col("rng")]
+        + F.sum("n_tokens").over(wc)
+        - F.col("n_tokens")
+    ).cast("bigint")
+    return j.select(
+        "doc_id",
+        "stage",
+        "n_tokens",
+        start.alias("start_tok"),
+    ).select(
+        "doc_id",
+        "stage",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / CTX_TOKENS).cast("bigint").alias("win_first"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / CTX_TOKENS)
+        .cast("bigint")
+        .alias("win_last"),
+    )
+
+
+# --- q247: DoReMi-lite domain reweighting --------------------------------------
+@query(
+    "q247_domain_reweight",
+    f"""
+    WITH s AS ({_ccnet_score_sql()}),
+    src AS (SELECT doc_id, source FROM documents),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(cross_entropy), 6) AS avg_ce
+            FROM s JOIN src USING (doc_id) GROUP BY source),
+    ref AS (SELECT avg_ce AS ref_ce FROM per
+            WHERE source = '{CCNET_REF_SOURCE}'),
+    e AS (SELECT source, n_docs, avg_ce,
+                 ROUND(CASE WHEN avg_ce > ref_ce THEN avg_ce - ref_ce
+                            ELSE 0 END, 6) AS excess_ce
+          FROM per CROSS JOIN ref),
+    x AS (SELECT source, n_docs, avg_ce, excess_ce,
+                 exp(excess_ce * 2) AS ew FROM e),
+    tot AS (SELECT SUM(ew) AS sew FROM x)
+    SELECT source, n_docs, avg_ce, excess_ce,
+           ROUND(ew / sew, 6) AS weight
+    FROM x CROSS JOIN tot
+    """,
+    tags=("text", "quality", "lm", "mixture", "audit", "pipeline", "composite"),
+)
+def q247_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting, the one-round closed form (Xie et
+    al. 2023 run Group-DRO over a proxy model; the lite law keeps the
+    EXCESS-LOSS -> exponential-weights step and takes the CCNet reference
+    LM as the proxy): each source's excess cross-entropy over the
+    reference feed's own score clips at 0 and maps through
+    exp(excess / T), T = 0.5, normalized into mixture weights. Sources
+    whose text the reference LM finds surprising get UP-weighted — DoReMi's
+    worst-case-domain emphasis — while the weights stay bounded by the
+    softmax form. The table a mixture builder (q132/q133) consumes as its
+    weight column.
+
+    Scale shape: one per-source aggregation over the memoized score
+    relation + arithmetic on |sources| rows; the softmax normalization is
+    a broadcast scalar. Driver never sees more than the source list."""
+    s = _ccnet_scores(spark, sf_dir)
+    src = _documents(spark, sf_dir).select("doc_id", "source")
+    per = (
+        s.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("cross_entropy"), 6).alias("avg_ce"),
+        )
+    )
+    ref = per.filter(F.col("source") == CCNET_REF_SOURCE).select(
+        F.col("avg_ce").alias("ref_ce")
+    )
+    e = per.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_docs",
+        "avg_ce",
+        F.round(
+            F.when(
+                F.col("avg_ce") > F.col("ref_ce"),
+                F.col("avg_ce") - F.col("ref_ce"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("excess_ce"),
+    )
+    x = e.withColumn("ew", F.exp(F.col("excess_ce") * 2))
+    tot = x.agg(F.sum("ew").alias("sew"))
+    return (
+        x.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "avg_ce",
+            "excess_ce",
+            F.round(F.col("ew") / F.col("sew"), 6).alias("weight"),
+        )
+    )
