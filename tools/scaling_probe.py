@@ -61,8 +61,10 @@ SF1_PROBES = frozenset([
     "q230_token_budget_select", "q231_psi_drift",
     "q233_weighted_sample_topk", "q234_stratified_quota_sample",
     # round-12 session 2: the CCNet scorer's token-linear claim (one scan +
-    # LM equi-joins) and the curriculum's prefix-count law at 10x
+    # LM equi-joins) and the curriculum's prefix-count law at 10x; the FIM
+    # transform's zero-shuffle scan and the curriculum packing's cell law
     "q241_ccnet_lm_score", "q243_curriculum_order",
+    "q245_fim_samples", "q246_curriculum_pack",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -184,6 +186,9 @@ PROBES = [
     "q241_ccnet_lm_score",
     "q242_ccnet_ppl_buckets",
     "q243_curriculum_order",
+    "q245_fim_samples",
+    "q246_curriculum_pack",
+    "q247_domain_reweight",
 ]
 
 
