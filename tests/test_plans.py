@@ -528,3 +528,34 @@ def test_q230_prefix_sum_window_is_band_partitioned(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert spec.lstrip().startswith("band"), f"unpartitioned window: {spec}"
     assert "element_at(map(" in plan  # offsets ride as a literal, no join
+
+
+def test_fim_samples_never_hash_shuffles(spark, sf_dir):
+    """q245's whole claim: the FIM transform is a pure scan-side projection
+    — seeded split points and slices never key-shuffle. The single allowed
+    exchange is widen_scan's ROUND-ROBIN repartition (a bench-scale no-op
+    guard, see tables.widen_scan: absent at real scale where the scan
+    arrives wide)."""
+    df = get("q245_fim_samples").build(spark, sf_dir)
+    assert explain.num_exchanges(df) <= 1
+    plan = explain.formatted_plan(df)
+    assert "hashpartitioning" not in plan.lower()
+    cols = explain.scan_columns(df)
+    assert "text" in cols and "lang" not in cols and "source" not in cols
+
+
+def test_ccnet_scoring_broadcast_gate_seam(spark, sf_dir):
+    """The LM relations (vocab/bigram/predecessor counts) broadcast below
+    CCNET_BCAST_MAX_DOCS — the q190 size-gate discipline: under the gate
+    the scoring joins carry the broadcast hint, past it the hint is
+    withheld (AQE then owns the strategy)."""
+    from flink_adcom_spark.queries.text import _ccnet_lm, ccnet_score_vs_lm
+    from flink_adcom_spark.tables import load_table
+
+    vw, v, bc, uc = _ccnet_lm(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    gated = ccnet_score_vs_lm(docs, vw, v, bc, uc, n_docs=100)
+    assert explain.has_broadcast_join(gated)
+    ungated = ccnet_score_vs_lm(docs, vw, v, bc, uc, n_docs=10**9)
+    logical = ungated._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
