@@ -1279,7 +1279,7 @@ def q244_stream_ccnet_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     + four broadcast probes against the LM artifacts + one per-doc
     aggregation; nothing rescans the corpus."""
     from .dedup import NEW_BATCH_MOD
-    from .text import CCNET_REF_SOURCE, _ccnet_bigrams, words_col
+    from .text import write_ccnet_lm_artifacts
 
     work = gate_workdir("ccnet_stream_gate")
     feed = os.path.join(work, "feed")
@@ -1288,20 +1288,8 @@ def q244_stream_ccnet_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
     # the persisted LM artifacts: trained once on the corpus reference slice
-    ref = docs.filter(~is_new & (F.col("source") == CCNET_REF_SOURCE))
-    vw = ref.select("lang", F.explode(words_col()).alias("word")).distinct()
-    vw.write.mode("overwrite").parquet(f"{lm_dir}/vw")
-    vw_p = spark.read.parquet(f"{lm_dir}/vw")
-    vw_p.groupBy("lang").agg(
-        (F.count(F.lit(1)) + 1).cast("double").alias("vocab")
-    ).write.mode("overwrite").parquet(f"{lm_dir}/v")
-    bg = _ccnet_bigrams(ref)
-    bg.groupBy("lang", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    ).write.mode("overwrite").parquet(f"{lm_dir}/bc")
-    bg.groupBy("lang", "w1").agg(
-        F.count(F.lit(1)).alias("c1")
-    ).write.mode("overwrite").parquet(f"{lm_dir}/uc")
+    # (the session-memoized corpus-frozen relations)
+    write_ccnet_lm_artifacts(spark, sf_dir, lm_dir)
     # the ingest stream: the batch docs, 4 micro-batches
     docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(feed)
     jobs.streaming_ccnet_score_materialize(
@@ -1310,4 +1298,59 @@ def q244_stream_ccnet_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.read.parquet(out).select(
         "doc_id", "lang", "n_bigrams", "cross_entropy"
+    )
+
+
+# --- q249: stream-side curriculum stage assignment vs the batch assigner ----------
+def _q249_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # streamed per-batch stage assignments against the persisted LM + cuts
+    # must equal q248's batch relation exactly (artifacts frozen across the
+    # run — the q213 batching-invariance contract)
+    return _REGISTRY["q248_curriculum_stage_assign"].oracle
+
+
+@query(
+    "q249_stream_curriculum_stage",
+    _q249_oracle(),
+    tags=("streaming", "text", "quality", "lm", "incremental", "pipeline"),
+)
+def q249_stream_curriculum_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest curriculum stage assignment, externally gated (the
+    serving face of q248, the q213/q244 gating pattern): the incoming
+    batch (doc_id % 5 == 4) is replayed as a 4-micro-batch document
+    stream; each micro-batch is scored against the PERSISTED corpus
+    reference-LM artifacts and routed head/middle/tail by the PERSISTED
+    tercile cuts (q248's artifacts written to parquet once) through the
+    SHARED ccnet_score_vs_lm + curriculum_stage_vs_cuts bodies, stages
+    landing as batch_id-partitioned idempotent epochs. The drained
+    (doc_id, lang, cross_entropy, stage) rows must hash-match q248's
+    batch relation — proving an arriving doc's curriculum stage is decided
+    at ingest time, identically under any micro-batching, so a training
+    run's stage boundaries cannot drift with ingest timing.
+
+    Scale shape: per micro-batch cost is O(batch tokens) scoring + a
+    |languages|-row broadcast cut join; nothing rescans the corpus."""
+    from .dedup import NEW_BATCH_MOD
+    from .text import _ccnet_stage_cuts, write_ccnet_lm_artifacts
+
+    work = gate_workdir("curr_stage_stream_gate")
+    feed = os.path.join(work, "feed")
+    lm_dir = os.path.join(work, "lm")
+    cuts_path = os.path.join(work, "cuts")
+    out = os.path.join(work, "stages")
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    # the persisted artifacts: corpus-frozen LM + tercile cuts
+    write_ccnet_lm_artifacts(spark, sf_dir, lm_dir)
+    _ccnet_stage_cuts(spark, sf_dir).write.mode("overwrite").parquet(cuts_path)
+    # the ingest stream: the batch docs, 4 micro-batches
+    docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_curriculum_stage_materialize(
+        spark, feed, out, lm_dir, cuts_path,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select(
+        "doc_id", "lang", "cross_entropy", "stage"
     )

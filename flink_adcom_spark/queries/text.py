@@ -4891,6 +4891,9 @@ def _ccnet_score_sql(lm_filter: str = "", score_filter: str = "") -> str:
     "q241_ccnet_lm_score",
     _ccnet_score_sql(),
     tags=("text", "quality", "ngram", "lm", "pipeline"),
+    # bench measures the memoized steady state (the q110 precedent): the LM
+    # is a persisted artifact in production; cold build is in SCALING.md.
+    bench=True,
 )
 def q241_ccnet_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under a reference-trained per-language
@@ -5300,3 +5303,214 @@ def q247_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ew") / F.col("sew"), 6).alias("weight"),
         )
     )
+
+
+# --- q248/q249: at-the-door curriculum stage assignment -------------------------
+def _ccnet_is_new() -> Column:
+    from .dedup import NEW_BATCH_MOD
+
+    return F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+
+
+def _ccnet_lm_corpus(spark: SparkSession, sf_dir: str):
+    """(vw, v, bc, uc) like _ccnet_lm, but trained on the CORPUS docs only
+    (the incoming batch excluded) — the FROZEN artifacts the rolling-ingest
+    scorers probe (q244/q248/q249). Separate memo keys from the full-corpus
+    LM."""
+    from ..tables import memo_relation
+
+    def ref_docs() -> DataFrame:
+        return widen_scan(_documents(spark, sf_dir)).filter(
+            ~_ccnet_is_new() & (F.col("source") == CCNET_REF_SOURCE)
+        )
+
+    vw = memo_relation(
+        spark, sf_dir, "ccnet_corpus_vw",
+        lambda: ref_docs()
+        .select("lang", F.explode(words_col()).alias("word"))
+        .distinct(),
+    )
+    v = memo_relation(
+        spark, sf_dir, "ccnet_corpus_v",
+        lambda: vw.groupBy("lang").agg(
+            (F.count(F.lit(1)) + 1).cast("double").alias("vocab")
+        ),
+    )
+    bc = memo_relation(
+        spark, sf_dir, "ccnet_corpus_bc",
+        lambda: _ccnet_bigrams(ref_docs())
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12")),
+    )
+    uc = memo_relation(
+        spark, sf_dir, "ccnet_corpus_uc",
+        lambda: _ccnet_bigrams(ref_docs())
+        .groupBy("lang", "w1")
+        .agg(F.count(F.lit(1)).alias("c1")),
+    )
+    return vw, v, bc, uc
+
+
+def _ccnet_corpus_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs scored under the corpus-only LM — the relation whose
+    tercile boundaries become the frozen stage cuts."""
+    from ..tables import memo_relation
+
+    def build() -> DataFrame:
+        vw, v, bc, uc = _ccnet_lm_corpus(spark, sf_dir)
+        return ccnet_score_vs_lm(
+            widen_scan(_documents(spark, sf_dir)).filter(~_ccnet_is_new()),
+            vw, v, bc, uc,
+            n_docs=_doc_count(spark, sf_dir),
+        )
+
+    return memo_relation(spark, sf_dir, "ccnet_corpus_scores", build)
+
+
+def _ccnet_stage_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, c1ce, c1id, c2ce, c2id): the FROZEN per-language tercile
+    boundaries — the first (cross_entropy, doc_id) key of corpus stages 1
+    and 2 under q242's rank law. One row per language (nullable cuts for
+    languages too small to have a stage 1/2); the O(1)-per-language
+    artifact a serving tier persists instead of the full ranking."""
+    from pyspark.sql import Window
+
+    from ..tables import memo_relation
+
+    def build() -> DataFrame:
+        cs = _ccnet_corpus_scores(spark, sf_dir)
+        wl = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+        r2 = cs.select(
+            "lang",
+            "doc_id",
+            "cross_entropy",
+            F.row_number().over(wl).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        ).select(
+            "lang",
+            "doc_id",
+            "cross_entropy",
+            F.expr("CAST(((rk - 1) * 3) DIV n AS BIGINT)").alias("stage"),
+        )
+        srn = F.row_number().over(
+            Window.partitionBy("lang", "stage").orderBy("cross_entropy", "doc_id")
+        )
+        firsts = r2.withColumn("srn", srn).filter(
+            (F.col("srn") == 1) & (F.col("stage") >= 1)
+        )
+        # exactly one row per (lang, stage in {1,2}): the when-aggregation
+        # below is a pivot, not a lexicographic reduction
+        return firsts.groupBy("lang").agg(
+            F.max(F.when(F.col("stage") == 1, F.col("cross_entropy"))).alias("c1ce"),
+            F.max(F.when(F.col("stage") == 1, F.col("doc_id"))).alias("c1id"),
+            F.max(F.when(F.col("stage") == 2, F.col("cross_entropy"))).alias("c2ce"),
+            F.max(F.when(F.col("stage") == 2, F.col("doc_id"))).alias("c2id"),
+        )
+
+    return memo_relation(spark, sf_dir, "ccnet_stage_cuts", build)
+
+
+def curriculum_stage_vs_cuts(scored: DataFrame, cuts: DataFrame) -> DataFrame:
+    """(doc_id, lang, cross_entropy, stage) for a scored batch against the
+    FROZEN cuts: stage = which side of the two lexicographic (cross_entropy,
+    doc_id) boundaries the doc falls on. Shared by the batch assigner (q248)
+    and the per-micro-batch streaming sink (q249). A language with no cut
+    rows (or null cuts) degrades deterministically toward stage 0/1."""
+    below1 = (F.col("cross_entropy") < F.col("c1ce")) | (
+        (F.col("cross_entropy") == F.col("c1ce")) & (F.col("doc_id") < F.col("c1id"))
+    )
+    below2 = (F.col("cross_entropy") < F.col("c2ce")) | (
+        (F.col("cross_entropy") == F.col("c2ce")) & (F.col("doc_id") < F.col("c2id"))
+    )
+    stage = (
+        F.when(F.col("c1ce").isNull(), F.lit(0))
+        .when(below1, F.lit(0))
+        .when(F.col("c2ce").isNull(), F.lit(1))
+        .when(below2, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("bigint")
+    )
+    return scored.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id", "lang", "cross_entropy", stage.alias("stage")
+    )
+
+
+def _q248_oracle() -> str:
+    from .dedup import NEW_BATCH_MOD
+
+    new_pred = f"% {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}"
+    corpus_scored = _ccnet_score_sql(
+        lm_filter=f" AND NOT (doc_id {new_pred})",
+        score_filter=f" AND NOT (b.doc_id {new_pred})",
+    )
+    batch_scored = _ccnet_score_sql(
+        lm_filter=f" AND NOT (doc_id {new_pred})",
+        score_filter=f" AND b.doc_id {new_pred}",
+    )
+    return f"""
+    WITH cs AS ({corpus_scored}),
+    r AS (SELECT lang, doc_id, cross_entropy,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY cross_entropy, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM cs),
+    r2 AS (SELECT lang, doc_id, cross_entropy,
+                  CAST(((rk - 1) * 3) // n AS BIGINT) AS stage
+           FROM r),
+    st AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, stage
+                                        ORDER BY cross_entropy, doc_id) AS srn
+           FROM r2),
+    cut1 AS (SELECT lang, cross_entropy AS c1ce, doc_id AS c1id
+             FROM st WHERE stage = 1 AND srn = 1),
+    cut2 AS (SELECT lang, cross_entropy AS c2ce, doc_id AS c2id
+             FROM st WHERE stage = 2 AND srn = 1),
+    bs AS ({batch_scored})
+    SELECT bs.doc_id, bs.lang, bs.cross_entropy,
+           CAST(CASE
+             WHEN c1ce IS NULL THEN 0
+             WHEN bs.cross_entropy < c1ce
+                  OR (bs.cross_entropy = c1ce AND bs.doc_id < c1id) THEN 0
+             WHEN c2ce IS NULL THEN 1
+             WHEN bs.cross_entropy < c2ce
+                  OR (bs.cross_entropy = c2ce AND bs.doc_id < c2id) THEN 1
+             ELSE 2 END AS BIGINT) AS stage
+    FROM bs LEFT JOIN cut1 USING (lang) LEFT JOIN cut2 USING (lang)
+    """
+
+
+@query(
+    "q248_curriculum_stage_assign",
+    _q248_oracle(),
+    tags=("text", "quality", "lm", "incremental", "pipeline", "composite"),
+)
+def q248_curriculum_stage_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-the-door curriculum stage for an incoming batch: the new docs
+    (doc_id % 5 == 4) are scored under the CORPUS-frozen reference LM and
+    assigned head/middle/tail by the CORPUS-frozen tercile cuts — the
+    serving semantics of q242/q243 (an arriving doc's stage must not
+    depend on what else arrived with it, so the cuts are the first
+    lexicographic (cross_entropy, doc_id) keys of corpus stages 1/2, an
+    O(1)-per-language artifact, NOT a re-ranking). Incremental counterpart
+    of the q212 split assigner: stage at ingest time, rebuild cuts on the
+    dedup pipeline's cadence.
+
+    Scale shape: batch scoring is q241's token-linear scan + LM probes;
+    the cut join is a |languages|-row broadcast."""
+    vw, v, bc, uc = _ccnet_lm_corpus(spark, sf_dir)
+    batch = widen_scan(_documents(spark, sf_dir)).filter(_ccnet_is_new())
+    scored = ccnet_score_vs_lm(
+        batch, vw, v, bc, uc, n_docs=_doc_count(spark, sf_dir)
+    )
+    return curriculum_stage_vs_cuts(scored, _ccnet_stage_cuts(spark, sf_dir))
+
+
+def write_ccnet_lm_artifacts(spark: SparkSession, sf_dir: str, lm_dir: str) -> None:
+    """Persist the corpus-frozen LM relations (vw/v/bc/uc) under lm_dir —
+    the artifact layout the serving sinks (q244/q249, bench probes) read
+    per micro-batch. The relations come from the session memo, so repeated
+    gate runs pay a block copy, not a retrain."""
+    vw, v, bc, uc = _ccnet_lm_corpus(spark, sf_dir)
+    vw.write.mode("overwrite").parquet(f"{lm_dir}/vw")
+    v.write.mode("overwrite").parquet(f"{lm_dir}/v")
+    bc.write.mode("overwrite").parquet(f"{lm_dir}/bc")
+    uc.write.mode("overwrite").parquet(f"{lm_dir}/uc")

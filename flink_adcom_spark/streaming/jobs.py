@@ -1326,3 +1326,54 @@ def streaming_ccnet_score_materialize(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def curriculum_stage_writer(
+    spark: SparkSession, docs_dir: str, out_path: str, lm_dir: str,
+    cuts_path: str, checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_curriculum_stage_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.text import ccnet_score_vs_lm, curriculum_stage_vs_cuts
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        vw = spark.read.parquet(f"{lm_dir}/vw")
+        v = spark.read.parquet(f"{lm_dir}/v")
+        bc = spark.read.parquet(f"{lm_dir}/bc")
+        uc = spark.read.parquet(f"{lm_dir}/uc")
+        cuts = spark.read.parquet(cuts_path)
+        scored = ccnet_score_vs_lm(batch_df, vw, v, bc, uc, n_docs=0)
+        out = curriculum_stage_vs_cuts(scored, cuts).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_curriculum_stage_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str, lm_dir: str,
+    cuts_path: str, checkpoint: str | None = None, **kw
+) -> None:
+    """Rolling-ingest curriculum stage assignment (q249; q248's batch job
+    as the per-micro-batch stream): each arriving document batch is scored
+    against the PERSISTED corpus reference-LM artifacts through the SHARED
+    ccnet_score_vs_lm body, then routed head/middle/tail by the PERSISTED
+    tercile cuts through the SHARED curriculum_stage_vs_cuts body, stages
+    landing as batch_id-partitioned idempotent epochs. LM and cuts are
+    frozen across the run, and both score and stage are per-document, so
+    any micro-batching drains to the same assignment — a
+    checkpoint-replayed batch REPLACES its partition without moving any
+    other doc's stage."""
+    q = curriculum_stage_writer(
+        spark, docs_dir, out_path, lm_dir, cuts_path, checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
