@@ -499,7 +499,13 @@ _ROUND11_GATE = frozenset(
 # tercile partition, q243 curriculum-ordered training manifest (staged by
 # q242's terciles, seeded within-stage permutation, two-phase positions),
 # q244 the streaming scoring face (frozen LM artifacts probed per
-# micro-batch, gated to the batch scorer).
+# micro-batch, gated to the batch scorer), q245 fill-in-the-middle sample
+# construction (seeded PSM splits, zero-shuffle scan), q246
+# curriculum-ordered context-window packing (q86's law in q243's order),
+# q247 DoReMi-lite domain reweighting (excess cross-entropy ->
+# exponential weights), q248 at-the-door curriculum stage assignment
+# (corpus-frozen LM + O(1)-per-language tercile cuts), q249 its streaming
+# face (gated to q248's batch relation).
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

@@ -189,6 +189,7 @@ PROBES = [
     "q245_fim_samples",
     "q246_curriculum_pack",
     "q247_domain_reweight",
+    "q248_curriculum_stage_assign",
 ]
 
 
