@@ -5204,7 +5204,16 @@ def q246_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = st.join(toks, "doc_id")
     off_map = _cell_offset_map(j, F.sum("n_tokens"))
-    wc = Window.partitionBy("stage", "rng").orderBy("skey", "doc_id")
+    # explicit ROWS frame: the default RANGE frame double-counts EXACT sort-
+    # key ties (a replayed duplicate row would get both copies' tokens),
+    # while ROWS gives interchangeable tied rows sequential offsets — the
+    # oracle's ROWS UNBOUNDED PRECEDING semantics (tools/robustness_sweep.py
+    # dupes axis caught the divergence)
+    wc = (
+        Window.partitionBy("stage", "rng")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = (
         off_map[F.col("stage") * PACK_SHARDS + F.col("rng")]
         + F.sum("n_tokens").over(wc)
