@@ -35,6 +35,11 @@ QUERIES = [
     "q40_exact_dedup",
     "q114_quality_gate",
     "q152_weighted_sample",
+    # CCNet LM family (round 12): NULL/empty/unicode text must drop or fold
+    # identically through the bigram extraction, the <unk> mapping joins,
+    # and the seeded FIM splits
+    "q241_ccnet_lm_score",
+    "q245_fim_samples",
 ]
 
 _TABLE_SQL = {

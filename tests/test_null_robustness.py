@@ -43,6 +43,11 @@ QUERIES = [
     "q24_user_rolling_value",
     "q133_exact_k_per_lang",
     "q152_weighted_sample",
+    # CCNet LM family (round 12): NULL/empty/unicode text must drop or fold
+    # identically through the bigram extraction, the <unk> mapping joins,
+    # and the seeded FIM splits
+    "q241_ccnet_lm_score",
+    "q245_fim_samples",
 ]
 
 _TABLE_SQL = {

@@ -37,6 +37,10 @@ QUERIES = [
     "q77_unigram_logprob",
     "q128_token_chunks",
     "q148_signal_fusion",
+    # CCNet LM family (round 12): unicode text must fold/tokenize/md5
+    # identically through the bigram extraction, <unk> joins, FIM slices
+    "q241_ccnet_lm_score",
+    "q245_fim_samples",
 ]
 
 _TABLE_SQL = {
