@@ -5523,3 +5523,87 @@ def write_ccnet_lm_artifacts(spark: SparkSession, sf_dir: str, lm_dir: str) -> N
     v.write.mode("overwrite").parquet(f"{lm_dir}/v")
     bc.write.mode("overwrite").parquet(f"{lm_dir}/bc")
     uc.write.mode("overwrite").parquet(f"{lm_dir}/uc")
+
+
+# --- q250: n-gram phrase search -------------------------------------------------
+PHRASE_QUERIES_2 = ("hash join", "table scan", "merge sort")
+PHRASE_QUERIES_3 = ("key order sort",)  # the general n>2 path, non-vacuous
+_PH2_SQL = "(" + ", ".join(f"'{p}'" for p in PHRASE_QUERIES_2) + ")"
+_PH3_SQL = "(" + ", ".join(f"'{p}'" for p in PHRASE_QUERIES_3) + ")"
+
+
+@query(
+    "q250_phrase_search",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                    list_zip(w[1:len(w)-1], w[2:len(w)]),
+                    s -> s[1] || ' ' || s[2])) AS phrase
+           FROM d WHERE len(w) >= 2),
+    tg AS (SELECT doc_id,
+                  unnest(list_transform(
+                    list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:len(w)]),
+                    s -> s[1] || ' ' || s[2] || ' ' || s[3])) AS phrase
+           FROM d WHERE len(w) >= 3),
+    hits AS (SELECT * FROM bg WHERE phrase IN {_PH2_SQL}
+             UNION ALL
+             SELECT * FROM tg WHERE phrase IN {_PH3_SQL})
+    SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM hits GROUP BY phrase, doc_id
+    """,
+    tags=("text", "retrieval", "pipeline"),
+)
+def q250_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search as adjacency n-grams: each document's 2- and
+    3-gram streams (q136's slice-zip extraction — adjacency is baked into
+    the gram, so no positional self-join ever runs) filter against the
+    fixed phrase workload (the q157 BM25 posture) and count per-doc
+    occurrences. The lexical complement of BM25's bag-of-words ranking:
+    "hash join" the phrase, not hash AND join.
+
+    Scale shape: one token-linear scan + an |phrases|-literal IN filter +
+    one (phrase, doc_id) count shuffle bounded by true hit volume. A
+    production deployment PERSISTS the filtered n-gram postings next to
+    q153's unigram index and serves phrase lookups as index probes; the
+    scan form here is the index build."""
+    docs = widen_scan(_documents(spark, sf_dir))
+    w = words_col()
+    n = F.size(w)
+    bg = (
+        docs.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(w, 1, n - 1),
+                    F.slice(w, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("phrase"),
+        )
+        .filter(F.col("phrase").isin(*PHRASE_QUERIES_2))
+    )
+    tg = (
+        docs.filter(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.zip_with(
+                        F.slice(w, 1, n - 2),
+                        F.slice(w, 2, n - 2),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    ),
+                    F.slice(w, 3, n - 2),
+                    lambda ab, c: F.concat(ab, F.lit(" "), c),
+                )
+            ).alias("phrase"),
+        )
+        .filter(F.col("phrase").isin(*PHRASE_QUERIES_3))
+    )
+    return (
+        bg.unionAll(tg)
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
