@@ -759,7 +759,9 @@ def q47_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental near-dup: new batch vs existing corpus index ----------------
-NEW_BATCH_MOD = 5  # doc_id % 5 == 4 -> the "incoming batch" (~20%)
+# NEW_BATCH_MOD moved to text.py (the import leaf; text decoration-time
+# oracles need it) — re-exported here for the historical import path.
+from .text import NEW_BATCH_MOD  # noqa: E402
 
 
 @query(

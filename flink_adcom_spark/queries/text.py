@@ -18,6 +18,12 @@ from ..tables import load_table, widen_scan
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
+# doc_id % 5 == 4 -> the "incoming batch" (~20%): the corpus/ingest split
+# every incremental operator shares. Canonical home is HERE (the import
+# leaf) so decoration-time oracles can use it without a text<->dedup import
+# cycle; dedup re-exports it for its historical consumers.
+NEW_BATCH_MOD = 5
+
 # Marker stopwords per language for the n-gram/keyword language-ID heuristic.
 LANG_MARKERS = {
     "en": ("the", "and", "of"),
@@ -5316,8 +5322,6 @@ def q247_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q248/q249: at-the-door curriculum stage assignment -------------------------
 def _ccnet_is_new() -> Column:
-    from .dedup import NEW_BATCH_MOD
-
     return F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
 
 
@@ -5445,8 +5449,6 @@ def curriculum_stage_vs_cuts(scored: DataFrame, cuts: DataFrame) -> DataFrame:
 
 
 def _q248_oracle() -> str:
-    from .dedup import NEW_BATCH_MOD
-
     new_pred = f"% {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}"
     corpus_scored = _ccnet_score_sql(
         lm_filter=f" AND NOT (doc_id {new_pred})",

@@ -1059,3 +1059,64 @@ def test_split_assign_kill_recover_exactly_once(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_ccnet_score_kill_recover_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the q244 CCNet scorer mid-stream, restart from its checkpoint:
+    the recovered run must replay the in-flight epoch idempotently and
+    finish with EXACTLY the batch scoring of the ingest docs under the
+    frozen LM — no doc unscored, none scored twice, no score moved."""
+    import time
+
+    from flink_adcom_spark.queries.dedup import NEW_BATCH_MOD
+    from flink_adcom_spark.queries.text import (
+        _ccnet_lm_corpus,
+        ccnet_score_vs_lm,
+        write_ccnet_lm_artifacts,
+    )
+    from flink_adcom_spark.streaming.jobs import ccnet_score_writer
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    lm_dir = str(tmp_path / "lm")
+    write_ccnet_lm_artifacts(spark, sf_dir, lm_dir)
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    batch = docs.filter(is_new)
+    # stage the feed in two halves so the restart deterministically has new
+    # files to process (the q184 kill-test discipline)
+    batch.filter(F.col("doc_id") % 2 == 0).repartition(3).write.parquet(feed)
+
+    q = ccnet_score_writer(
+        spark, feed, out, lm_dir, ckpt, maxFilesPerTrigger=1
+    ).start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop()  # kill after >= 1 committed batch
+
+    batch.filter(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
+        "append"
+    ).parquet(feed)
+    q2 = ccnet_score_writer(
+        spark, feed, out, lm_dir, ckpt, maxFilesPerTrigger=1
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r["doc_id"], r["lang"], r["n_bigrams"], r["cross_entropy"])
+        for r in spark.read.parquet(out)
+        .select("doc_id", "lang", "n_bigrams", "cross_entropy")
+        .collect()
+    }
+    vw, v, bc, uc = _ccnet_lm_corpus(spark, sf_dir)
+    want = {
+        tuple(r) for r in ccnet_score_vs_lm(batch, vw, v, bc, uc).collect()
+    }
+    assert got == want
