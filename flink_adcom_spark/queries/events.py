@@ -1355,13 +1355,17 @@ def q237_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL-SAFE merge keys: the rebuild's window PARTITION BY groups NULL
+    # user_ids as ONE key in both engines, so the merge's joins must too —
+    # a plain equi-join never matches NULL and would leave the NULL group's
+    # corpus open version unclosed (caught by the nulls robustness sweep)
     base = corpus_dim.groupBy("user_id").agg(
         F.max("version_n").alias("base_ver")
-    )
+    ).withColumnRenamed("user_id", "_bu")
     new_rows = (
         batch.withColumn("rn", F.row_number().over(wb))
         .withColumn("next_ts", F.lead("ts").over(wb))
-        .join(base, "user_id", "left")
+        .join(base, F.col("user_id").eqNullSafe(F.col("_bu")), "left")
         .select(
             "user_id",
             (F.coalesce("base_ver", F.lit(0)) + F.col("rn"))
@@ -1373,8 +1377,12 @@ def q237_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_ts").isNull().alias("is_current"),
         )
     )
-    first_batch = batch.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    closed = corpus_dim.join(first_batch, "user_id", "left").select(
+    first_batch = batch.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts")
+    ).withColumnRenamed("user_id", "_fu")
+    closed = corpus_dim.join(
+        first_batch, F.col("user_id").eqNullSafe(F.col("_fu")), "left"
+    ).select(
         "user_id",
         "version_n",
         "effective_from",
