@@ -507,7 +507,9 @@ _ROUND11_GATE = frozenset(
 # (corpus-frozen LM + O(1)-per-language tercile cuts), q249 its streaming
 # face (gated to q248's batch relation), q250 exact n-gram phrase search
 # (adjacency grams filtered to the fixed phrase workload — no positional
-# self-join).
+# self-join), q251 boilerplate-stripped corpus emission (the cleaning
+# transform composing q174's detector; before/after token accounting and
+# cleaned-content fingerprints).
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

@@ -5609,3 +5609,100 @@ def q250_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
+
+
+# --- q251: boilerplate-stripped corpus emission ---------------------------------
+def _q251_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q174 = _REGISTRY["q174_boilerplate_prefixes"].oracle
+    k = BOILER_PREFIX_TOKENS
+    return f"""
+    WITH flagged AS ({q174}),
+    docs2 AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id,
+             '{BOILER_TEMPLATE} ' || text AS text, source
+      FROM documents
+      WHERE doc_id % {BOILER_PLANT_MOD} = {BOILER_PLANT_RESIDUE}
+        AND text IS NOT NULL
+    ),
+    w AS (SELECT doc_id, source, {_WORDS_SQL} AS words
+          FROM docs2 WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, source, words, CAST(len(words) AS BIGINT) AS n,
+                 CASE WHEN len(words) >= {k}
+                      THEN array_to_string(words[1:{k}], ' ') END AS prefix
+          FROM w),
+    j AS (SELECT p.*, f.prefix IS NOT NULL AS stripped
+          FROM p LEFT JOIN flagged f
+            ON f.source = p.source AND f.prefix = p.prefix)
+    SELECT doc_id, n AS n_tokens,
+           CAST(CASE WHEN stripped THEN n - {k} ELSE n END AS BIGINT)
+             AS n_tokens_clean,
+           stripped,
+           md5(array_to_string(
+             CASE WHEN stripped THEN words[{k}+1:len(words)] ELSE words END,
+             ' ')) AS clean_fp
+    FROM j
+    """
+
+
+@query(
+    "q251_boilerplate_strip",
+    _q251_oracle(),
+    tags=("text", "cleaning", "planted", "pipeline", "composite"),
+)
+def q251_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning TRANSFORM q174 only detects: every document (including
+    the planted template replays, so the strip is proven on real
+    positives) re-emitted with its flagged source-level boilerplate prefix
+    removed — before/after token counts, the stripped flag, and the
+    cleaned content's fingerprint (what downstream dedup/quality stages
+    would consume; C4/RefinedWeb strip boilerplate BEFORE n-gram stats so
+    templates don't dominate signatures). Composed from q174's verified
+    relation, so the strip can never disagree with the detector.
+
+    Scale shape: scan-side prefix signature (slice + join of the tokenized
+    array, no explode) + one broadcast of the flagged-prefix table
+    (HAVING-pruned heavy groups only) + scan-side slicing; no extra
+    shuffle beyond q174's own (source, prefix) count."""
+    k = BOILER_PREFIX_TOKENS
+    flagged = q174_boilerplate_prefixes(spark, sf_dir).select(
+        "source", "prefix", F.lit(True).alias("flg")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = docs.filter(
+        (F.col("doc_id") % BOILER_PLANT_MOD == BOILER_PLANT_RESIDUE)
+        & F.col("text").isNotNull()
+    ).select(
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
+        F.concat(F.lit(BOILER_TEMPLATE + " "), F.col("text")).alias("text"),
+        "source",
+    )
+    docs2 = docs.union(planted).filter(F.col("text").isNotNull())
+    p = (
+        docs2.select("doc_id", "source", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .withColumn(
+            "prefix",
+            F.when(
+                F.col("n") >= k, F.array_join(F.slice("w", 1, k), " ")
+            ),
+        )
+    )
+    j = p.join(F.broadcast(flagged), ["source", "prefix"], "left")
+    stripped = F.col("flg").isNotNull()
+    clean = F.when(
+        stripped, F.expr(f"slice(w, {k + 1}, CAST(n - {k} AS INT))")
+    ).otherwise(F.col("w"))
+    return j.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.when(stripped, F.col("n") - k)
+        .otherwise(F.col("n"))
+        .cast("bigint")
+        .alias("n_tokens_clean"),
+        stripped.alias("stripped"),
+        F.md5(F.array_join(clean, " ")).alias("clean_fp"),
+    )
