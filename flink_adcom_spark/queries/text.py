@@ -4469,8 +4469,15 @@ def q230_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            # exact integer DIV (a double `/` + cast can truncate k - 1ulp)
-            F.expr("CAST((n_stop * 1000000) DIV n_tokens AS BIGINT)").alias("score"),
+            # exact integer DIV (a double `/` + cast can truncate k - 1ulp).
+            # greatest(.., 1): token-less docs are filtered out above, but
+            # codegen's common-subexpression pass can evaluate this DIV
+            # before the n_tokens >= 1 conjunct short-circuits (ANSI
+            # divide-by-zero on whitespace-only docs — boundary sweep);
+            # the guard never changes a kept row's score
+            F.expr(
+                "CAST((n_stop * 1000000) DIV greatest(n_tokens, 1) AS BIGINT)"
+            ).alias("score"),
         )
         .withColumn("band", F.expr(f"CAST(score DIV {CUM_BAND_STEP} AS INT)"))
     )

@@ -64,7 +64,8 @@ SF1_PROBES = frozenset([
     # LM equi-joins) and the curriculum's prefix-count law at 10x; the FIM
     # transform's zero-shuffle scan and the curriculum packing's cell law
     "q241_ccnet_lm_score", "q243_curriculum_order",
-    "q245_fim_samples", "q246_curriculum_pack",
+    "q245_fim_samples", "q246_curriculum_pack", "q250_phrase_search",
+    "q251_boilerplate_strip",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -190,6 +191,8 @@ PROBES = [
     "q246_curriculum_pack",
     "q247_domain_reweight",
     "q248_curriculum_stage_assign",
+    "q250_phrase_search",
+    "q251_boilerplate_strip",
 ]
 
 
