@@ -4498,12 +4498,13 @@ def q230_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("band"),
     )
-    # phase 3: per-band running sum + offset; pruned bands never shuffle
-    win = (
-        Window.partitionBy("band")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    # phase 3: per-band running sum + offset; pruned bands never shuffle.
+    # DEFAULT (RANGE-with-ties) frame, matching the oracle's frameless
+    # window: exact duplicate rows share one inclusive cum_tokens on both
+    # engines, so a replayed row pair is kept or cut TOGETHER (a forced
+    # ROWS frame gave the copies sequential cums and diverged on the
+    # dupes robustness axis)
+    win = Window.partitionBy("band").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         t.filter(F.col("band").isin(live))
         .withColumn("cum_tokens", (off_col + F.sum("n_tokens").over(win)).cast("bigint"))
