@@ -106,6 +106,28 @@ def main() -> None:
     sub_wall = time.time() - t0
     n_spans = spark.read.parquet(spans).count()
 
+    # --- streaming CCNet LM scoring path (q244, round 12): the at-the-door
+    # quality gate's per-micro-batch cost — bigram extraction + broadcast LM
+    # probes against the PERSISTED reference-LM artifacts (trained outside
+    # the clock, write_ccnet_lm_artifacts)
+    from flink_adcom_spark.queries.text import write_ccnet_lm_artifacts
+    from flink_adcom_spark.streaming.jobs import streaming_ccnet_score_materialize
+
+    cfeed = os.path.join(work, "cfeed")
+    lm_dir = os.path.join(work, "lm")
+    cscores = os.path.join(work, "cscores")
+    write_ccnet_lm_artifacts(spark, sf_dir, lm_dir)
+    docs.filter(is_new).repartition(SUBSTR_BATCHES).write.mode(
+        "overwrite"
+    ).parquet(cfeed)
+    t0 = time.time()
+    streaming_ccnet_score_materialize(
+        spark, cfeed, cscores, lm_dir,
+        checkpoint=os.path.join(work, "ckpt_ccnet"), maxFilesPerTrigger=1,
+    )
+    cc_wall = time.time() - t0
+    n_scored = spark.read.parquet(cscores).count()
+
     print(json.dumps({
         "sf_dir": sf_dir,
         "corpus_vectors": int(n_vec),
@@ -124,6 +146,12 @@ def main() -> None:
         "substr_dedup_wall_sec": round(sub_wall, 2),
         "substr_dedup_docs_per_sec": round(n_docs / sub_wall, 1),
         "substr_dedup_sec_per_batch": round(sub_wall / SUBSTR_BATCHES, 3),
+        "ccnet_score_batches": SUBSTR_BATCHES,
+        "ccnet_score_docs": int(n_docs),
+        "ccnet_score_rows": int(n_scored),
+        "ccnet_score_wall_sec": round(cc_wall, 2),
+        "ccnet_score_docs_per_sec": round(n_docs / cc_wall, 1),
+        "ccnet_score_sec_per_batch": round(cc_wall / SUBSTR_BATCHES, 3),
     }))
 
 
