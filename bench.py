@@ -122,6 +122,7 @@ def main() -> None:
     stream_rps_skew = _stream_throughput(spark, skewed=True)
     pq_stream = _pq_stream_encode_metric(spark, sf_dir)
     substr_stream = _substr_stream_probe_metric(spark, sf_dir)
+    ccnet_stream = _ccnet_stream_probe_metric(spark, sf_dir)
     bundle = _adaptive_bundle_metric(spark)
 
     total = round(sum(timings.values()), 3)
@@ -154,6 +155,7 @@ def main() -> None:
                 "stream_wordcount_skew30_ramp_excluded": stream_rps_skew["ramp_excluded"],
                 **pq_stream,
                 **substr_stream,
+                **ccnet_stream,
                 **({"errors": errors} if errors else {}),
                 **bundle,
             }
@@ -374,6 +376,67 @@ def _substr_stream_probe_metric(spark, sf_dir: str, n_batches: int = 4) -> dict:
         }
     except Exception as e:  # noqa: BLE001 — one broken metric must not
         return {"stream_substr_dedup_error": f"{type(e).__name__}: {e}"[:200]}
+
+
+def _ccnet_stream_probe_metric(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """Per-micro-batch cost of the streaming CCNet LM scoring path (q244) —
+    the at-the-door quality gate a rolling ingest pays per batch: each
+    arriving doc batch is bigram-extracted and probed against the PERSISTED
+    reference-LM artifacts (trained outside the timed window, like the PQ
+    codebooks / digest index). sec/batch is the projectable number; at
+    bench batch sizes the wall is scheduling + the broadcast LM probes'
+    fixed cost, not scoring throughput."""
+    from pyspark.sql import functions as F
+
+    from flink_adcom_spark.queries.dedup import NEW_BATCH_MOD
+    from flink_adcom_spark.queries.text import (
+        CCNET_REF_SOURCE,
+        _ccnet_bigrams,
+        words_col,
+    )
+    from flink_adcom_spark.streaming.jobs import streaming_ccnet_score_materialize
+    from flink_adcom_spark.tables import load_table
+    from flink_adcom_spark.workdirs import gate_workdir
+
+    try:
+        work = gate_workdir("bench_ccnet_stream")
+        feed = os.path.join(work, "feed")
+        lm_dir = os.path.join(work, "lm")
+        out = os.path.join(work, "scores")
+        docs = load_table(spark, sf_dir, "documents")
+        is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+        ref = docs.filter(~is_new & (F.col("source") == CCNET_REF_SOURCE))
+        vw = ref.select("lang", F.explode(words_col()).alias("word")).distinct()
+        vw.write.mode("overwrite").parquet(f"{lm_dir}/vw")
+        spark.read.parquet(f"{lm_dir}/vw").groupBy("lang").agg(
+            (F.count(F.lit(1)) + 1).cast("double").alias("vocab")
+        ).write.mode("overwrite").parquet(f"{lm_dir}/v")
+        bg = _ccnet_bigrams(ref)
+        bg.groupBy("lang", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        ).write.mode("overwrite").parquet(f"{lm_dir}/bc")
+        bg.groupBy("lang", "w1").agg(
+            F.count(F.lit(1)).alias("c1")
+        ).write.mode("overwrite").parquet(f"{lm_dir}/uc")
+        n_docs = docs.filter(is_new).count()
+        docs.filter(is_new).repartition(n_batches).write.mode("overwrite").parquet(feed)
+        t0 = time.time()
+        streaming_ccnet_score_materialize(
+            spark, feed, out, lm_dir,
+            checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+        )
+        wall = time.time() - t0
+        scored = spark.read.parquet(out).count()
+        return {
+            "stream_ccnet_score_docs_per_sec": round(n_docs / wall, 1),
+            "stream_ccnet_score_docs": int(n_docs),
+            "stream_ccnet_score_rows": int(scored),
+            "stream_ccnet_score_n_batches": n_batches,
+            "stream_ccnet_score_wall_sec": round(wall, 3),
+            "stream_ccnet_score_sec_per_batch": round(wall / n_batches, 3),
+        }
+    except Exception as e:  # noqa: BLE001 — one broken metric must not
+        return {"stream_ccnet_score_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def _adaptive_bundle_metric(spark, offer_rps: int = 120_000, run_s: float = 15.0) -> dict:
