@@ -251,3 +251,67 @@ def q172_media_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("reclaimable_bytes"),
     )
+
+
+# --- q252: content-addressed chunk manifest (multipart upload plan) -----------------
+MEDIA_CHUNK_B = 100  # fixed chunk size in bytes (tiny at fixture scale; a
+# blob store uses 8-64 MiB — the manifest SHAPE is what's contract-tested)
+
+
+@query(
+    "q252_media_chunk_manifest",
+    f"""
+    SELECT doc_id AS media_id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(octet_length(encode(substr(text, ci * {MEDIA_CHUNK_B} + 1,
+                                           {MEDIA_CHUNK_B}))) AS BIGINT)
+             AS n_bytes,
+           md5(substr(text, ci * {MEDIA_CHUNK_B} + 1, {MEDIA_CHUNK_B}))
+             AS chunk_md5
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(octet_length(encode(text))
+                                           / {MEDIA_CHUNK_B}.0) AS BIGINT)))
+                   AS ci
+          FROM documents
+          WHERE text IS NOT NULL AND octet_length(encode(text)) > 0) t
+    """,
+    tags=("media", "storage", "pipeline"),
+)
+def q252_media_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed chunk manifest for every media payload — the
+    multipart-upload / blob-replication plan: the payload split into fixed
+    {MEDIA_CHUNK_B}-byte chunks, each with its size and md5, so an uploader
+    can parallelize parts, resume after a failure by comparing digests, and
+    a replica audit can verify a payload without re-reading intact chunks
+    (the q172 dedup stats compose with this per-chunk: shared chunks across
+    near-identical payloads upload once). Chunk boundaries are byte
+    offsets; the oracle restates them over the text bytes under the
+    documents ASCII invariant (FIXTURES.md §6), asserted before running.
+
+    Scale shape: pure scan-side work — a per-row sequence explode of
+    ceil(bytes/chunk) indexes plus substring + md5 projections; no shuffle
+    at any scale (output is written partitioned by media_id prefix in a
+    deployment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_ascii_fixture(docs)
+    c = MEDIA_CHUNK_B
+    t = docs.filter(
+        F.col("text").isNotNull() & (F.octet_length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.octet_length("text") / F.lit(float(c))).cast("bigint")
+                - 1,
+            )
+        ).alias("chunk_idx"),
+    )
+    chunk = F.expr(f"substr(text, chunk_idx * {c} + 1, {c})")
+    return t.select(
+        "media_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.octet_length(chunk).cast("bigint").alias("n_bytes"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

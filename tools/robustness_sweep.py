@@ -120,7 +120,10 @@ MUST_DETECT = {
 # first/last UTF-8 byte on ASCII text. The guard firing is the designed
 # behavior (fail loud instead of silently diverging).
 EXPECTED_GUARD = {
-    "unicode": {"q80_media_features", "q95_media_resize"},
+    # q252 shares the same byte==char oracle restatement and the same
+    # loud _assert_ascii_fixture guard as q80/q95
+    "unicode": {"q80_media_features", "q95_media_resize",
+                "q252_media_chunk_manifest"},
 }
 GUARD_MARKER = "no longer pure ASCII"
 
