@@ -5714,3 +5714,67 @@ def q251_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         stripped.alias("stripped"),
         F.md5(F.array_join(clean, " ")).alias("clean_fp"),
     )
+
+
+# --- q253: per-worker dataloader manifest over the curriculum windows ------------
+N_LOADER_WORKERS = 8
+
+
+def _q253_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q246 = _REGISTRY["q246_curriculum_pack"].oracle
+    w = N_LOADER_WORKERS
+    return f"""
+    WITH packed AS ({q246}),
+    span AS (SELECT CAST((MAX(win_first) + {w}) // {w} AS BIGINT) AS ww
+             FROM packed)
+    SELECT CAST(win_first // ww AS BIGINT) AS worker,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(win_first) AS BIGINT) AS first_win,
+           CAST(MAX(win_first) AS BIGINT) AS last_win,
+           CAST(MIN(stage) AS BIGINT) AS min_stage,
+           CAST(MAX(stage) AS BIGINT) AS max_stage
+    FROM packed CROSS JOIN span
+    GROUP BY 1
+    """
+
+
+@query(
+    "q253_curriculum_worker_manifest",
+    _q253_oracle(),
+    tags=("text", "packing", "lm", "pipeline", "composite"),
+)
+def q253_curriculum_worker_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-worker dataloader manifest over the curriculum token stream:
+    q246's context windows split into {N_LOADER_WORKERS} CONTIGUOUS window
+    ranges (worker = win_first div ceil(windows/W) — sequential readers
+    want ranges, not stripes), each worker row carrying its doc/token
+    load and its window + curriculum-stage span. The file a distributed
+    trainer's rank-0 reads to hand each dataloader worker its slice; the
+    stage columns show which workers straddle a curriculum transition
+    (their batches mix stages mid-epoch).
+
+    Scale shape: one aggregation over q246's relation plus a broadcast
+    scalar (the window-span subquery); output is exactly {N_LOADER_WORKERS}
+    rows. Docs assigned by their FIRST window — a doc straddling a worker
+    boundary is read by the earlier worker whole (the q86 half-open
+    convention)."""
+    packed = q246_curriculum_pack(spark, sf_dir)
+    span = packed.agg(
+        F.expr(f"CAST((MAX(win_first) + {N_LOADER_WORKERS}) DIV"
+               f" {N_LOADER_WORKERS} AS BIGINT)").alias("ww")
+    )
+    return (
+        packed.crossJoin(F.broadcast(span))
+        .groupBy(F.expr("CAST(win_first DIV ww AS BIGINT)").alias("worker"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("win_first").cast("bigint").alias("first_win"),
+            F.max("win_first").cast("bigint").alias("last_win"),
+            F.min("stage").cast("bigint").alias("min_stage"),
+            F.max("stage").cast("bigint").alias("max_stage"),
+        )
+    )
