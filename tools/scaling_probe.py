@@ -65,7 +65,7 @@ SF1_PROBES = frozenset([
     # transform's zero-shuffle scan and the curriculum packing's cell law
     "q241_ccnet_lm_score", "q243_curriculum_order",
     "q245_fim_samples", "q246_curriculum_pack", "q250_phrase_search",
-    "q251_boilerplate_strip",
+    "q251_boilerplate_strip", "q252_media_chunk_manifest",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -193,6 +193,8 @@ PROBES = [
     "q248_curriculum_stage_assign",
     "q250_phrase_search",
     "q251_boilerplate_strip",
+    "q252_media_chunk_manifest",
+    "q253_curriculum_worker_manifest",
 ]
 
 
