@@ -5778,3 +5778,81 @@ def q253_curriculum_worker_manifest(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("stage").cast("bigint").alias("max_stage"),
         )
     )
+
+
+# --- q254: multi-epoch token schedule under a training budget ---------------------
+TOKEN_BUDGET_EPOCHS = 3  # training budget = this many corpus-equivalents
+EPOCH_CAP = 4.0  # sources asked to repeat past this need new data, not reuse
+
+
+def _q254_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q247 = _REGISTRY["q247_domain_reweight"].oracle
+    return f"""
+    WITH w AS ({q247}),
+    t AS (SELECT source,
+                 CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS available_tokens
+          FROM documents GROUP BY source),
+    b AS (SELECT CAST(SUM(available_tokens) * {TOKEN_BUDGET_EPOCHS}
+                      AS DOUBLE) AS budget FROM t)
+    SELECT w.source, t.available_tokens, w.weight,
+           -- explicit floor: DuckDB's double->BIGINT cast rounds-to-
+           -- nearest while Spark's truncates
+           CAST(floor(w.weight * b.budget) AS BIGINT) AS target_tokens,
+           ROUND(w.weight * b.budget
+                 / greatest(t.available_tokens, 1), 6) AS epochs,
+           ROUND(w.weight * b.budget
+                 / greatest(t.available_tokens, 1), 6) > {EPOCH_CAP}
+             AS needs_new_data
+    FROM w JOIN t ON t.source = w.source CROSS JOIN b
+    """
+
+
+@query(
+    "q254_token_schedule",
+    _q254_oracle(),
+    tags=("text", "mixture", "lm", "audit", "pipeline", "composite"),
+)
+def q254_token_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture turned into a TRAINING SCHEDULE: given a token budget of
+    {TOKEN_BUDGET_EPOCHS} corpus-equivalents and q247's DoReMi-lite
+    weights, each source's token target, the epochs of its available data
+    that target implies, and the repeat-cap flag (epochs > {EPOCH_CAP}:
+    past ~4 repeats data reuse stops helping — Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models" — so the planner flags the
+    source for ACQUISITION, not upsampling; q185's epoch-repetition
+    upsampler consumes the unflagged rows). Composed from q247's verified
+    relation, so the schedule can never disagree with the weights.
+
+    Scale shape: one per-source token aggregate + |sources| rows of
+    arithmetic against two broadcast scalars; the budget is a scalar
+    subquery, never a driver round-trip."""
+    w = q247_domain_reweight(spark, sf_dir).select("source", "weight")
+    t = (
+        _documents(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size(words_col())).cast("bigint").alias("available_tokens"))
+    )
+    b = t.agg(
+        (F.sum("available_tokens") * TOKEN_BUDGET_EPOCHS)
+        .cast("double")
+        .alias("budget")
+    )
+    epochs = F.round(
+        F.col("weight") * F.col("budget")
+        / F.greatest(F.col("available_tokens"), F.lit(1)).cast("double"),
+        6,
+    )
+    return (
+        w.join(t, "source")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "source",
+            "available_tokens",
+            "weight",
+            F.floor(F.col("weight") * F.col("budget")).cast("bigint").alias("target_tokens"),
+            epochs.alias("epochs"),
+            (epochs > EPOCH_CAP).alias("needs_new_data"),
+        )
+    )
