@@ -195,6 +195,7 @@ PROBES = [
     "q251_boilerplate_strip",
     "q252_media_chunk_manifest",
     "q253_curriculum_worker_manifest",
+    "q254_token_schedule",
 ]
 
 
