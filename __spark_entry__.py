@@ -515,7 +515,9 @@ _ROUND11_GATE = frozenset(
 # per-worker dataloader manifest over the curriculum windows (contiguous
 # window ranges per worker with load + stage-span accounting), q254
 # multi-epoch token schedule (DoReMi weights -> per-source targets/epochs
-# with the data-constrained repeat cap).
+# with the data-constrained repeat cap), q255 stream-side boilerplate
+# strip (frozen flagged-prefix artifact probed per micro-batch, batch-side
+# planted positives, gated to the batch transform).
 # Round 12 drains the whole remaining verification debt (VERDICT r11 #1-#3):
 # (a) the 27 never-driver-checked post-r11-freeze additions q203-q229 — the
 # streaming serving tier (q203/q205/q213/q219), the split-leakage family

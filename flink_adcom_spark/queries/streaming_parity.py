@@ -1354,3 +1354,126 @@ def q249_stream_curriculum_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "doc_id", "lang", "cross_entropy", "stage"
     )
+
+
+# --- q255: stream-side boilerplate strip vs the batch transform --------------------
+def _q255_oracle() -> str:
+    from .dedup import NEW_BATCH_MOD
+    from .text import (
+        BOILER_MIN_DOCS,
+        BOILER_PLANT_MOD,
+        BOILER_PLANT_RESIDUE,
+        BOILER_PLANT_RESIDUE_BATCH,
+        BOILER_PREFIX_TOKENS,
+        BOILER_TEMPLATE,
+        _WORDS_SQL,
+    )
+
+    k = BOILER_PREFIX_TOKENS
+    nm = NEW_BATCH_MOD
+    return f"""
+    WITH docs2 AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id,
+             '{BOILER_TEMPLATE} ' || text AS text, source
+      FROM documents
+      WHERE doc_id % {BOILER_PLANT_MOD}
+              IN ({BOILER_PLANT_RESIDUE}, {BOILER_PLANT_RESIDUE_BATCH})
+        AND text IS NOT NULL
+    ),
+    w AS (SELECT doc_id, source, {_WORDS_SQL} AS words,
+                 (CASE WHEN doc_id >= 0 THEN doc_id
+                       ELSE -doc_id - 1 END) % {nm} = {nm - 1} AS is_new
+          FROM docs2 WHERE text IS NOT NULL),
+    pc AS (SELECT source, array_to_string(words[1:{k}], ' ') AS prefix
+           FROM w WHERE len(words) >= {k} AND NOT is_new),
+    flagged AS (SELECT source, prefix FROM pc GROUP BY source, prefix
+                HAVING COUNT(*) >= {BOILER_MIN_DOCS}),
+    p AS (SELECT doc_id, source, words, CAST(len(words) AS BIGINT) AS n,
+                 CASE WHEN len(words) >= {k}
+                      THEN array_to_string(words[1:{k}], ' ') END AS prefix
+          FROM w WHERE is_new),
+    j AS (SELECT p.*, f.prefix IS NOT NULL AS stripped
+          FROM p LEFT JOIN flagged f
+            ON f.source = p.source AND f.prefix = p.prefix)
+    SELECT doc_id, n AS n_tokens,
+           CAST(CASE WHEN stripped THEN n - {k} ELSE n END AS BIGINT)
+             AS n_tokens_clean,
+           stripped,
+           md5(array_to_string(
+             CASE WHEN stripped THEN words[{k}+1:len(words)] ELSE words END,
+             ' ')) AS clean_fp
+    FROM j
+    """
+
+
+@query(
+    "q255_stream_boilerplate_strip",
+    _q255_oracle(),
+    tags=("streaming", "text", "cleaning", "planted", "incremental", "pipeline"),
+)
+def q255_stream_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest boilerplate stripping, externally gated (the serving
+    face of q251, the q244/q249 gating pattern): the incoming batch —
+    underlying doc_id % 5 == 4, INCLUDING template-prefixed replays planted
+    at the batch-side residue so the streamed strip has real positives —
+    is replayed as a 4-micro-batch document stream; each micro-batch probes
+    the PERSISTED corpus-trained flagged-prefix table through the SHARED
+    boilerplate_strip_vs_index body, cleaned rows landing as
+    batch_id-partitioned idempotent epochs. The drained rows must
+    hash-match the batch strip of the same docs under the same frozen
+    table — proving boilerplate is removed AT THE DOOR, identically under
+    any micro-batching, before the text can pollute downstream n-gram
+    statistics or dedup signatures.
+
+    Scale shape: per micro-batch cost is one scan-side prefix signature +
+    a broadcast probe of the HAVING-pruned flagged table; nothing rescans
+    the corpus."""
+    from .text import (
+        BOILER_MIN_DOCS,
+        BOILER_PLANT_RESIDUE,
+        BOILER_PLANT_RESIDUE_BATCH,
+        BOILER_PREFIX_TOKENS,
+        NEW_BATCH_MOD,
+        _boiler_docs2,
+        words_col,
+    )
+
+    work = gate_workdir("boiler_stream_gate")
+    feed = os.path.join(work, "feed")
+    flagged_path = os.path.join(work, "flagged")
+    out = os.path.join(work, "clean")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs2 = _boiler_docs2(
+        docs, residues=(BOILER_PLANT_RESIDUE, BOILER_PLANT_RESIDUE_BATCH)
+    )
+    underlying = F.when(F.col("doc_id") >= 0, F.col("doc_id")).otherwise(
+        -F.col("doc_id") - 1
+    )
+    is_new = underlying % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    # the persisted artifact: flagged prefixes trained on the CORPUS slice
+    k = BOILER_PREFIX_TOKENS
+    corpus_p = (
+        docs2.filter(~is_new)
+        .select("source", words_col().alias("w"))
+        .filter(F.size("w") >= k)
+        .select("source", F.array_join(F.slice("w", 1, k), " ").alias("prefix"))
+    )
+    (
+        corpus_p.groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("source", "prefix", F.lit(True).alias("flg"))
+        .write.mode("overwrite")
+        .parquet(flagged_path)
+    )
+    # the ingest stream: the batch docs (planted replays included), 4 batches
+    docs2.filter(is_new).repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_boilerplate_strip_materialize(
+        spark, feed, out, flagged_path,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select(
+        "doc_id", "n_tokens", "n_tokens_clean", "stripped", "clean_fp"
+    )

@@ -5620,6 +5620,60 @@ def q250_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q251: boilerplate-stripped corpus emission ---------------------------------
+# second plant residue for the SERVING face: 4 mod 20 -> underlying doc_id
+# = 4 mod 5, i.e. these replays land in the INCOMING BATCH, so the streamed
+# strip has real positives (residue-13 replays are all corpus-side: 13 mod
+# 5 = 3)
+BOILER_PLANT_RESIDUE_BATCH = 4
+
+
+def _boiler_docs2(docs: DataFrame, residues=(BOILER_PLANT_RESIDUE,)) -> DataFrame:
+    """The boilerplate-family corpus: real documents UNIONed with the
+    deterministic template-prefixed replays (negative ids), so detector and
+    strip run against proven positives. Shared by q174/q251/q255 (q255
+    plants a second, batch-side residue)."""
+    planted = docs.filter(
+        (F.col("doc_id") % BOILER_PLANT_MOD).isin(*residues)
+        & F.col("text").isNotNull()
+    ).select(
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
+        F.concat(F.lit(BOILER_TEMPLATE + " "), F.col("text")).alias("text"),
+        "source",
+    )
+    return docs.union(planted).filter(F.col("text").isNotNull())
+
+
+def boilerplate_strip_vs_index(docs2: DataFrame, flagged: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_tokens_clean, stripped, clean_fp) for any docs2
+    slice against a FROZEN flagged-prefix table — the shared body of the
+    batch strip (q251) and its per-micro-batch streaming sink (q255). The
+    flagged table is broadcast (HAVING-pruned heavy groups only)."""
+    k = BOILER_PREFIX_TOKENS
+    p = (
+        docs2.select("doc_id", "source", words_col().alias("w"))
+        .withColumn("n", F.size("w").cast("bigint"))
+        .withColumn(
+            "prefix",
+            F.when(F.col("n") >= k, F.array_join(F.slice("w", 1, k), " ")),
+        )
+    )
+    j = p.join(F.broadcast(flagged), ["source", "prefix"], "left")
+    stripped = F.col("flg").isNotNull()
+    clean = F.when(
+        stripped, F.expr(f"slice(w, {k + 1}, CAST(n - {k} AS INT))")
+    ).otherwise(F.col("w"))
+    return j.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.when(stripped, F.col("n") - k)
+        .otherwise(F.col("n"))
+        .cast("bigint")
+        .alias("n_tokens_clean"),
+        stripped.alias("stripped"),
+        F.md5(F.array_join(clean, " ")).alias("clean_fp"),
+    )
+
+
 def _q251_oracle() -> str:
     from ..registry import _REGISTRY
 
@@ -5675,45 +5729,11 @@ def q251_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, no explode) + one broadcast of the flagged-prefix table
     (HAVING-pruned heavy groups only) + scan-side slicing; no extra
     shuffle beyond q174's own (source, prefix) count."""
-    k = BOILER_PREFIX_TOKENS
     flagged = q174_boilerplate_prefixes(spark, sf_dir).select(
         "source", "prefix", F.lit(True).alias("flg")
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    planted = docs.filter(
-        (F.col("doc_id") % BOILER_PLANT_MOD == BOILER_PLANT_RESIDUE)
-        & F.col("text").isNotNull()
-    ).select(
-        (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
-        F.concat(F.lit(BOILER_TEMPLATE + " "), F.col("text")).alias("text"),
-        "source",
-    )
-    docs2 = docs.union(planted).filter(F.col("text").isNotNull())
-    p = (
-        docs2.select("doc_id", "source", words_col().alias("w"))
-        .withColumn("n", F.size("w").cast("bigint"))
-        .withColumn(
-            "prefix",
-            F.when(
-                F.col("n") >= k, F.array_join(F.slice("w", 1, k), " ")
-            ),
-        )
-    )
-    j = p.join(F.broadcast(flagged), ["source", "prefix"], "left")
-    stripped = F.col("flg").isNotNull()
-    clean = F.when(
-        stripped, F.expr(f"slice(w, {k + 1}, CAST(n - {k} AS INT))")
-    ).otherwise(F.col("w"))
-    return j.select(
-        "doc_id",
-        F.col("n").alias("n_tokens"),
-        F.when(stripped, F.col("n") - k)
-        .otherwise(F.col("n"))
-        .cast("bigint")
-        .alias("n_tokens_clean"),
-        stripped.alias("stripped"),
-        F.md5(F.array_join(clean, " ")).alias("clean_fp"),
-    )
+    return boilerplate_strip_vs_index(_boiler_docs2(docs), flagged)
 
 
 # --- q253: per-worker dataloader manifest over the curriculum windows ------------

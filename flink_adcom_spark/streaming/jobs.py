@@ -1377,3 +1377,48 @@ def streaming_curriculum_stage_materialize(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def boilerplate_strip_writer(
+    spark: SparkSession, docs_dir: str, out_path: str, flagged_path: str,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_boilerplate_strip_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.text import boilerplate_strip_vs_index
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = spark.read.parquet(flagged_path)
+        out = boilerplate_strip_vs_index(batch_df, flagged).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_boilerplate_strip_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str, flagged_path: str,
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Rolling-ingest boilerplate stripping (q255; q251's cleaning transform
+    as the per-micro-batch stream): each arriving document batch is probed
+    against the PERSISTED corpus-trained flagged-prefix table (parquet —
+    never re-derived at serve time) through the SHARED
+    boilerplate_strip_vs_index body, cleaned rows landing as
+    batch_id-partitioned idempotent epochs. The flagged table is frozen
+    across the run and the strip is per-document, so any micro-batching
+    drains to the same cleaned set — a checkpoint-replayed batch REPLACES
+    its partition without touching any other doc."""
+    q = boilerplate_strip_writer(
+        spark, docs_dir, out_path, flagged_path, checkpoint, **kw
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
