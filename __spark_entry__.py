@@ -572,7 +572,67 @@ _ROUND12_GATE = frozenset(
     ]
 )
 
-_GATE = _ROUND12_GATE
+# Round 13 drains the whole remaining verification debt (VERDICT r12 #1-#2):
+# (a) the 26 never-driver-checked post-r12-freeze registrations q230-q255 —
+# token-budget selection, PSI drift + streaming monitor, the sampler tier
+# (weighted/stratified/streaming), the SCD2/temporal family, erasure
+# manifest, the CCNet LM-scoring family (batch/buckets/streaming), the
+# curriculum tier (order/pack/stage + streaming + FIM + worker manifests),
+# DoReMi reweighting + token schedule, exact phrase search, boilerplate
+# strip (batch + streaming), and the media chunk manifest; (b)
+# q97_asof_next_purchase, the r12 rotation casualty (last green r7); (c)
+# the builders modified since their newest green — the ANN-audit consumers
+# q197/q201 (r12 constituent memoization landed after their r11 rows) plus
+# q221/q223/q224 re-greened per the r12 judge's explicit ask (their r12
+# rows postdate the memoization, but the brief names them; they double as
+# the audit-tier anchors); q237/q230/q246/q244 are already inside tier (a);
+# (d) the flagship anchor; (e) 17 of the 42 remaining r8-era oldest-green
+# entries in name order — after this round the oldest green anywhere in
+# the registry is r8 (25 entries), bounding staleness at <= 5 rounds.
+_ROUND13_GATE = frozenset(
+    # (a) never driver-checked (post-r12-freeze registrations)
+    [
+        "q230_token_budget_select", "q231_psi_drift", "q232_stream_psi_monitor",
+        "q233_weighted_sample_topk", "q234_stratified_quota_sample",
+        "q235_stream_weighted_sample", "q236_scd2_user_dimension",
+        "q237_scd2_incremental_merge", "q238_temporal_state_join",
+        "q239_stream_temporal_enrich", "q240_erasure_manifest",
+        "q241_ccnet_lm_score", "q242_ccnet_ppl_buckets",
+        "q243_curriculum_order", "q244_stream_ccnet_score",
+        "q245_fim_samples", "q246_curriculum_pack",
+        "q247_domain_reweight", "q248_curriculum_stage_assign",
+        "q249_stream_curriculum_stage", "q250_phrase_search",
+        "q251_boilerplate_strip", "q252_media_chunk_manifest",
+        "q253_curriculum_worker_manifest", "q254_token_schedule",
+        "q255_stream_boilerplate_strip",
+    ]
+    # (b) the r12 rotation casualty (oldest green anywhere: r7)
+    + [
+        "q97_asof_next_purchase",
+    ]
+    # (c) modified since (or re-greened per the r12 brief's explicit list)
+    + [
+        "q197_pq_recall", "q201_ivfpq_recall", "q221_index_selection_report",
+        "q223_index_ndcg_audit", "q224_cluster_size_audit",
+    ]
+    # (d) flagship anchor (every round)
+    + [
+        "q08_tpch_q1",
+    ]
+    # (e) oldest-green: r8-era tier, name order, 17 of the remaining 42
+    + [
+        "q154_ref_bundle_count_distinct", "q155_ref_merge_divide_avg",
+        "q156_contrastive_triples", "q157_bm25_topk", "q158_cdc_chunks",
+        "q159_bpe_train_merges", "q160_chunk_novelty",
+        "q162_pmi_collocations", "q163_user_ewma",
+        "q164_embed_neardup_planted", "q167_controller_transcript",
+        "q169_embed_decontaminate", "q170_symspell_pairs",
+        "q171_hybrid_rerank", "q172_media_dedup_stats",
+        "q173_bpe_fertility_by_lang", "q174_boilerplate_prefixes",
+    ]
+)
+
+_GATE = _ROUND13_GATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -25,7 +25,16 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
-from .text import _FOLD_TEXT_SQL, _WORDS_SQL, _bpe_encode_ctes, fold_col, words_col
+# NEW_BATCH_MOD lives in text.py (the import leaf; text decoration-time
+# oracles need it) — re-exported here for the historical import path.
+from .text import (
+    _FOLD_TEXT_SQL,
+    _WORDS_SQL,
+    NEW_BATCH_MOD,
+    _bpe_encode_ctes,
+    fold_col,
+    words_col,
+)
 
 SHINGLE_K = 3  # words per shingle
 JACCARD_THRESHOLD = 0.05
@@ -759,9 +768,6 @@ def q47_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental near-dup: new batch vs existing corpus index ----------------
-# NEW_BATCH_MOD moved to text.py (the import leaf; text decoration-time
-# oracles need it) — re-exported here for the historical import path.
-from .text import NEW_BATCH_MOD  # noqa: E402
 
 
 @query(

@@ -2614,6 +2614,10 @@ def q173_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- boilerplate prefix detection -----------------------------------------------
 BOILER_PREFIX_TOKENS = 8   # leading-token signature length
 BOILER_MIN_DOCS = 3        # a prefix shared by >= this many docs is boilerplate
+# a persisted flagged-prefix artifact past this row count is too big to
+# broadcast-hint at serve time (each row is a short prefix string; ~5M rows
+# keeps the build under typical 8 GiB driver/broadcast limits)
+BOILER_BCAST_MAX_PREFIXES = 5_000_000
 # The synthetic corpus is random text — no natural 8-token prefix repeats
 # (probed: only single leading tokens ever share) — so the relation under
 # test unions PLANTED template-prefixed replicas (the q164/q170 discipline):
@@ -5038,7 +5042,9 @@ def q243_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     st = _staged_perm(spark, sf_dir)
-    off_map = _cell_offset_map(st, F.count(F.lit(1)))
+    off_map = _cell_offset_map(
+        spark, sf_dir, "curr_cell_counts", st, F.count(F.lit(1))
+    )
     wc = Window.partitionBy("stage", "rng").orderBy("skey", "doc_id")
     pos = (
         off_map[F.col("stage") * PACK_SHARDS + F.col("rng")]
@@ -5083,15 +5089,28 @@ def _staged_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_relation(spark, sf_dir, "ccnet_staged_perm", build)
 
 
-def _cell_offset_map(df: DataFrame, agg) -> Column:
+def _cell_offset_map(
+    spark: SparkSession, sf_dir: str, key: str, df: DataFrame, agg
+) -> Column:
     """Map expression from (stage * PACK_SHARDS + rng) to the total of `agg`
     over all PRIOR cells in (stage, rng) order — the bounded driver state of
     the two-phase prefix laws (q243 positions, q246 token offsets): only the
-    <= 3 x PACK_SHARDS cell totals visit the driver."""
-    cells = {
-        (r["stage"], r["rng"]): r["v"]
-        for r in df.groupBy("stage", "rng").agg(agg.alias("v")).collect()
-    }
+    <= 3 x PACK_SHARDS cell totals visit the driver. The collected dict is
+    memoized per (key, sf_dir, corpus fingerprint) alongside
+    ccnet_staged_perm, so planning a consumer again (q243/q246, q253's
+    rebuild of q246) reuses the offsets instead of re-running the
+    cell-aggregation job."""
+    from ..tables import memo_value
+
+    cells = memo_value(
+        spark,
+        sf_dir,
+        key,
+        lambda: {
+            (r["stage"], r["rng"]): r["v"]
+            for r in df.groupBy("stage", "rng").agg(agg.alias("v")).collect()
+        },
+    )
     base, items = 0, []
     for cell in sorted(cells):
         items += [F.lit(cell[0] * PACK_SHARDS + cell[1]), F.lit(base)]
@@ -5217,7 +5236,9 @@ def q246_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(words_col()).cast("bigint").alias("n_tokens")
     )
     j = st.join(toks, "doc_id")
-    off_map = _cell_offset_map(j, F.sum("n_tokens"))
+    off_map = _cell_offset_map(
+        spark, sf_dir, "curr_cell_tokens", j, F.sum("n_tokens")
+    )
     # explicit ROWS frame: the default RANGE frame double-counts EXACT sort-
     # key ties (a replayed duplicate row would get both copies' tokens),
     # while ROWS gives interchangeable tied rows sequential offsets — the
@@ -5527,12 +5548,29 @@ def write_ccnet_lm_artifacts(spark: SparkSession, sf_dir: str, lm_dir: str) -> N
     """Persist the corpus-frozen LM relations (vw/v/bc/uc) under lm_dir —
     the artifact layout the serving sinks (q244/q249, bench probes) read
     per micro-batch. The relations come from the session memo, so repeated
-    gate runs pay a block copy, not a retrain."""
+    gate runs pay a block copy, not a retrain. A one-row `meta` table
+    records the source-corpus doc count so serve-side consumers re-derive
+    the broadcast gate from the artifact instead of assuming it fits."""
     vw, v, bc, uc = _ccnet_lm_corpus(spark, sf_dir)
     vw.write.mode("overwrite").parquet(f"{lm_dir}/vw")
     v.write.mode("overwrite").parquet(f"{lm_dir}/v")
     bc.write.mode("overwrite").parquet(f"{lm_dir}/bc")
     uc.write.mode("overwrite").parquet(f"{lm_dir}/uc")
+    spark.createDataFrame(
+        [(int(_doc_count(spark, sf_dir)),)], "n_docs BIGINT"
+    ).write.mode("overwrite").parquet(f"{lm_dir}/meta")
+
+
+def lm_artifact_n_docs(spark: SparkSession, lm_dir: str) -> int | None:
+    """Source-corpus doc count recorded beside a persisted LM (the
+    broadcast-gate input for ccnet_score_vs_lm). None for artifacts that
+    predate the meta table — consumers then take the ungated path (plain
+    join; AQE may still pick broadcast from measured sizes)."""
+    try:
+        rows = spark.read.parquet(f"{lm_dir}/meta").collect()
+    except Exception:
+        return None
+    return int(rows[0]["n_docs"]) if rows else None
 
 
 # --- q250: n-gram phrase search -------------------------------------------------
@@ -5643,12 +5681,24 @@ def _boiler_docs2(docs: DataFrame, residues=(BOILER_PLANT_RESIDUE,)) -> DataFram
     return docs.union(planted).filter(F.col("text").isNotNull())
 
 
-def boilerplate_strip_vs_index(docs2: DataFrame, flagged: DataFrame) -> DataFrame:
+def boilerplate_strip_vs_index(
+    docs2: DataFrame, flagged: DataFrame, n_flagged: int | None = None
+) -> DataFrame:
     """(doc_id, n_tokens, n_tokens_clean, stripped, clean_fp) for any docs2
     slice against a FROZEN flagged-prefix table — the shared body of the
-    batch strip (q251) and its per-micro-batch streaming sink (q255). The
-    flagged table is broadcast (HAVING-pruned heavy groups only)."""
+    batch strip (q251) and its per-micro-batch streaming sink (q255).
+
+    Broadcast gate: n_flagged=None is the batch path, where `flagged` is
+    the in-session HAVING-pruned derivation (bounded by heavy prefix
+    groups — broadcast by construction). Serve-side callers probing a
+    PERSISTED artifact pass its measured row count; past
+    BOILER_BCAST_MAX_PREFIXES the probe degrades to a plain shuffle join
+    instead of failing the micro-batch."""
     k = BOILER_PREFIX_TOKENS
+    if n_flagged is not None and n_flagged > BOILER_BCAST_MAX_PREFIXES:
+        gated = flagged
+    else:
+        gated = F.broadcast(flagged)
     p = (
         docs2.select("doc_id", "source", words_col().alias("w"))
         .withColumn("n", F.size("w").cast("bigint"))
@@ -5657,7 +5707,7 @@ def boilerplate_strip_vs_index(docs2: DataFrame, flagged: DataFrame) -> DataFram
             F.when(F.col("n") >= k, F.array_join(F.slice("w", 1, k), " ")),
         )
     )
-    j = p.join(F.broadcast(flagged), ["source", "prefix"], "left")
+    j = p.join(gated, ["source", "prefix"], "left")
     stripped = F.col("flg").isNotNull()
     clean = F.when(
         stripped, F.expr(f"slice(w, {k + 1}, CAST(n - {k} AS INT))")

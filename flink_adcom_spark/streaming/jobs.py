@@ -1282,21 +1282,24 @@ def ccnet_score_writer(
 ):
     """The unstarted writer behind streaming_ccnet_score_materialize."""
     from ..operators.storage import upsert_partitions
-    from ..queries.text import ccnet_score_vs_lm
+    from ..queries.text import ccnet_score_vs_lm, lm_artifact_n_docs
 
     stream = _documents_stream(spark, docs_dir, **kw)
+    # the LM is frozen across the run: read its recorded corpus size once,
+    # so the broadcast gate is the artifact's, not an assumption — an LM
+    # past CCNET_BCAST_MAX_DOCS degrades to a shuffle join per batch
+    # instead of failing the micro-batch (None for pre-meta artifacts:
+    # ungated plain join, AQE may still broadcast from measured sizes)
+    lm_n_docs = lm_artifact_n_docs(spark, lm_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         vw = spark.read.parquet(f"{lm_dir}/vw")
         v = spark.read.parquet(f"{lm_dir}/v")
         bc = spark.read.parquet(f"{lm_dir}/bc")
         uc = spark.read.parquet(f"{lm_dir}/uc")
-        # persisted LM artifacts are pre-sized at build time; the serve-side
-        # probe always broadcast-hints them (n_docs=0 — a deployment re-gates
-        # the hint when the artifact outgrows the broadcast limit)
-        out = ccnet_score_vs_lm(batch_df, vw, v, bc, uc, n_docs=0).withColumn(
-            "batch_id", F.lit(int(batch_id))
-        )
+        out = ccnet_score_vs_lm(
+            batch_df, vw, v, bc, uc, n_docs=lm_n_docs
+        ).withColumn("batch_id", F.lit(int(batch_id)))
         upsert_partitions(out, out_path, ["batch_id"])
 
     writer = stream.writeStream.outputMode("append").foreachBatch(sink)
@@ -1334,9 +1337,16 @@ def curriculum_stage_writer(
 ):
     """The unstarted writer behind streaming_curriculum_stage_materialize."""
     from ..operators.storage import upsert_partitions
-    from ..queries.text import ccnet_score_vs_lm, curriculum_stage_vs_cuts
+    from ..queries.text import (
+        ccnet_score_vs_lm,
+        curriculum_stage_vs_cuts,
+        lm_artifact_n_docs,
+    )
 
     stream = _documents_stream(spark, docs_dir, **kw)
+    # frozen LM: artifact-recorded corpus size drives the broadcast gate
+    # (see ccnet_score_writer)
+    lm_n_docs = lm_artifact_n_docs(spark, lm_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         vw = spark.read.parquet(f"{lm_dir}/vw")
@@ -1344,7 +1354,7 @@ def curriculum_stage_writer(
         bc = spark.read.parquet(f"{lm_dir}/bc")
         uc = spark.read.parquet(f"{lm_dir}/uc")
         cuts = spark.read.parquet(cuts_path)
-        scored = ccnet_score_vs_lm(batch_df, vw, v, bc, uc, n_docs=0)
+        scored = ccnet_score_vs_lm(batch_df, vw, v, bc, uc, n_docs=lm_n_docs)
         out = curriculum_stage_vs_cuts(scored, cuts).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
@@ -1388,12 +1398,16 @@ def boilerplate_strip_writer(
     from ..queries.text import boilerplate_strip_vs_index
 
     stream = _documents_stream(spark, docs_dir, **kw)
+    # frozen artifact: measure it once (parquet-metadata count) so the
+    # broadcast gate reflects the real index, degrading to a shuffle join
+    # past BOILER_BCAST_MAX_PREFIXES instead of failing the micro-batch
+    n_flagged = spark.read.parquet(flagged_path).count()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         flagged = spark.read.parquet(flagged_path)
-        out = boilerplate_strip_vs_index(batch_df, flagged).withColumn(
-            "batch_id", F.lit(int(batch_id))
-        )
+        out = boilerplate_strip_vs_index(
+            batch_df, flagged, n_flagged=n_flagged
+        ).withColumn("batch_id", F.lit(int(batch_id)))
         upsert_partitions(out, out_path, ["batch_id"])
 
     writer = stream.writeStream.outputMode("append").foreachBatch(sink)

@@ -329,6 +329,28 @@ def memo_relation(
     return df
 
 
+def memo_value(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str,
+    build,
+    source_table: str = "documents",
+):
+    """memo_relation's law for plain driver-side values (bounded collect
+    results like the <= 3 x PACK_SHARDS curriculum cell offsets): `build()`
+    runs once per (key, sf_dir, fingerprint-of-source_table); stale
+    fingerprints for the same (key, sf_dir) are evicted. Keeps repeat
+    consumers (q243/q246/q253 all plan over the same offsets) from
+    re-running the cell-aggregation job at every planning."""
+    per_session = _RELATION_CACHE.setdefault(spark, {})
+    k = ("value", key, sf_dir, table_fingerprint(table_path(sf_dir, source_table)))
+    if k not in per_session:
+        for stale in [x for x in per_session if x[:3] == k[:3]]:
+            del per_session[stale]
+        per_session[k] = build()
+    return per_session[k]
+
+
 _WIDEN_NPARTS_CACHE: dict[int, int] = {}
 
 

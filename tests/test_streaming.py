@@ -914,6 +914,9 @@ def test_classifier_scores_kill_recover_exactly_once(spark, sf_dir, tmp_path):
     deadline = time.time() + 30
     while time.time() < deadline and not q.recentProgress:
         time.sleep(0.2)
+    # the kill-after-commit premise must actually hold — without this a
+    # starved box degenerates the test into a plain single-run
+    assert q.recentProgress, "first run committed no batch within 30s"
     q.stop()  # kill after >= 1 committed batch
 
     second.repartition(3).write.mode("append").parquet(feed)
@@ -1034,6 +1037,9 @@ def test_split_assign_kill_recover_exactly_once(spark, sf_dir, tmp_path):
     deadline = time.time() + 30
     while time.time() < deadline and not q.recentProgress:
         time.sleep(0.2)
+    # the kill-after-commit premise must actually hold — without this a
+    # starved box degenerates the test into a plain single-run
+    assert q.recentProgress, "first run committed no batch within 30s"
     q.stop()  # kill after >= 1 committed batch
 
     batch.filter(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
@@ -1096,6 +1102,9 @@ def test_ccnet_score_kill_recover_exactly_once(spark, sf_dir, tmp_path):
     deadline = time.time() + 30
     while time.time() < deadline and not q.recentProgress:
         time.sleep(0.2)
+    # the kill-after-commit premise must actually hold — without this a
+    # starved box degenerates the test into a plain single-run
+    assert q.recentProgress, "first run committed no batch within 30s"
     q.stop()  # kill after >= 1 committed batch
 
     batch.filter(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
