@@ -589,6 +589,9 @@ _ROUND12_GATE = frozenset(
 # (d) the flagship anchor; (e) 17 of the 42 remaining r8-era oldest-green
 # entries in name order — after this round the oldest green anywhere in
 # the registry is r8 (25 entries), bounding staleness at <= 5 rounds.
+# Registered after this gate froze (mirror-verified + sf0.01 driver-
+# simulated, rotates into r14): q256_phrase_postings_probe — q250's
+# persisted-postings incremental face under q250's own oracle.
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

@@ -46,6 +46,20 @@ CANARY_ROWS = 1_000_000_000
 CANARY_REF_SEC = 0.678
 CANARY_REF_MACHINE = "builder-local32-r7"  # 32-cpu round-7 builder box
 
+# Per-query mini canary (VERDICT r12 #1): the single bracketing load_factor
+# cannot normalize a BURSTY box — r12's driver run saw ~30% load variation
+# within the run, manufacturing 1.5x phantom per-query regressions. A short
+# fixed task (same plan shape as the big canary, 1/4 the rows) now runs
+# min-of-2 right after EACH query's timed runs, giving a per-query load
+# sample taken when that query ran. queries_norm = raw / max(load_i, 1)
+# (clamped: relative to the unloaded same-box pin, load can only slow you
+# down; an unclamped <1 sample would inflate quiet-box numbers with canary
+# noise). The pin is min-of-7 unloaded on the machine named below — on a
+# different box, re-pin before trusting normalized deltas.
+MINI_CANARY_ROWS = 250_000_000
+MINI_CANARY_REF_SEC = 0.29  # min-of-15 unloaded, r13 builder box
+MINI_CANARY_REF_MACHINE = "builder-local32-r13"
+
 # queries whose result sets are large enough that collect() would measure
 # driver transfer, not query execution: materialize via count() instead
 COUNT_ONLY = {
@@ -92,7 +106,13 @@ def main() -> None:
     # relation build, AQE stats — that amortize away in any real deployment;
     # min-of-3 keeps one GC-pause outlier from distorting a recorded number)
     timings: dict[str, float] = {}
+    q_load: dict[str, float] = {}
+    q_mini: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # both canary pins are 32-cpu fixed tasks: at any other SPARK_GRAFT_CPUS
+    # the mini sample measures parallelism loss, not load — record the raw
+    # seconds but normalize by 1.0 (the pinned-config runs are the driver's)
+    norm_valid = int(os.environ.get("SPARK_GRAFT_CPUS", "32")) == 32
     for name in sorted(specs):
         spec = specs[name]
         best = float("inf")
@@ -106,6 +126,17 @@ def main() -> None:
                     df.collect()
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
+            # per-query load sample, taken WHEN this query ran (a bursty box
+            # can't manufacture a phantom regression that the bracketing
+            # pre/post pair averages away — VERDICT r12 #1); clamped >= 1:
+            # vs the unloaded same-box pin, load only slows you down
+            mini = _mini_canary(spark)
+            q_mini[name] = round(mini, 3)
+            q_load[name] = (
+                round(max(mini / MINI_CANARY_REF_SEC, 1.0), 3)
+                if norm_valid
+                else 1.0
+            )
         except Exception as e:  # noqa: BLE001
             # One broken query must not zero out the whole round's numbers
             # (round 3 lost every timing to a single schema-drift error):
@@ -126,6 +157,22 @@ def main() -> None:
     bundle = _adaptive_bundle_metric(spark)
 
     total = round(sum(timings.values()), 3)
+    # per-query load-normalized seconds: raw / the load factor sampled when
+    # THAT query ran. These are the round-over-round comparable numbers; the
+    # raw map stays beside them for absolute wall-clock reads.
+    timings_norm = {
+        n: round(v / q_load.get(n, 1.0), 3) for n, v in timings.items()
+    }
+    loads = sorted(q_load.values())
+    canary_spread = (
+        {
+            "min": loads[0],
+            "median": loads[len(loads) // 2],
+            "max": loads[-1],
+        }
+        if loads
+        else {}
+    )
     result = {
                 "metric": "headline_total_sec",
                 "value": total,
@@ -135,6 +182,14 @@ def main() -> None:
                 # per-query deltas that are.
                 "n_queries": len(timings),
                 "queries": timings,
+                "queries_norm": timings_norm,
+                "queries_load": q_load,
+                "queries_mini_canary_sec": q_mini,
+                "per_query_norm_applied": norm_valid,
+                "value_norm": round(sum(timings_norm.values()), 3),
+                "mini_canary_ref_sec": MINI_CANARY_REF_SEC,
+                "mini_canary_ref_machine": MINI_CANARY_REF_MACHINE,
+                "canary_spread": canary_spread,
                 "sf": sf_from_dir(sf_dir),
                 "warmup_sec": round(warmup_s, 3),
                 # load canary: fixed synthetic task vs its pinned unloaded
@@ -173,12 +228,18 @@ def main() -> None:
                            "BENCH_FULL.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result), flush=True)
+    # the driver-recorded map is the PER-QUERY-NORMALIZED one (the numbers
+    # that are actually comparable across rounds — a bursty box can no
+    # longer manufacture phantom regressions); per_query_norm tells readers
+    # (and tools/bench_delta.py) not to divide by load_factor again. Raw
+    # seconds live in BENCH_FULL.json["queries"].
     compact = {
         "metric": "headline_total_sec",
-        "value": total,
+        "value": round(sum(timings_norm.values()), 3),
         "unit": "sec",
         "n_queries": len(timings),
-        "queries": dict(timings),
+        "queries": dict(timings_norm),
+        "per_query_norm": True,
         "sf": sf_from_dir(sf_dir),
         "load_factor": load_factor,
         **({"n_errors": len(errors)} if errors else {}),
@@ -194,6 +255,19 @@ def main() -> None:
         compact["queries_truncated"] = True
         line = json.dumps(compact)
     print(line, flush=True)
+
+
+def _mini_canary(spark) -> float:
+    """Min-of-2 of the short fixed task (plan shape shared with the big
+    canary, so JIT is warm after canary_pre): one GC-pause outlier doesn't
+    read as load, while a sustained burst shows in both samples."""
+    expr = "sum(pmod(xxhash64(id), 1000000007)) AS s"
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(0, MINI_CANARY_ROWS, 1, 32).selectExpr(expr).collect()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def _load_canary(spark) -> float:

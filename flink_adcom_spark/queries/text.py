@@ -5579,10 +5579,9 @@ PHRASE_QUERIES_3 = ("key order sort",)  # the general n>2 path, non-vacuous
 _PH2_SQL = "(" + ", ".join(f"'{p}'" for p in PHRASE_QUERIES_2) + ")"
 _PH3_SQL = "(" + ", ".join(f"'{p}'" for p in PHRASE_QUERIES_3) + ")"
 
-
-@query(
-    "q250_phrase_search",
-    f"""
+# shared by q250 (the index-build scan) and q256 (the persisted-postings
+# incremental face) — identical relation, two build paths
+_PHRASE_SEARCH_ORACLE = f"""
     WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     bg AS (SELECT doc_id,
                   unnest(list_transform(
@@ -5599,23 +5598,15 @@ _PH3_SQL = "(" + ", ".join(f"'{p}'" for p in PHRASE_QUERIES_3) + ")"
              SELECT * FROM tg WHERE phrase IN {_PH3_SQL})
     SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
     FROM hits GROUP BY phrase, doc_id
-    """,
-    tags=("text", "retrieval", "pipeline"),
-)
-def q250_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase search as adjacency n-grams: each document's 2- and
-    3-gram streams (q136's slice-zip extraction — adjacency is baked into
-    the gram, so no positional self-join ever runs) filter against the
-    fixed phrase workload (the q157 BM25 posture) and count per-doc
-    occurrences. The lexical complement of BM25's bag-of-words ranking:
-    "hash join" the phrase, not hash AND join.
+    """
 
-    Scale shape: one token-linear scan + an |phrases|-literal IN filter +
-    one (phrase, doc_id) count shuffle bounded by true hit volume. A
-    production deployment PERSISTS the filtered n-gram postings next to
-    q153's unigram index and serves phrase lookups as index probes; the
-    scan form here is the index build."""
-    docs = widen_scan(_documents(spark, sf_dir))
+
+def _phrase_workload_hits(docs: DataFrame) -> DataFrame:
+    """(doc_id, phrase) adjacency-gram hits of the fixed phrase workload
+    over any docs slice — q250's extraction body, shared with the q256
+    incremental face: 2- and 3-grams via slice-zip (adjacency baked into
+    the gram, no positional self-join), filtered by a literal IN before
+    anything shuffles."""
     w = words_col()
     n = F.size(w)
     bg = (
@@ -5650,10 +5641,80 @@ def q250_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("phrase").isin(*PHRASE_QUERIES_3))
     )
+    return bg.unionAll(tg)
+
+
+def _phrase_postings(docs: DataFrame) -> DataFrame:
+    """(phrase, doc_id, n_hits) postings of the fixed workload over a docs
+    slice — the relation q250 emits and q256 persists/merges."""
     return (
-        bg.unionAll(tg)
+        _phrase_workload_hits(docs)
         .groupBy("phrase", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+
+
+@query(
+    "q250_phrase_search",
+    _PHRASE_SEARCH_ORACLE,
+    tags=("text", "retrieval", "pipeline"),
+)
+def q250_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search as adjacency n-grams: each document's 2- and
+    3-gram streams (q136's slice-zip extraction — adjacency is baked into
+    the gram, so no positional self-join ever runs) filter against the
+    fixed phrase workload (the q157 BM25 posture) and count per-doc
+    occurrences. The lexical complement of BM25's bag-of-words ranking:
+    "hash join" the phrase, not hash AND join.
+
+    Scale shape: one token-linear scan + an |phrases|-literal IN filter +
+    one (phrase, doc_id) count shuffle bounded by true hit volume. A
+    production deployment PERSISTS the filtered n-gram postings next to
+    q153's unigram index and serves phrase lookups as index probes; the
+    scan form here is the index build — q256 is that persisted face."""
+    return _phrase_postings(widen_scan(_documents(spark, sf_dir)))
+
+
+@query(
+    "q256_phrase_postings_probe",
+    _PHRASE_SEARCH_ORACLE,
+    tags=("text", "retrieval", "incremental", "pipeline"),
+    bench=True,  # the per-batch ingest cost a rolling postings index pays
+)
+def q256_phrase_postings_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q250's phrase postings as the INCREMENTAL face its docstring
+    promises (q202/q206's same-oracle discipline): the corpus postings are
+    PERSISTED once (parquet — the index build q250's scan form represents,
+    filed next to q153's unigram index), and at ingest only the BATCH
+    (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD - 1, q59's convention) is
+    gram-exploded; its workload hits merge with the FROZEN postings by a
+    (phrase, doc_id) sum. Gating on q250's oracle proves the incremental
+    maintenance path equals the full rebuild — a phrase lookup served from
+    the rolling index returns exactly what a fresh corpus scan would.
+
+    Scale shape: per-batch cost is O(batch tokens) gram extraction + the
+    literal IN filter + a merge agg whose index side is the persisted
+    postings table (bounded by true workload hit volume, NOT corpus size);
+    nothing rescans the corpus. At 100 TB the postings land bucketed by
+    phrase, so the merge shuffles only the batch's hits."""
+    import os
+
+    from ..workdirs import gate_workdir
+
+    work = gate_workdir("phrase_postings_gate")
+    postings_path = os.path.join(work, "postings")
+    base = _documents(spark, sf_dir)
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    # the persisted artifact: corpus-slice postings, built once
+    _phrase_postings(base.filter(~is_new)).write.mode("overwrite").parquet(
+        postings_path
+    )
+    frozen = spark.read.parquet(postings_path)
+    batch_postings = _phrase_postings(widen_scan(base.filter(is_new)))
+    return (
+        frozen.unionAll(batch_postings)
+        .groupBy("phrase", "doc_id")
+        .agg(F.sum("n_hits").cast("bigint").alias("n_hits"))
     )
 
 

@@ -1129,3 +1129,164 @@ def test_ccnet_score_kill_recover_exactly_once(spark, sf_dir, tmp_path):
         tuple(r) for r in ccnet_score_vs_lm(batch, vw, v, bc, uc).collect()
     }
     assert got == want
+
+
+def test_curriculum_stage_kill_recover_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the q249 curriculum-stage assigner mid-stream, restart from its
+    checkpoint: the recovered run must replay the in-flight epoch
+    idempotently and finish with EXACTLY the batch stage assignment of the
+    ingest docs under the frozen LM + tercile cuts — no doc unstaged, none
+    staged twice, no stage moved."""
+    import time
+
+    from flink_adcom_spark.queries.dedup import NEW_BATCH_MOD
+    from flink_adcom_spark.queries.text import (
+        _ccnet_lm_corpus,
+        _ccnet_stage_cuts,
+        ccnet_score_vs_lm,
+        curriculum_stage_vs_cuts,
+        write_ccnet_lm_artifacts,
+    )
+    from flink_adcom_spark.streaming.jobs import curriculum_stage_writer
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    lm_dir = str(tmp_path / "lm")
+    cuts_path = str(tmp_path / "cuts")
+    write_ccnet_lm_artifacts(spark, sf_dir, lm_dir)
+    _ccnet_stage_cuts(spark, sf_dir).write.mode("overwrite").parquet(cuts_path)
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "stages")
+    ckpt = str(tmp_path / "ckpt")
+    batch = docs.filter(is_new)
+    # stage the feed in two halves so the restart deterministically has new
+    # files to process (the q184 kill-test discipline)
+    batch.filter(F.col("doc_id") % 2 == 0).repartition(3).write.parquet(feed)
+
+    q = curriculum_stage_writer(
+        spark, feed, out, lm_dir, cuts_path, ckpt, maxFilesPerTrigger=1
+    ).start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    # the kill-after-commit premise must actually hold — without this a
+    # starved box degenerates the test into a plain single-run
+    assert q.recentProgress, "first run committed no batch within 30s"
+    q.stop()  # kill after >= 1 committed batch
+
+    batch.filter(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
+        "append"
+    ).parquet(feed)
+    q2 = curriculum_stage_writer(
+        spark, feed, out, lm_dir, cuts_path, ckpt, maxFilesPerTrigger=1
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    cols = ["doc_id", "lang", "cross_entropy", "stage"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out).select(*cols).collect()
+    }
+    vw, v, bc, uc = _ccnet_lm_corpus(spark, sf_dir)
+    cuts = spark.read.parquet(cuts_path)
+    want_df = curriculum_stage_vs_cuts(
+        ccnet_score_vs_lm(batch, vw, v, bc, uc), cuts
+    )
+    want = {tuple(r[c] for c in cols) for r in want_df.select(*cols).collect()}
+    assert got == want
+
+
+def test_boilerplate_strip_kill_recover_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the q255 boilerplate stripper mid-stream, restart from its
+    checkpoint: the recovered run must replay the in-flight epoch
+    idempotently and finish with EXACTLY the batch strip of the ingest docs
+    under the frozen flagged-prefix table — no doc unstripped, none
+    stripped twice, no fingerprint moved."""
+    import time
+
+    from flink_adcom_spark.queries.text import (
+        BOILER_MIN_DOCS,
+        BOILER_PLANT_RESIDUE,
+        BOILER_PLANT_RESIDUE_BATCH,
+        BOILER_PREFIX_TOKENS,
+        NEW_BATCH_MOD,
+        _boiler_docs2,
+        boilerplate_strip_vs_index,
+        words_col,
+    )
+    from flink_adcom_spark.streaming.jobs import boilerplate_strip_writer
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    docs2 = _boiler_docs2(
+        docs, residues=(BOILER_PLANT_RESIDUE, BOILER_PLANT_RESIDUE_BATCH)
+    )
+    underlying = F.when(F.col("doc_id") >= 0, F.col("doc_id")).otherwise(
+        -F.col("doc_id") - 1
+    )
+    is_new = underlying % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    # the persisted artifact: flagged prefixes trained on the CORPUS slice
+    # (the q255 parity builder's exact training recipe)
+    k = BOILER_PREFIX_TOKENS
+    flagged_path = str(tmp_path / "flagged")
+    (
+        docs2.filter(~is_new)
+        .select("source", words_col().alias("w"))
+        .filter(F.size("w") >= k)
+        .select("source", F.array_join(F.slice("w", 1, k), " ").alias("prefix"))
+        .groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("source", "prefix", F.lit(True).alias("flg"))
+        .write.mode("overwrite")
+        .parquet(flagged_path)
+    )
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    batch = docs2.filter(is_new)
+    batch.filter(underlying % 2 == 0).repartition(3).write.parquet(feed)
+
+    q = boilerplate_strip_writer(
+        spark, feed, out, flagged_path, ckpt, maxFilesPerTrigger=1
+    ).start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    # the kill-after-commit premise must actually hold — without this a
+    # starved box degenerates the test into a plain single-run
+    assert q.recentProgress, "first run committed no batch within 30s"
+    q.stop()  # kill after >= 1 committed batch
+
+    batch.filter(underlying % 2 == 1).repartition(3).write.mode(
+        "append"
+    ).parquet(feed)
+    q2 = boilerplate_strip_writer(
+        spark, feed, out, flagged_path, ckpt, maxFilesPerTrigger=1
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    cols = ["doc_id", "n_tokens", "n_tokens_clean", "stripped", "clean_fp"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out).select(*cols).collect()
+    }
+    flagged = spark.read.parquet(flagged_path)
+    want = {
+        tuple(r[c] for c in cols)
+        for r in boilerplate_strip_vs_index(batch, flagged)
+        .select(*cols)
+        .collect()
+    }
+    assert got == want

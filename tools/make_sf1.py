@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
 """Synthesize an sf1-scale corpus (10x sf0.1) for the scaling probe's
-quadratic-family rows — documents + embeddings only, the two tables the
+quadratic-family rows — documents + embeddings (the tables the
 cluster-scoped quadratics (q156/q112), CC closure (q45), vocabulary-bound
-encode (q168/q179), and salted folds (q149/q153) read.
+encode (q168/q179), and salted folds (q149/q153) read) plus events (the
+SCD2/temporal family's q237/q238 dimension-growth rows).
 
 /root/testdata is read-only, so the tables land in SF1_DIR (/tmp); the
 generation is fully deterministic (seeded numpy), so the SCALING.md rows it
@@ -98,7 +99,45 @@ def main() -> None:
         ),
         f"{SF1_DIR}/embeddings.parquet",
     )
-    print(f"wrote {SF1_DIR}: documents={n * REPLICAS}, embeddings={m * REPLICAS}")
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    e = ev.num_rows
+    eid = np.asarray(ev.column("event_id").to_numpy())
+    uid = np.asarray(ev.column("user_id").to_numpy())
+    u_span = int(uid.max()) + 1
+    ecols = {c: ev.column(c) for c in ("ts", "event_type", "value", "props")}
+    out_eid, out_uid = [], []
+    for r in range(REPLICAS):
+        # replica r shifts event_id AND user_id into fresh ranges: per-user
+        # version-chain SHAPE is preserved while the user population scales
+        # 10x — exactly the dimension-growth regime the SCD2 merge's
+        # O(batch + open versions) claim (q237, events.py) is about
+        out_eid.append(eid + r * (int(eid.max()) + 1))
+        out_uid.append(uid + r * u_span)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_eid), pa.int64()),
+                "ts": pa.concat_arrays(
+                    [ecols["ts"].combine_chunks()] * REPLICAS
+                ),
+                "user_id": pa.array(np.concatenate(out_uid), pa.int64()),
+                "event_type": pa.concat_arrays(
+                    [ecols["event_type"].combine_chunks()] * REPLICAS
+                ),
+                "value": pa.concat_arrays(
+                    [ecols["value"].combine_chunks()] * REPLICAS
+                ),
+                "props": pa.concat_arrays(
+                    [ecols["props"].combine_chunks()] * REPLICAS
+                ),
+            }
+        ),
+        f"{SF1_DIR}/events.parquet",
+    )
+    print(
+        f"wrote {SF1_DIR}: documents={n * REPLICAS}, "
+        f"embeddings={m * REPLICAS}, events={e * REPLICAS}"
+    )
 
 
 if __name__ == "__main__":

@@ -66,6 +66,11 @@ SF1_PROBES = frozenset([
     "q241_ccnet_lm_score", "q243_curriculum_order",
     "q245_fim_samples", "q246_curriculum_pack", "q250_phrase_search",
     "q251_boilerplate_strip", "q252_media_chunk_manifest",
+    # round-13: per-batch postings-merge cost at the 10x corpus; the SCD2
+    # merge's O(batch + open versions) and the temporal join at 10x users
+    # (make_sf1.py now replicates events with fresh user ranges)
+    "q256_phrase_postings_probe", "q237_scd2_incremental_merge",
+    "q238_temporal_state_join",
 ])
 # the operators whose scale shape this round changed or added
 PROBES = [
@@ -196,6 +201,9 @@ PROBES = [
     "q252_media_chunk_manifest",
     "q253_curriculum_worker_manifest",
     "q254_token_schedule",
+    # round-13: the persisted-postings merge must stay bounded by batch
+    # hits + workload hit volume, never corpus size
+    "q256_phrase_postings_probe",
 ]
 
 
