@@ -147,16 +147,32 @@ class SelfPacedAdaptiveRunner:
         )
         self._clock = clock
         self._sleep = sleep
+        self._last_exit: float | None = None
         self.report = RunnerReport()
         self.report.intervals.append(self.controller.interval_ms)
 
     def paced(self, process: Callable[[DataFrame, int], None]) -> Callable[[DataFrame, int], None]:
-        """Wrap a foreachBatch function with pacing + signal feedback."""
+        """Wrap a foreachBatch function with pacing + signal feedback.
+
+        The duration fed to the controller is entry-to-entry: the batch body
+        PLUS the engine gap since the previous batch ended (micro-batch
+        planning, source listing, offset/commit work). That is the same
+        signal definition the restart runner reads from the engine's
+        durationMs.triggerExecution — measuring only the body under-reports
+        utilization by exactly the per-batch fixed costs, and on a box where
+        those costs rival the flush work the controller then converges BELOW
+        the natural batch cadence, where pacing is a no-op and the bundle
+        differential reads as 1.0 (round-13 finding, BENCH_HISTORY)."""
 
         def fn(batch_df: DataFrame, batch_id: int) -> None:
             t0 = self._clock()
+            overhead_ms = (
+                max(0.0, (t0 - self._last_exit) * 1000.0)
+                if self._last_exit is not None
+                else 0.0
+            )
             process(batch_df, batch_id)
-            dur_ms = (self._clock() - t0) * 1000.0
+            dur_ms = (self._clock() - t0) * 1000.0 + overhead_ms
             interval_before = self.controller.interval_ms
             self.report.batches_observed += 1
             decision = self.listener.observe_progress(dur_ms)
@@ -168,6 +184,7 @@ class SelfPacedAdaptiveRunner:
             remainder_s = (interval_before - dur_ms) / 1000.0
             if remainder_s > 0:
                 self._sleep(remainder_s)
+            self._last_exit = self._clock()
 
         return fn
 
