@@ -590,8 +590,10 @@ _ROUND12_GATE = frozenset(
 # entries in name order — after this round the oldest green anywhere in
 # the registry is r8 (25 entries), bounding staleness at <= 5 rounds.
 # Registered after this gate froze (mirror-verified + sf0.01 driver-
-# simulated, rotates into r14): q256_phrase_postings_probe — q250's
-# persisted-postings incremental face under q250's own oracle.
+# simulated, rotate into r14): q256_phrase_postings_probe — q250's
+# persisted-postings incremental face under q250's own oracle — and
+# q257_unimax_allocation — the UniMax per-language waterfill (Chung 2023)
+# beside the DoReMi tier.
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

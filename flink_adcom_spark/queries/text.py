@@ -6000,3 +6000,151 @@ def q254_token_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             (epochs > EPOCH_CAP).alias("needs_new_data"),
         )
     )
+
+
+# --- q257: UniMax per-language token allocation ----------------------------------
+# Budget = UNIMAX_BUDGET_NUM/DEN of total corpus tokens (exact integer floor
+# division on both engines); per-language cap = UNIMAX_EPOCH_CAP epochs of
+# its available tokens. Chung et al. 2023 ("UniMax: Fairer and More
+# Effective Language Sampling for Large-Scale Multilingual Pretraining"):
+# spread the budget UNIFORMLY across languages, capping each at its epoch
+# budget and re-spreading the remainder — the waterfill that avoids both
+# proportional sampling's head-language dominance and uniform sampling's
+# tail-language over-repetition.
+UNIMAX_BUDGET_NUM = 4
+UNIMAX_BUDGET_DEN = 5
+UNIMAX_EPOCH_CAP = 1  # integer epochs => the capped decision is exact-integer
+
+
+def _q257_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT lang,
+                      CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS available_tokens
+               FROM documents GROUP BY lang),
+    c AS (SELECT lang, available_tokens,
+                 CAST({UNIMAX_EPOCH_CAP} * available_tokens AS BIGINT) AS cap_tokens
+          FROM t),
+    b AS (SELECT (SUM(available_tokens) * {UNIMAX_BUDGET_NUM})
+                   // {UNIMAX_BUDGET_DEN} AS budget,
+                 COUNT(*) AS n FROM c),
+    r AS (SELECT c.*, b.budget, b.n,
+                 ROW_NUMBER() OVER w AS rn,
+                 COALESCE(SUM(cap_tokens) OVER (
+                     ORDER BY cap_tokens, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS prefix_excl
+          FROM c, b
+          WINDOW w AS (ORDER BY cap_tokens, lang)),
+    k AS (SELECT r.*,
+                 cap_tokens * (n - rn + 1) < (budget - prefix_excl) AS capped
+          FROM r),
+    s AS (SELECT k.*,
+                 SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+                 SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER ()
+                   AS capped_sum
+          FROM k)
+    SELECT lang, available_tokens, cap_tokens,
+           CASE WHEN capped THEN cap_tokens
+                ELSE LEAST(cap_tokens, CAST(FLOOR(
+                    CAST(budget - capped_sum AS DOUBLE)
+                    / GREATEST(n - n_capped, 1)) AS BIGINT)) END AS alloc_tokens,
+           ROUND(CAST(CASE WHEN capped THEN cap_tokens
+                ELSE LEAST(cap_tokens, CAST(FLOOR(
+                    CAST(budget - capped_sum AS DOUBLE)
+                    / GREATEST(n - n_capped, 1)) AS BIGINT)) END AS DOUBLE)
+                / GREATEST(available_tokens, 1), 6) AS epochs_used,
+           capped
+    FROM s
+    """
+
+
+@query(
+    "q257_unimax_allocation",
+    _q257_oracle(),
+    tags=("text", "mixture", "sampling", "pipeline"),
+)
+def q257_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-language token allocation (Chung et al. 2023): spread a
+    fixed token budget uniformly across languages, capping each language at
+    UNIMAX_EPOCH_CAP epochs of its available data and re-spreading the
+    remainder among the uncapped — the closed-form waterfill, not the
+    iterative loop: sort languages by cap, and a language is capped iff
+    cap * (languages remaining at its rank) < (budget - smaller caps), an
+    ALL-INTEGER decision (monotone in cap order, so one window pass finds
+    the capped set); the shared waterline is the only double, floored to
+    integer tokens. Complements q247/q254's DoReMi tier: UniMax needs no
+    reference-model scores, only token counts — the mixture a multilingual
+    pretrain starts from before any quality reweighting.
+
+    Scale shape: one token-linear aggregate to |languages| rows, then
+    windows over that bounded dimension (a |languages|-row single
+    partition, like q247's |sources|-row arithmetic); the budget is a
+    broadcast scalar, never a driver round-trip."""
+    from pyspark.sql import Window
+
+    t = (
+        _documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.sum(F.size(words_col())).cast("bigint").alias("available_tokens"))
+    )
+    c = t.select(
+        "lang",
+        "available_tokens",
+        (F.lit(UNIMAX_EPOCH_CAP) * F.col("available_tokens"))
+        .cast("bigint")
+        .alias("cap_tokens"),
+    )
+    b = c.agg(
+        F.expr(
+            f"(SUM(available_tokens) * {UNIMAX_BUDGET_NUM})"
+            f" DIV {UNIMAX_BUDGET_DEN}"
+        ).alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wo = Window.orderBy("cap_tokens", "lang")
+    r = (
+        c.crossJoin(F.broadcast(b))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn(
+            "prefix_excl",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.col("n") - F.col("rn") + 1)
+            < (F.col("budget") - F.col("prefix_excl")),
+        )
+    )
+    wf = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s = r.withColumn(
+        "n_capped",
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(wf),
+    ).withColumn(
+        "capped_sum",
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(0)).over(wf),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        F.least(
+            F.col("cap_tokens"),
+            F.floor(
+                (F.col("budget") - F.col("capped_sum")).cast("double")
+                / F.greatest(F.col("n") - F.col("n_capped"), F.lit(1))
+            ).cast("bigint"),
+        )
+    )
+    return s.select(
+        "lang",
+        "available_tokens",
+        "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(
+            alloc.cast("double") / F.greatest(F.col("available_tokens"), F.lit(1)),
+            6,
+        ).alias("epochs_used"),
+        "capped",
+    )
