@@ -591,9 +591,11 @@ _ROUND12_GATE = frozenset(
 # the registry is r8 (25 entries), bounding staleness at <= 5 rounds.
 # Registered after this gate froze (mirror-verified + sf0.01 driver-
 # simulated, rotate into r14): q256_phrase_postings_probe — q250's
-# persisted-postings incremental face under q250's own oracle — and
+# persisted-postings incremental face under q250's own oracle;
 # q257_unimax_allocation — the UniMax per-language waterfill (Chung 2023)
-# beside the DoReMi tier.
+# beside the DoReMi tier; q258_stream_phrase_postings — the rolling-ingest
+# serving face of q256 (partial postings epochs, kill/recovery-tested)
+# under q250's oracle.
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

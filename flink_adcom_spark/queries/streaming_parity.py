@@ -1477,3 +1477,61 @@ def q255_stream_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(out).select(
         "doc_id", "n_tokens", "n_tokens_clean", "stripped", "clean_fp"
     )
+
+
+# --- q258: stream-side phrase-postings maintenance vs the batch rebuild -----------
+def _q258_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # partial postings epochs merged with the frozen corpus postings must
+    # equal q250's full-rebuild relation exactly (a doc's hits arrive in
+    # exactly one micro-batch, so the partials are mergeable — the q219
+    # partial-aggregate contract on the retrieval tier)
+    return _REGISTRY["q250_phrase_search"].oracle
+
+
+@query(
+    "q258_stream_phrase_postings",
+    _q258_oracle(),
+    tags=("streaming", "text", "retrieval", "incremental", "pipeline"),
+)
+def q258_stream_phrase_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest phrase-postings maintenance, externally gated (the
+    serving face of q256, the q205/q219 gating pattern): the corpus-slice
+    postings are PERSISTED once (the frozen index), the incoming batch
+    (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD - 1) is replayed as a
+    4-micro-batch document stream, and each micro-batch lands its PARTIAL
+    (phrase, doc_id, n_hits) postings as batch_id-partitioned idempotent
+    epochs through the SHARED _phrase_workload_hits body. The gate sums
+    the epochs with the frozen postings and must hash-match q250's
+    full-corpus relation — proving a rolling phrase index equals the
+    batch rebuild under any micro-batching of the ingest.
+
+    Scale shape: per micro-batch cost is O(batch tokens) gram extraction +
+    the literal IN filter; the read-time merge is bounded by true workload
+    hit volume, never corpus size."""
+    from .dedup import NEW_BATCH_MOD
+    from .text import _phrase_postings
+
+    work = gate_workdir("phrase_stream_gate")
+    feed = os.path.join(work, "feed")
+    postings = os.path.join(work, "postings")
+    out = os.path.join(work, "epochs")
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    # the persisted artifact: corpus-slice postings (q256's frozen index)
+    _phrase_postings(docs.filter(~is_new)).write.mode("overwrite").parquet(
+        postings
+    )
+    docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_phrase_postings_materialize(
+        spark, feed, out,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    frozen = spark.read.parquet(postings)
+    epochs = spark.read.parquet(out).select("phrase", "doc_id", "n_hits")
+    return (
+        frozen.unionAll(epochs)
+        .groupBy("phrase", "doc_id")
+        .agg(F.sum("n_hits").cast("bigint").alias("n_hits"))
+    )

@@ -1081,6 +1081,48 @@ def streaming_novelty_counters_materialize(
         q.stop()
 
 
+def phrase_postings_writer(
+    spark: SparkSession, docs_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_phrase_postings_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.text import _phrase_postings
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = _phrase_postings(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_phrase_postings_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Rolling-ingest phrase-postings maintenance (q258; q256's merge side
+    as the per-micro-batch stream): each arriving document batch is
+    gram-exploded through the SHARED _phrase_workload_hits body and lands
+    its PARTIAL (phrase, doc_id, n_hits) postings as batch_id-partitioned
+    idempotent epochs — the q219 partial-aggregate pattern: a doc's hits
+    arrive in exactly one micro-batch, so summing any window of epochs with
+    the frozen corpus postings reproduces the full-rebuild relation
+    (q250's) exactly, and a checkpoint-replayed batch REPLACES its
+    partition without moving any other doc's postings."""
+    q = phrase_postings_writer(spark, docs_dir, out_path, checkpoint, **kw).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def bin_histogram_writer(
     spark: SparkSession, docs_dir: str, out_path: str,
     checkpoint: str | None = None, **kw

@@ -1290,3 +1290,58 @@ def test_boilerplate_strip_kill_recover_exactly_once(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_phrase_postings_kill_recover_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the q258 phrase-postings maintainer mid-stream, restart from its
+    checkpoint: the recovered run must replay the in-flight epoch
+    idempotently and finish with EXACTLY the batch postings of the ingest
+    docs — no doc's hits lost, none double-counted, no posting moved."""
+    import time
+
+    from flink_adcom_spark.queries.text import NEW_BATCH_MOD, _phrase_postings
+    from flink_adcom_spark.streaming.jobs import phrase_postings_writer
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "epochs")
+    ckpt = str(tmp_path / "ckpt")
+    batch = docs.filter(is_new)
+    # stage the feed in two halves so the restart deterministically has new
+    # files to process (the q184 kill-test discipline)
+    batch.filter(F.col("doc_id") % 2 == 0).repartition(3).write.parquet(feed)
+
+    q = phrase_postings_writer(
+        spark, feed, out, ckpt, maxFilesPerTrigger=1
+    ).start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    # the kill-after-commit premise must actually hold — without this a
+    # starved box degenerates the test into a plain single-run
+    assert q.recentProgress, "first run committed no batch within 30s"
+    q.stop()  # kill after >= 1 committed batch
+
+    batch.filter(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
+        "append"
+    ).parquet(feed)
+    q2 = phrase_postings_writer(
+        spark, feed, out, ckpt, maxFilesPerTrigger=1
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    cols = ["phrase", "doc_id", "n_hits"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out).select(*cols).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in _phrase_postings(batch).select(*cols).collect()
+    }
+    assert got == want
