@@ -2490,12 +2490,12 @@ def q224_cluster_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM w0),
     old AS (SELECT doc_id,
                    CASE WHEN doc_id % 20 = 3
-                        THEN md5(array_to_string(w[1:(n + 1) // 2], ' '))
-                        ELSE md5(array_to_string(w, ' ')) END AS fp,
+                        THEN md5(COALESCE(array_to_string(w[1:(n + 1) // 2], ' '), ''))
+                        ELSE md5(COALESCE(array_to_string(w, ' '), '')) END AS fp,
                    CASE WHEN doc_id % 20 = 3 THEN (n + 1) // 2 ELSE n END
                      AS n_tokens
             FROM ws WHERE doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}),
-    new AS (SELECT doc_id, md5(array_to_string(w, ' ')) AS fp, n AS n_tokens
+    new AS (SELECT doc_id, md5(COALESCE(array_to_string(w, ' '), '')) AS fp, n AS n_tokens
             FROM ws WHERE doc_id % 50 <> 21),
     j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
                       WHEN n.doc_id IS NULL THEN 'removed'

@@ -5827,9 +5827,9 @@ def _q251_oracle() -> str:
            CAST(CASE WHEN stripped THEN n - {k} ELSE n END AS BIGINT)
              AS n_tokens_clean,
            stripped,
-           md5(array_to_string(
+           md5(COALESCE(array_to_string(
              CASE WHEN stripped THEN words[{k}+1:len(words)] ELSE words END,
-             ' ')) AS clean_fp
+             ' '), '')) AS clean_fp
     FROM j
     """
 
