@@ -235,3 +235,53 @@ def test_adaptive_pacing_never_changes_results(spark, sf_dir, tmp_path):
     }
     assert latest == want
     assert runner.report.batches_observed >= 1
+
+
+def test_self_paced_signal_includes_engine_gap():
+    """The paced busy signal is entry-to-entry: the gap between the previous
+    batch's exit (after its pacing sleep) and the next batch's entry — the
+    engine's per-batch fixed cost — counts as busy time, matching the
+    restart runner's durationMs.triggerExecution definition. Pins the r13
+    fix: body-only measurement under-read utilization by exactly that gap
+    and the controller converged below the natural cadence floor."""
+    from flink_adcom_spark.streaming.adaptive import SelfPacedAdaptiveRunner
+
+    now = [0.0]
+    sleeps: list[float] = []
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        sleeps.append(s)
+        now[0] += s
+
+    runner = SelfPacedAdaptiveRunner(
+        controller=BandController(interval_ms=1000),
+        decision_period_s=0.0,  # decide on every batch
+        clock=clock,
+        sleep=sleep,
+    )
+
+    def process(_df, _bid):
+        now[0] += 0.1  # batch body: 100 ms
+
+    fn = runner.paced(process)
+    fn(None, 0)  # first batch: no previous exit, overhead = 0 -> 10%,
+    # below-band -> one -200 step to 800 (fresh-evidence reset after it)
+    for bid in range(1, 6):
+        now[0] += 0.4  # engine gap before the next batch: 400 ms
+        fn(None, bid)
+
+    # signal per batch = 100 ms body + 400 ms gap = 500 ms at interval
+    # 800 ms -> 62.5% utilization, inside [40, 65]: the controller HOLDS.
+    # Under the old body-only signal these batches read 12.5% and the
+    # descent would have continued every decision.
+    d0, rest = runner.report.decisions[0], runner.report.decisions[1:]
+    assert d0.changed and d0.interval_ms == 800 and "below" in d0.reason
+    assert rest and all(
+        not d.changed and "in-band(avg=62.5)" in d.reason for d in rest
+    ), runner.report.decisions
+    assert runner.controller.interval_ms == 800
+    # pacing still pads to the interval net of the measured duration
+    assert abs(sleeps[-1] - 0.3) < 1e-9

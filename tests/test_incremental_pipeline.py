@@ -73,3 +73,27 @@ def test_incremental_pair_algebra_closes(spark, sf_dir, tmp_path):
     # the decomposition is a partition: no pair is both within and cross
     assert not (within_old | within_new) & cross
     assert cross, "fixture produced no cross-batch candidates; test is vacuous"
+
+
+def test_phrase_postings_artifact_memoized(spark, sf_dir):
+    """q256 persists its corpus postings ONCE per corpus fingerprint (the
+    q45-chain memo law): a second build must reuse the parquet artifact —
+    no new workdir generation — and return the identical relation."""
+    from flink_adcom_spark import workdirs
+    from flink_adcom_spark.registry import get
+
+    import os
+
+    tag = "phrase_postings_" + os.path.basename(sf_dir.rstrip("/"))
+    first = sorted(
+        tuple(r) for r in get("q256_phrase_postings_probe").build(spark, sf_dir).collect()
+    )
+    gen_after_first = workdirs._GENERATIONS.get(tag)
+    assert gen_after_first is not None, "postings build never touched its workdir"
+    second = sorted(
+        tuple(r) for r in get("q256_phrase_postings_probe").build(spark, sf_dir).collect()
+    )
+    assert workdirs._GENERATIONS.get(tag) == gen_after_first, (
+        "second build re-wrote the postings artifact instead of reusing the memo"
+    )
+    assert first == second
