@@ -595,7 +595,8 @@ _ROUND12_GATE = frozenset(
 # q257_unimax_allocation — the UniMax per-language waterfill (Chung 2023)
 # beside the DoReMi tier; q258_stream_phrase_postings — the rolling-ingest
 # serving face of q256 (partial postings epochs, kill/recovery-tested)
-# under q250's oracle.
+# under q250's oracle; q259_window_doc_spans — the packed-attention mask
+# manifest composed from q246 (per-window document spans).
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

@@ -6148,3 +6148,67 @@ def q257_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("epochs_used"),
         "capped",
     )
+
+
+# --- q259: per-window document-span manifest (packed-attention masks) -------------
+def _q259_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q246 = _REGISTRY["q246_curriculum_pack"].oracle
+    c = CTX_TOKENS
+    return f"""
+    WITH packed AS ({q246}),
+    w AS (SELECT doc_id, stage, n_tokens, start_tok,
+                 unnest(generate_series(win_first, win_last)) AS window_id
+          FROM packed)
+    SELECT CAST(window_id AS BIGINT) AS window_id, doc_id, stage,
+           CAST(GREATEST(start_tok, window_id * {c}) - window_id * {c}
+                AS BIGINT) AS start_in_window,
+           CAST(LEAST(start_tok + n_tokens, (window_id + 1) * {c})
+                - GREATEST(start_tok, window_id * {c}) AS BIGINT)
+             AS len_in_window
+    FROM w
+    """
+
+
+@query(
+    "q259_window_doc_spans",
+    _q259_oracle(),
+    tags=("text", "packing", "lm", "pipeline", "composite"),
+)
+def q259_window_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-window ATTENTION-MASK manifest: q246's curriculum token
+    stream transposed to per-window composition — for every context window
+    and every document with tokens in it, the document's span inside the
+    window (start offset, length). This is exactly the metadata a trainer
+    needs to build block-diagonal attention masks over packed sequences
+    (T5/LLaMA-style packing masks: tokens attend only within their own
+    document), and the per-window doc counts fall out as a GROUP BY.
+    Composed from q246's verified relation, so the mask manifest can never
+    disagree with the packing.
+
+    Scale shape: one explode bounded by ceil(n_tokens/CTX)+1 windows per
+    document (output is ~total_tokens/CTX + n_docs rows — linear in corpus
+    tokens), all span arithmetic scan-side integer expressions; no shuffle
+    beyond q246's own two-phase cell law (every input column is already
+    present on the packed row)."""
+    p = q246_curriculum_pack(spark, sf_dir)
+    c = CTX_TOKENS
+    w = p.select(
+        "doc_id",
+        "stage",
+        "n_tokens",
+        "start_tok",
+        F.explode(F.sequence("win_first", "win_last")).alias("window_id"),
+    )
+    lo = F.greatest(F.col("start_tok"), F.col("window_id") * c)
+    hi = F.least(
+        F.col("start_tok") + F.col("n_tokens"), (F.col("window_id") + 1) * c
+    )
+    return w.select(
+        F.col("window_id").cast("bigint").alias("window_id"),
+        "doc_id",
+        "stage",
+        (lo - F.col("window_id") * c).cast("bigint").alias("start_in_window"),
+        (hi - lo).cast("bigint").alias("len_in_window"),
+    )
