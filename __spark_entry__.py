@@ -596,7 +596,9 @@ _ROUND12_GATE = frozenset(
 # beside the DoReMi tier; q258_stream_phrase_postings — the rolling-ingest
 # serving face of q256 (partial postings epochs, kill/recovery-tested)
 # under q250's oracle; q259_window_doc_spans — the packed-attention mask
-# manifest composed from q246 (per-window document spans).
+# manifest composed from q246 (per-window document spans);
+# q260_media_caption_gate — LAION-style image-caption alignment-gate
+# plumbing (deterministic stub score, real join/gate/accounting).
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

@@ -315,3 +315,71 @@ def q252_media_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(chunk).cast("bigint").alias("n_bytes"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+# --- q260: image-caption alignment gate (CLIP-filter plumbing) ---------------------
+ALIGN_GATE = 0.3  # keep pairs scoring >= this (LAION-400M used ~0.28)
+
+
+def _q260_oracle() -> str:
+    from .dedup import _hash_sql
+
+    u32 = _hash_sql(8, "(text || '#' || text)")
+    return f"""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(len(list_filter(string_split(translate(text,
+                'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                ' '), x -> x <> '')) AS BIGINT) AS caption_tokens,
+           ROUND({u32} / 4294967296.0, 6) AS align_score,
+           {u32} / 4294967296.0 >= {ALIGN_GATE} AS kept
+    FROM documents
+    WHERE doc_id % 3 = 0 AND text IS NOT NULL
+    """
+
+
+@query(
+    "q260_media_caption_gate",
+    _q260_oracle(),
+    tags=("media", "multimodal", "quality", "pipeline"),
+)
+def q260_media_caption_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-caption pair construction + alignment gate — the LAION-style
+    CLIP-score filter's PLUMBING over the media table: pair every image
+    payload with its caption (the source document's text; media_id keys
+    the join), score the pair, and flag rows under the ALIGN_GATE
+    threshold. The score here is an HONEST DETERMINISTIC STUB — the
+    md5-prefix u32 of (payload bytes || '#' || caption) scaled to [0, 1) —
+    standing in for the CLIP cosine a real deployment computes in an
+    Arrow-batched Pandas UDF over (payload, caption) (the
+    operators/multimodal.py codec posture: no vision models in this
+    sandbox; both gate branches fire at every SF because the stub is
+    uniform). The join/gate/accounting shape is the real part: at 100 TB
+    this is one media->captions equi-join (broadcast or bucketed on
+    media_id) + a scan-side score + the flag — no shuffle beyond the join.
+
+    Payload bytes feed the score as a string, valid while the documents
+    fixture is pure ASCII — loudly asserted, the q80/q95 discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_ascii_fixture(docs.filter(F.col("text").isNotNull()))
+    media = media_from_documents(docs).filter(F.col("media_type") == "image")
+    captions = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("caption")
+    )
+    pair_key = "concat(CAST(content AS STRING), '#', caption)"
+    u32 = f"CAST(conv(substr(md5({pair_key}), 1, 8), 16, 10) AS BIGINT)"
+    return (
+        media.join(captions, "media_id")
+        .selectExpr(
+            "media_id",
+            "CAST(octet_length(content) AS BIGINT) AS n_bytes",
+            "CAST(size(filter(split(translate(caption, "
+            "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+            "' '), x -> x != '')) AS BIGINT) AS caption_tokens",
+            # CAST: a bare 4294967296.0 literal parses as DECIMAL in Spark
+            # SQL (ANSI) and the division would come back DECIMAL, not the
+            # oracle's DOUBLE
+            f"ROUND({u32} / CAST(4294967296 AS DOUBLE), 6) AS align_score",
+            f"{u32} / CAST(4294967296 AS DOUBLE) >= {ALIGN_GATE} AS kept",
+        )
+    )
