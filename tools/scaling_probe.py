@@ -204,6 +204,10 @@ PROBES = [
     # round-13: the persisted-postings merge must stay bounded by batch
     # hits + workload hit volume, never corpus size
     "q256_phrase_postings_probe",
+    # round-13 session 2: the waterfill must stay |languages|-bounded, the
+    # mask manifest windows-per-doc-bounded, the caption gate join+scan
+    "q257_unimax_allocation", "q259_window_doc_spans",
+    "q260_media_caption_gate",
 ]
 
 
