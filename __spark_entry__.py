@@ -598,7 +598,9 @@ _ROUND12_GATE = frozenset(
 # under q250's oracle; q259_window_doc_spans — the packed-attention mask
 # manifest composed from q246 (per-window document spans);
 # q260_media_caption_gate — LAION-style image-caption alignment-gate
-# plumbing (deterministic stub score, real join/gate/accounting).
+# plumbing (deterministic stub score, real join/gate/accounting);
+# q261_batch_mixture_schedule — the UniMax allocation apportioned over
+# global batches by the all-integer cumulative-floor (Bresenham) law.
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

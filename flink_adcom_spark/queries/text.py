@@ -6212,3 +6212,65 @@ def q259_window_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lo - F.col("window_id") * c).cast("bigint").alias("start_in_window"),
         (hi - lo).cast("bigint").alias("len_in_window"),
     )
+
+
+# --- q261: per-batch mixture schedule over the UniMax allocation -------------------
+MIX_BATCHES = 64  # global batches the allocation is spread over
+
+
+def _q261_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q257 = _REGISTRY["q257_unimax_allocation"].oracle
+    b = MIX_BATCHES
+    return f"""
+    WITH alloc AS ({q257}),
+    s AS (SELECT lang, alloc_tokens,
+                 unnest(generate_series(1, {b})) AS batch_idx
+          FROM alloc)
+    SELECT CAST(batch_idx AS BIGINT) AS batch_idx, lang,
+           CAST((alloc_tokens * batch_idx) // {b}
+                - (alloc_tokens * (batch_idx - 1)) // {b} AS BIGINT)
+             AS batch_tokens,
+           CAST((alloc_tokens * batch_idx) // {b} AS BIGINT) AS cum_tokens
+    FROM s
+    """
+
+
+@query(
+    "q261_batch_mixture_schedule",
+    _q261_oracle(),
+    tags=("text", "mixture", "sampling", "pipeline", "composite"),
+)
+def q261_batch_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture turned into the per-batch REPLAY SCHEDULE a trainer
+    follows: q257's UniMax per-language allocation apportioned over
+    MIX_BATCHES global batches by the cumulative-floor law
+    (batch_tokens(l, b) = floor(A_l*b/B) - floor(A_l*(b-1)/B) — Bresenham
+    apportionment: ALL-INTEGER, every language's batch tokens sum to its
+    allocation EXACTLY, and each batch's mixture tracks the target shares
+    within one token per language; no largest-remainder tie-breaking
+    needed). Composed from q257's verified relation, so the schedule can
+    never disagree with the budgets — together they answer "which tokens
+    does global batch b draw, from which languages", deterministically
+    replayable across runs and engines.
+
+    Scale shape: |languages| x MIX_BATCHES rows of integer arithmetic over
+    the q257 relation (a bounded-dimension explode); at 100 TB the
+    allocation is |languages| rows, so the schedule build is driver-trivial
+    no matter the corpus size."""
+    b = MIX_BATCHES
+    alloc = q257_unimax_allocation(spark, sf_dir).select("lang", "alloc_tokens")
+    s = alloc.select(
+        "lang",
+        "alloc_tokens",
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("batch_idx"),
+    )
+    cum = F.expr(f"(alloc_tokens * batch_idx) DIV {b}")
+    prev = F.expr(f"(alloc_tokens * (batch_idx - 1)) DIV {b}")
+    return s.select(
+        F.col("batch_idx").cast("bigint").alias("batch_idx"),
+        "lang",
+        (cum - prev).cast("bigint").alias("batch_tokens"),
+        cum.cast("bigint").alias("cum_tokens"),
+    )
