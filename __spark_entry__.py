@@ -600,7 +600,9 @@ _ROUND12_GATE = frozenset(
 # q260_media_caption_gate — LAION-style image-caption alignment-gate
 # plumbing (deterministic stub score, real join/gate/accounting);
 # q261_batch_mixture_schedule — the UniMax allocation apportioned over
-# global batches by the all-integer cumulative-floor (Bresenham) law.
+# global batches by the all-integer cumulative-floor (Bresenham) law;
+# q262_stream_media_caption_gate — q260's serving face (per-micro-batch
+# pair gating, kill/recovery-tested) under q260's oracle.
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

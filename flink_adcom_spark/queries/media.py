@@ -362,6 +362,14 @@ def q260_media_caption_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture is pure ASCII — loudly asserted, the q80/q95 discipline."""
     docs = load_table(spark, sf_dir, "documents")
     _assert_ascii_fixture(docs.filter(F.col("text").isNotNull()))
+    return media_caption_gate_rows(docs)
+
+
+def media_caption_gate_rows(docs: DataFrame) -> DataFrame:
+    """(media_id, n_bytes, caption_tokens, align_score, kept) for any docs
+    slice — the shared body of the batch gate (q260) and its
+    per-micro-batch streaming sink (q262). Score and gate are
+    per-document, so the relation is batching-invariant by construction."""
     media = media_from_documents(docs).filter(F.col("media_type") == "image")
     captions = docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("media_id"), F.col("text").alias("caption")

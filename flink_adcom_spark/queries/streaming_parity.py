@@ -1535,3 +1535,45 @@ def q258_stream_phrase_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "doc_id")
         .agg(F.sum("n_hits").cast("bigint").alias("n_hits"))
     )
+
+
+# --- q262: stream-side media-caption gating vs the batch filter --------------------
+def _q262_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    # streamed per-batch gate verdicts must equal q260's batch relation
+    # exactly (score and gate are per-document — the q213/q249 batching-
+    # invariance contract on the multimodal tier)
+    return _REGISTRY["q260_media_caption_gate"].oracle
+
+
+@query(
+    "q262_stream_media_caption_gate",
+    _q262_oracle(),
+    tags=("streaming", "media", "multimodal", "quality", "pipeline"),
+)
+def q262_stream_media_caption_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest image-caption gating, externally gated (the serving
+    face of q260, the q249/q255 gating pattern): the documents replayed as
+    a 4-micro-batch stream; each micro-batch builds its media payloads,
+    pairs them with their captions, and scores/gates each pair through the
+    SHARED media_caption_gate_rows body, verdicts landing as
+    batch_id-partitioned idempotent epochs. The drained rows must
+    hash-match q260's batch relation — an arriving image-caption pair's
+    keep/drop verdict is decided at ingest time, identically under any
+    micro-batching, before the pair can enter a training manifest.
+
+    Scale shape: per micro-batch cost is one batch-local equi-join + a
+    scan-side score; nothing rescans the corpus and no state accrues."""
+    work = gate_workdir("media_gate_stream_gate")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "verdicts")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(feed)
+    jobs.streaming_media_caption_gate_materialize(
+        spark, feed, out,
+        checkpoint=os.path.join(work, "ckpt"), maxFilesPerTrigger=1,
+    )
+    return spark.read.parquet(out).select(
+        "media_id", "n_bytes", "caption_tokens", "align_score", "kept"
+    )

@@ -1123,6 +1123,48 @@ def streaming_phrase_postings_materialize(
         q.stop()
 
 
+def media_caption_gate_writer(
+    spark: SparkSession, docs_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
+):
+    """The unstarted writer behind streaming_media_caption_gate_materialize."""
+    from ..operators.storage import upsert_partitions
+    from ..queries.media import media_caption_gate_rows
+
+    stream = _documents_stream(spark, docs_dir, **kw)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = media_caption_gate_rows(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        upsert_partitions(out, out_path, ["batch_id"])
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_media_caption_gate_materialize(
+    spark: SparkSession, docs_dir: str, out_path: str,
+    checkpoint: str | None = None, **kw
+) -> None:
+    """Rolling-ingest image-caption gating (q262; q260's pair filter as the
+    per-micro-batch stream): each arriving document batch builds its media
+    payloads, pairs them with their captions, scores and gates each pair
+    through the SHARED media_caption_gate_rows body, rows landing as
+    batch_id-partitioned idempotent epochs. Score and gate are
+    per-document (the deterministic stub standing in for an Arrow-batched
+    CLIP scorer), so any micro-batching drains to the same gated set — a
+    checkpoint-replayed batch REPLACES its partition without moving any
+    other pair's verdict."""
+    q = media_caption_gate_writer(spark, docs_dir, out_path, checkpoint, **kw).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def bin_histogram_writer(
     spark: SparkSession, docs_dir: str, out_path: str,
     checkpoint: str | None = None, **kw

@@ -1345,3 +1345,56 @@ def test_phrase_postings_kill_recover_exactly_once(spark, sf_dir, tmp_path):
         for r in _phrase_postings(batch).select(*cols).collect()
     }
     assert got == want
+
+
+def test_media_caption_gate_kill_recover_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the q262 media-caption gater mid-stream, restart from its
+    checkpoint: the recovered run must replay the in-flight epoch
+    idempotently and finish with EXACTLY the batch gate verdicts of the
+    ingest docs — no pair unjudged, none judged twice, no verdict moved."""
+    import time
+
+    from flink_adcom_spark.queries.media import media_caption_gate_rows
+    from flink_adcom_spark.streaming.jobs import media_caption_gate_writer
+    from flink_adcom_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    # stage the feed in two halves so the restart deterministically has new
+    # files to process (the q184 kill-test discipline)
+    docs.filter(F.col("doc_id") % 2 == 0).repartition(3).write.parquet(feed)
+
+    q = media_caption_gate_writer(
+        spark, feed, out, ckpt, maxFilesPerTrigger=1
+    ).start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    # the kill-after-commit premise must actually hold — without this a
+    # starved box degenerates the test into a plain single-run
+    assert q.recentProgress, "first run committed no batch within 30s"
+    q.stop()  # kill after >= 1 committed batch
+
+    docs.filter(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
+        "append"
+    ).parquet(feed)
+    q2 = media_caption_gate_writer(
+        spark, feed, out, ckpt, maxFilesPerTrigger=1
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    cols = ["media_id", "n_bytes", "caption_tokens", "align_score", "kept"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out).select(*cols).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in media_caption_gate_rows(docs).select(*cols).collect()
+    }
+    assert got == want
