@@ -205,9 +205,10 @@ PROBES = [
     # hits + workload hit volume, never corpus size
     "q256_phrase_postings_probe",
     # round-13 session 2: the waterfill must stay |languages|-bounded, the
-    # mask manifest windows-per-doc-bounded, the caption gate join+scan
+    # mask manifest windows-per-doc-bounded, the caption gate join+scan,
+    # the batch schedule |languages| x batches arithmetic
     "q257_unimax_allocation", "q259_window_doc_spans",
-    "q260_media_caption_gate",
+    "q260_media_caption_gate", "q261_batch_mixture_schedule",
 ]
 
 
