@@ -602,7 +602,9 @@ _ROUND12_GATE = frozenset(
 # q261_batch_mixture_schedule — the UniMax allocation apportioned over
 # global batches by the all-integer cumulative-floor (Bresenham) law;
 # q262_stream_media_caption_gate — q260's serving face (per-micro-batch
-# pair gating, kill/recovery-tested) under q260's oracle.
+# pair gating, kill/recovery-tested) under q260's oracle;
+# q263_split_repair_manifest — the eval-refresh repair list (q48's
+# contamination x q210's sides -> drop/keep actions with token cost).
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

@@ -2563,3 +2563,65 @@ def q226_dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.sum("tok_delta").cast("bigint").alias("token_delta"),
     )
+
+
+# --- q263: eval-refresh split-repair manifest --------------------------------------
+def _q263_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    q48 = _REGISTRY["q48_contamination"].oracle
+    q210 = _REGISTRY["q210_leakage_safe_split"].oracle
+    return f"""
+    WITH cont AS ({q48}),
+    sides AS ({q210})
+    SELECT c.doc_id, s.split,
+           CAST(len({_WORDS_SQL.replace("text", "d.text")}) AS BIGINT)
+             AS n_tokens,
+           ROUND(c.contamination, 6) AS contamination,
+           CASE WHEN s.split = 'train' THEN 'drop' ELSE 'keep' END AS action
+    FROM cont c
+    JOIN sides s ON c.doc_id = s.doc_id
+    JOIN documents d ON c.doc_id = d.doc_id
+    """
+
+
+@query(
+    "q263_split_repair_manifest",
+    _q263_oracle(),
+    tags=("dedup", "text", "audit", "pipeline", "composite"),
+)
+def q263_split_repair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVAL-REFRESH repair manifest: when the benchmark/eval set
+    changes, which documents now overlap it (q48's n-gram contamination
+    scan), which side of the leakage-safe split each sits on (q210), and
+    the action — contaminated TRAIN docs are 'drop' rows (training on
+    benchmark n-grams inflates eval scores; the token column prices the
+    loss), contaminated val/test docs are 'keep' (eval-side overlap is
+    expected). Composed from the two verified relations, so the repair
+    list can never disagree with either the contamination scan or the
+    split — the operational complement of q215's leakage audit: q215
+    says whether the split is safe, this says exactly what to remove
+    after an eval update.
+
+    Scale shape: two doc-keyed equi-joins over relations the pipeline
+    already builds (the contamination scan pays only the benchmark
+    vocabulary, the split rides the memoized q45 contraction); output is
+    bounded by true contaminated volume."""
+    cont = q48_contamination(spark, sf_dir).select("doc_id", "contamination")
+    sides = q210_leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", F.size(words_col()).cast("bigint").alias("n_tokens")
+    )
+    return (
+        cont.join(sides, "doc_id")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            "n_tokens",
+            F.round("contamination", 6).alias("contamination"),
+            F.when(F.col("split") == "train", "drop")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )
