@@ -604,7 +604,13 @@ _ROUND12_GATE = frozenset(
 # q262_stream_media_caption_gate — q260's serving face (per-micro-batch
 # pair gating, kill/recovery-tested) under q260's oracle;
 # q263_split_repair_manifest — the eval-refresh repair list (q48's
-# contamination x q210's sides -> drop/keep actions with token cost).
+# contamination x q210's sides -> drop/keep actions with token cost);
+# q264_source_bradley_terry — arena-style Bradley-Terry source-strength
+# fit (Hunter 2004 MM, driver-side bounded solve over the distributed
+# pair matrix — the lloyd_kmeans topology); q265_heaps_law_curve — the
+# power-of-two-prefix vocabulary-growth audit (exact integer octave law);
+# q266_group_advantage — GRPO group-relative advantage normalization
+# (Shao 2024) of the q77 quality score within (source, lang) cohorts.
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

@@ -6274,3 +6274,337 @@ def q261_batch_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum - prev).cast("bigint").alias("batch_tokens"),
         cum.cast("bigint").alias("cum_tokens"),
     )
+
+
+# --- q264: Bradley-Terry source-strength fit (arena-style rating) -------------------
+BT_ITERS = 3  # unrolled minorize-maximize iterations (Hunter 2004)
+
+
+def _q264_oracle() -> str:
+    """Unrolled MM iteration CTE chain (s0 -> s1 -> ... -> s{BT_ITERS})."""
+    iters = []
+    for t in range(1, BT_ITERS + 1):
+        iters.append(f"""
+    u{t} AS MATERIALIZED (SELECT d.i AS source,
+                  (MIN(pl.n_wins) + 0.5) / SUM(d.n / (si.s + sj.s)) AS u
+           FROM dir d
+           JOIN s{t - 1} si ON si.source = d.i
+           JOIN s{t - 1} sj ON sj.source = d.j
+           JOIN pl ON pl.source = d.i
+           GROUP BY d.i),
+    s{t} AS MATERIALIZED (SELECT source,
+                  ROUND(u * (SELECT COUNT(*) FROM u{t})
+                          / (SELECT SUM(u) FROM u{t}), 9) AS s
+           FROM u{t})""")
+    return f"""
+    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    cnt AS MATERIALIZED (SELECT word, COUNT(*) AS c FROM wrds GROUP BY word),
+    tot AS (SELECT SUM(c) AS t FROM cnt),
+    lp AS MATERIALIZED (SELECT doc_id, ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS lpscore
+           FROM wrds JOIN cnt USING (word) CROSS JOIN tot GROUP BY doc_id),
+    g AS (SELECT doc.doc_id, doc.source, doc.lang, lp.lpscore
+          FROM documents doc JOIN lp ON doc.doc_id = lp.doc_id),
+    r AS MATERIALIZED (SELECT source, lang, lpscore,
+                 ROW_NUMBER() OVER (PARTITION BY lang, source
+                                    ORDER BY lpscore DESC, doc_id) AS rk
+          FROM g),
+    comp AS MATERIALIZED (SELECT a.source AS sa, b.source AS sb, a.lpscore AS pa, b.lpscore AS pb
+             FROM r a JOIN r b
+               ON a.lang = b.lang AND a.rk = b.rk AND a.source < b.source
+             WHERE a.lpscore <> b.lpscore),
+    pair AS MATERIALIZED (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN pa > pb THEN 1 ELSE 0 END) AS BIGINT) AS wa
+             FROM comp GROUP BY sa, sb),
+    dir AS MATERIALIZED (SELECT sa AS i, sb AS j, n, wa AS w FROM pair
+            UNION ALL
+            SELECT sb AS i, sa AS j, n, n - wa AS w FROM pair),
+    pl AS MATERIALIZED (SELECT i AS source, CAST(SUM(n) AS BIGINT) AS n_comps,
+                  CAST(SUM(w) AS BIGINT) AS n_wins
+           FROM dir GROUP BY i),
+    s0 AS (SELECT source, CAST(1 AS DOUBLE) AS s FROM pl),{",".join(iters)}
+    SELECT pl.source, pl.n_wins, pl.n_comps, ROUND(sf.s, 6) AS strength
+    FROM pl JOIN s{BT_ITERS} sf ON sf.source = pl.source
+    """
+
+
+@query(
+    "q264_source_bradley_terry",
+    _q264_oracle(),
+    tags=("text", "quality", "audit", "pipeline", "composite"),
+)
+def q264_source_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry (1952) strength fit over SOURCES from head-to-head
+    document-quality comparisons — the arena/Elo-style rating law used to
+    rank feeds (and, in RLHF pipelines, models) from pairwise outcomes.
+    Comparisons are built deterministically: within each lang, docs are
+    ranked by the q77 unigram-LM score inside their source, and same-rank
+    docs of every source pair meet head-to-head (rank-aligned pairing, the
+    q220 discipline — cross-LANG pairs are never formed, so the contrast
+    is feed quality, not language vocabulary; exact score ties are
+    discarded). The strengths s_i then solve the BT likelihood via
+    BT_ITERS unrolled minorize-maximize steps (Hunter 2004:
+    s_i <- W_i / sum_j n_ij/(s_i+s_j), renormalized to mean 1), with the
+    standard +1/2 Laplace win smoothing so a winless source keeps a
+    finite positive strength (no 0/0 in later iterations). Every
+    iteration rounds to 9dp on both engines (noise firewall over the
+    <=|K| -term double sums), the published strength to 6dp.
+
+    Scale shape: one corpus-bound score pass (q77's vocabulary join), one
+    rank window per (lang, source), one equi-join on (lang, rank) — never
+    a pairwise doc product — reduced distributedly to the |sources|^2 pair
+    matrix; ONLY that bounded matrix reaches the driver, which runs the MM
+    iterations in O(|sources|^2) (the lloyd_kmeans topology: executors own
+    the corpus-bound work, the driver owns the k-bounded fixpoint). At
+    100 TB the solve cost is unchanged no matter the corpus size."""
+    from pyspark.sql import Window
+
+    lp = q77_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("lpscore")
+    )
+    g = (
+        _documents(spark, sf_dir)
+        .select("doc_id", "source", "lang")
+        .join(lp, "doc_id")
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("lpscore"), F.asc("doc_id")
+    )
+    r = g.select("source", "lang", "lpscore", F.row_number().over(w).alias("rk"))
+    a = r.select(
+        F.col("source").alias("sa"), "lang", "rk", F.col("lpscore").alias("pa")
+    )
+    b = r.select(
+        F.col("source").alias("sb"), "lang", "rk", F.col("lpscore").alias("pb")
+    )
+    comp = a.join(b, ["lang", "rk"]).filter(
+        (F.col("sa") < F.col("sb")) & (F.col("pa") != F.col("pb"))
+    )
+    pair = comp.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pa") > F.col("pb"), 1).otherwise(0)).alias("wa"),
+    )
+    # The |sources|^2 pair matrix is the ONLY thing that leaves the cluster
+    # (the lloyd_kmeans topology: executors do the corpus-bound work, the
+    # driver iterates over the bounded matrix). An unrolled DataFrame loop
+    # would re-expand the corpus lineage ~3x per MM step — at 3 iterations
+    # that is ~30 copies of the scan+explode pipeline in one plan.
+    rows = pair.collect()
+    dirn: list[tuple[str, str, int, int]] = []
+    for r0 in rows:
+        dirn.append((r0["sa"], r0["sb"], r0["n"], r0["wa"]))
+        dirn.append((r0["sb"], r0["sa"], r0["n"], r0["n"] - r0["wa"]))
+    n_comps: dict[str, int] = {}
+    n_wins: dict[str, int] = {}
+    for i, _j, n, w0 in dirn:
+        n_comps[i] = n_comps.get(i, 0) + n
+        n_wins[i] = n_wins.get(i, 0) + w0
+    players = sorted(n_comps)
+    s = {p: 1.0 for p in players}
+    for _ in range(BT_ITERS):
+        den = {p: 0.0 for p in players}
+        for i, j, n, _w in dirn:
+            den[i] += n / (s[i] + s[j])
+        u = {p: (n_wins[p] + 0.5) / den[p] for p in players}
+        su = sum(u[p] for p in players)
+        s = {p: round(u[p] * len(players) / su, 9) for p in players}
+    out = [
+        (p, n_wins[p], n_comps[p], round(s[p], 6)) for p in players
+    ]
+    return spark.createDataFrame(
+        out, "source: string, n_wins: bigint, n_comps: bigint, strength: double"
+    )
+
+
+# --- q265: Heaps-law vocabulary-growth curve (corpus audit) -------------------------
+HEAPS_MAX_POW = 40  # doc-axis prefix boundaries 2^0 .. 2^40
+
+
+def _q265_oracle() -> str:
+    pow2 = ", ".join(str(1 << k) for k in range(HEAPS_MAX_POW + 1))
+    return f"""
+    WITH bounds AS (SELECT CAST(UNNEST([{pow2}]) AS BIGINT) AS prefix_docs),
+    mx AS (SELECT MAX(doc_id) + 1 AS maxn FROM documents),
+    bsel AS (SELECT prefix_docs FROM bounds CROSS JOIN mx
+             WHERE prefix_docs < 2 * maxn),
+    dt AS (SELECT doc_id + 1 AS pos,
+                  CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+           FROM documents),
+    db AS (SELECT b.prefix_docs, COUNT(*) AS bd, SUM(dt.n_tokens) AS bt
+           FROM dt JOIN bsel b
+             ON dt.pos > b.prefix_docs // 2 AND dt.pos <= b.prefix_docs
+           GROUP BY b.prefix_docs),
+    wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    firsts AS (SELECT word, MIN(doc_id) + 1 AS fpos FROM wrds GROUP BY word),
+    fb AS (SELECT b.prefix_docs, COUNT(*) AS bw
+           FROM firsts f JOIN bsel b
+             ON f.fpos > b.prefix_docs // 2 AND f.fpos <= b.prefix_docs
+           GROUP BY b.prefix_docs),
+    base AS (SELECT b.prefix_docs,
+                    COALESCE(db.bd, 0) AS bd,
+                    COALESCE(db.bt, 0) AS bt,
+                    COALESCE(fb.bw, 0) AS bw
+             FROM bsel b
+             LEFT JOIN db USING (prefix_docs)
+             LEFT JOIN fb USING (prefix_docs))
+    SELECT prefix_docs,
+           CAST(SUM(bd) OVER w AS BIGINT) AS n_docs,
+           CAST(SUM(bt) OVER w AS BIGINT) AS total_tokens,
+           CAST(SUM(bw) OVER w AS BIGINT) AS vocab_size,
+           CAST(bw AS BIGINT) AS new_words
+    FROM base
+    WINDOW w AS (ORDER BY prefix_docs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@query(
+    "q265_heaps_law_curve",
+    _q265_oracle(),
+    tags=("text", "audit", "agg", "pipeline"),
+)
+def q265_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: for each power-of-two prefix of
+    the corpus (docs with position doc_id+1 <= 2^k), the cumulative doc
+    count, token count, vocabulary size, and the NEW words first seen in
+    that octave. The audit a tokenizer/dedup pipeline reads before sizing
+    a vocabulary or extrapolating dedup yield: sublinear V(n) ~ K*n^beta
+    growth is healthy natural text, a near-linear tail means id-like /
+    random tokens (vocab blowup), a flat tail means the crawl is
+    exhausting its domain (diminishing new content). Exact integer law
+    end-to-end — a word counts in the octave of its FIRST position
+    (MIN(doc_id), the q40 first-occurrence discipline), so the curve is
+    deterministic under any partitioning and hash-exact across engines.
+
+    Scale shape: token counts come from array length on the scan (no
+    explode); the vocabulary needs the one word-keyed agg every text query
+    shares (map-side combined MIN). Octave assignment is a broadcast
+    RANGE join against the <=41-row boundary relation (pos in
+    (b/2, b] — BroadcastNestedLoopJoin over a bounded literal axis, the
+    integer-exact alternative to float log2), the prefix cumsum a single
+    window over those <=41 rows (bounded axis, q257 discipline). Boundaries
+    above the corpus size are pruned in-plan by the MAX(doc_id) scalar
+    (prefix < 2*maxn keeps exactly the covering octave set)."""
+    docs = _documents(spark, sf_dir)
+    bounds = spark.createDataFrame(
+        [(1 << k,) for k in range(HEAPS_MAX_POW + 1)], "prefix_docs: long"
+    )
+    mx = docs.agg((F.max("doc_id") + 1).alias("maxn"))
+    bsel = bounds.crossJoin(F.broadcast(mx)).filter(
+        F.col("prefix_docs") < 2 * F.col("maxn")
+    ).select("prefix_docs")
+    dt = docs.select(
+        (F.col("doc_id") + 1).alias("pos"),
+        F.size(words_col()).cast("bigint").alias("n_tokens"),
+    )
+    in_octave = (F.col("pos") > F.expr("prefix_docs DIV 2")) & (
+        F.col("pos") <= F.col("prefix_docs")
+    )
+    db = (
+        dt.join(F.broadcast(bsel), in_octave)
+        .groupBy("prefix_docs")
+        .agg(F.count(F.lit(1)).alias("bd"), F.sum("n_tokens").alias("bt"))
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg((F.min("doc_id") + 1).alias("fpos"))
+    )
+    fw = (F.col("fpos") > F.expr("prefix_docs DIV 2")) & (
+        F.col("fpos") <= F.col("prefix_docs")
+    )
+    fb = (
+        firsts.join(F.broadcast(bsel), fw)
+        .groupBy("prefix_docs")
+        .agg(F.count(F.lit(1)).alias("bw"))
+    )
+    base = (
+        bsel.join(db, "prefix_docs", "left")
+        .join(fb, "prefix_docs", "left")
+        .select(
+            "prefix_docs",
+            F.coalesce("bd", F.lit(0)).alias("bd"),
+            F.coalesce("bt", F.lit(0)).alias("bt"),
+            F.coalesce("bw", F.lit(0)).alias("bw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("prefix_docs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "prefix_docs",
+        F.sum("bd").over(w).cast("bigint").alias("n_docs"),
+        F.sum("bt").over(w).cast("bigint").alias("total_tokens"),
+        F.sum("bw").over(w).cast("bigint").alias("vocab_size"),
+        F.col("bw").cast("bigint").alias("new_words"),
+    )
+
+
+# --- q266: group-relative advantage normalization (GRPO data prep) ------------------
+@query(
+    "q266_group_advantage",
+    f"""
+    WITH wrds AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    cnt AS (SELECT word, COUNT(*) AS c FROM wrds GROUP BY word),
+    tot AS (SELECT SUM(c) AS t FROM cnt),
+    lp AS (SELECT doc_id, ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS lpscore
+           FROM wrds JOIN cnt USING (word) CROSS JOIN tot GROUP BY doc_id),
+    g AS (SELECT doc.doc_id, doc.source, doc.lang, lp.lpscore
+          FROM documents doc JOIN lp ON doc.doc_id = lp.doc_id),
+    st AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_n,
+                  AVG(lpscore) AS mu, STDDEV_POP(lpscore) AS sd
+           FROM g GROUP BY source, lang)
+    SELECT g.doc_id, g.source, g.lang, g.lpscore,
+           st.group_n,
+           CASE WHEN st.group_n < 2 OR st.sd = 0 THEN CAST(0 AS DOUBLE)
+                ELSE ROUND((g.lpscore - st.mu) / st.sd, 6) END AS advantage
+    FROM g JOIN st USING (source, lang)
+    """,
+    tags=("text", "quality", "sample", "pipeline"),
+)
+def q266_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage normalization (the GRPO law, Shao et al.
+    2024: A_i = (r_i - mean(group)) / std(group), POPULATION std) applied
+    to the corpus: each doc's q77 quality score standardized within its
+    (source, lang) cohort. The data-prep twin of the RL objective — and
+    the mixture-safe way to compare quality ACROSS feeds: a raw threshold
+    keeps easy languages and drops hard ones (the q216 calibration point),
+    while the group z-score asks "is this doc good FOR ITS cohort",
+    leaving every cohort's share intact. Degenerate cohorts (n < 2, or
+    zero variance — both engines' Welford-style moment aggregates yield an
+    EXACT 0.0 sd on identical 6dp-rounded inputs, so the guard can't
+    diverge) get advantage 0, the same clamp GRPO applies to
+    uniform-reward groups. 6dp rounding after the division (standard
+    transcendental discipline).
+
+    Scale shape: q77's two-pass score + ONE (source, lang)-keyed moment
+    aggregate (count/mean/var, map-side combined) broadcast back over the
+    scan — no window, no sort; the per-doc normalization is a narrow
+    projection. Survives any skew in cohort sizes."""
+    lp = q77_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("lpscore")
+    )
+    g = (
+        _documents(spark, sf_dir)
+        .select("doc_id", "source", "lang")
+        .join(lp, "doc_id")
+    )
+    st = g.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n"),
+        F.avg("lpscore").alias("mu"),
+        F.stddev_pop("lpscore").alias("sd"),
+    )
+    return g.join(F.broadcast(st), ["source", "lang"]).select(
+        "doc_id",
+        "source",
+        "lang",
+        "lpscore",
+        "group_n",
+        F.when(
+            (F.col("group_n") < 2) | (F.col("sd") == 0), F.lit(0.0)
+        )
+        .otherwise(F.round((F.col("lpscore") - F.col("mu")) / F.col("sd"), 6))
+        .alias("advantage"),
+    )

@@ -209,6 +209,11 @@ PROBES = [
     # the batch schedule |languages| x batches arithmetic
     "q257_unimax_allocation", "q259_window_doc_spans",
     "q260_media_caption_gate", "q261_batch_mixture_schedule",
+    # round-13 session 3: the BT fit must stay pair-matrix-bounded after
+    # the distributed reduce, the Heaps curve octave-join-bounded, the
+    # GRPO normalization one moment-agg + broadcast over the scan
+    "q264_source_bradley_terry", "q265_heaps_law_curve",
+    "q266_group_advantage",
 ]
 
 
