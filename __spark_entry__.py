@@ -610,7 +610,9 @@ _ROUND12_GATE = frozenset(
 # pair matrix — the lloyd_kmeans topology); q265_heaps_law_curve — the
 # power-of-two-prefix vocabulary-growth audit (exact integer octave law);
 # q266_group_advantage — GRPO group-relative advantage normalization
-# (Shao 2024) of the q77 quality score within (source, lang) cohorts.
+# (Shao 2024) of the q77 quality score within (source, lang) cohorts;
+# q267_zipf_law_fit — the Zipf rank-frequency OLS fit (slope/intercept/r2
+# in one row), companion corpus-law audit to q265's Heaps curve.
 _ROUND13_GATE = frozenset(
     # (a) never driver-checked (post-r12-freeze registrations)
     [

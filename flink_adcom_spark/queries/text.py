@@ -6608,3 +6608,90 @@ def q266_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((F.col("lpscore") - F.col("mu")) / F.col("sd"), 6))
         .alias("advantage"),
     )
+
+
+# --- q267: Zipf-law rank-frequency fit (corpus audit) -------------------------------
+@query(
+    "q267_zipf_law_fit",
+    f"""
+    WITH wrds AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+    cnt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM wrds GROUP BY word),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk FROM cnt),
+    pts AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+            FROM r),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM pts),
+    fit AS (SELECT n, sx, sy, sxy, sxx, syy,
+                   CASE WHEN n < 2 THEN CAST(0 AS DOUBLE)
+                        ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b
+            FROM s)
+    SELECT n AS n_vocab,
+           ROUND(b, 6) AS slope,
+           ROUND((sy - b * sx) / n, 6) AS intercept,
+           CASE WHEN n < 2 OR (n * syy - sy * sy) <= 0 THEN CAST(0 AS DOUBLE)
+                ELSE ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM fit
+    """,
+    tags=("text", "audit", "agg", "pipeline"),
+)
+def q267_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law rank-frequency fit: closed-form least squares of
+    ln(frequency) on ln(rank) over the corpus vocabulary — slope,
+    intercept, and r^2 in ONE row. The companion audit to q265's Heaps
+    curve (the two classical corpus laws): natural text fits slope ~ -1
+    with high r^2; a much flatter slope means id-like/uniform token spam,
+    a low r^2 a mixed or synthetic corpus — the cheapest whole-corpus
+    "does this read like language" gate, run before and after a dedup or
+    filter pass to see whether the pass moved the distribution.
+
+    Determinism: ranks are exact integers over the (count DESC, word)
+    order (the q72 discipline); the five OLS moment sums are plain double
+    aggregates whose cross-engine summation-order noise (~1e-12 relative)
+    sits far inside the 6dp final rounding; the degenerate guards (n < 2,
+    zero y-variance) compare values both engines compute identically.
+
+    Scale shape: one word-keyed agg (map-side combined) + one
+    vocabulary-bound rank window (the q77 vocabulary-fits discipline — at
+    100 TB the vocab is millions of rows, not corpus-sized; if it ever
+    outgrows one partition the rank law swaps to the q243 two-phase
+    cumulative-count split) + a single five-moment global aggregate whose
+    partial tree reduces everything map-side. No joins, no second corpus
+    pass."""
+    from pyspark.sql import Window
+
+    wrds = _documents(spark, sf_dir).select(F.explode(words_col()).alias("word"))
+    cnt = wrds.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    pts = cnt.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    b = F.when(F.col("n") < 2, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    s = s.withColumn("b", b)
+    sst = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ssx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sxy_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        F.round("b", 6).alias("slope"),
+        F.round((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.when((F.col("n") < 2) | (sst <= 0), F.lit(0.0))
+        .otherwise(F.round(sxy_n * sxy_n / (ssx * sst), 6))
+        .alias("r2"),
+    )

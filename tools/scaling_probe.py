@@ -214,6 +214,9 @@ PROBES = [
     # GRPO normalization one moment-agg + broadcast over the scan
     "q264_source_bradley_terry", "q265_heaps_law_curve",
     "q266_group_advantage",
+    # ... and the Zipf fit must stay vocabulary-bounded (rank window + one
+    # five-moment global agg)
+    "q267_zipf_law_fit",
 ]
 
 
