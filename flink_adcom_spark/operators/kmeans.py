@@ -35,8 +35,12 @@ def cluster_expr(vec, centroids: list[list[float]]):
     computed by HOFs over it — NOT as k*dim scalar literal nodes unrolled
     into the expression tree, which at IVF scale (k=256, d=512 -> ~131k
     nodes) would blow Catalyst analysis and codegen method-size limits.
+    Built via one F.expr parse, not F.lit(list) (one py4j call per element
+    — measured 110x slower plan construction; operators/fastlit.py).
     Arithmetic: per-centroid squared-distance fold in element order."""
-    cmat = F.lit([[float(x) for x in c] for c in centroids])
+    from .fastlit import double_matrix_lit
+
+    cmat = double_matrix_lit(centroids)
     dists = F.transform(
         cmat,
         lambda c: F.aggregate(
@@ -64,7 +68,9 @@ def assign_clusters_ranked(
     winner stays eligible and the tie resolves to the lower index — the
     same `ORDER BY dist, cid` rule the SQL oracles state). No shuffle, no
     window; requires k >= 2."""
-    cmat = F.lit([[float(x) for x in c] for c in centroids])
+    from .fastlit import double_matrix_lit
+
+    cmat = double_matrix_lit(centroids)
     dists = F.transform(
         cmat,
         lambda c: F.aggregate(

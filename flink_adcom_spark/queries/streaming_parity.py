@@ -629,7 +629,7 @@ def q203_stream_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing model), the frozen codebooks, and the LABEL-PARTITIONED code
     table — and the 20-query workload replayed as a 4-micro-batch stream
     is routed + ADC-scored per batch through the SHARED _ivf_probe /
-    pq_decode_centroids / adc_topk bodies against only the probed lists.
+    pq_decode_codes / adc_topk bodies against only the probed lists.
     The drained result must hash-match q200's batch relation (and its
     DuckDB restatement): proves serve-time routing over the persisted
     centroid table and serve-time decode of the partitioned codes equal

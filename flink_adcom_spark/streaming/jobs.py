@@ -795,7 +795,7 @@ def adc_search_writer(
 ):
     """The unstarted writer behind streaming_adc_search_materialize."""
     from ..operators.storage import upsert_partitions
-    from ..queries.similarity import adc_topk, pq_decode_centroids, pq_query_slices
+    from ..queries.similarity import adc_topk, pq_decode_codes, pq_query_slices
 
     qstream = _embeddings_stream(spark, queries_dir, **kw)
 
@@ -806,8 +806,8 @@ def adc_search_writer(
                 F.transform("embedding", lambda x: x.cast("double")).alias("v"),
             )
         )
-        x = pq_decode_centroids(spark.read.parquet(index_path), books)
-        out = adc_topk(q, x).withColumn("batch_id", F.lit(int(batch_id)))
+        x = pq_decode_codes(spark.read.parquet(index_path))
+        out = adc_topk(q, x, books).withColumn("batch_id", F.lit(int(batch_id)))
         upsert_partitions(out, out_path, ["batch_id"])
 
     writer = qstream.writeStream.outputMode("append").foreachBatch(sink)
@@ -846,7 +846,7 @@ def ivfpq_search_writer(
     """The unstarted writer behind streaming_ivfpq_search_materialize."""
     from ..operators.storage import upsert_partitions
     from ..queries.similarity import (
-        IVFPQ_NPROBE, PQ_M, PQ_SUB, _ivf_probe, adc_topk, pq_decode_centroids,
+        IVFPQ_NPROBE, PQ_M, PQ_SUB, _ivf_probe, adc_topk, pq_decode_codes,
     )
 
     qstream = _embeddings_stream(spark, queries_dir, **kw)
@@ -869,10 +869,10 @@ def ivfpq_search_writer(
                 for m in range(PQ_M)
             ],
         )
-        x = pq_decode_centroids(
-            spark.read.parquet(index_path), books, extra_cols=("label",)
+        x = pq_decode_codes(
+            spark.read.parquet(index_path), extra_cols=("label",)
         )
-        out = adc_topk(qs, x, list_key=("plabel", "label")).withColumn(
+        out = adc_topk(qs, x, books, list_key=("plabel", "label")).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
         upsert_partitions(out, out_path, ["batch_id"])

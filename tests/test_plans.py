@@ -489,7 +489,7 @@ def test_q203_partitioned_index_gets_dynamic_partition_pruning(spark, sf_dir, tm
     from flink_adcom_spark.queries.similarity import (
         IVFPQ_NPROBE, N_QUERY_VECS, PQ_M, PQ_SUB, _emb, _ivf_cells,
         _ivf_probe, _pq_books, adc_topk, pq_code_str_col,
-        pq_decode_centroids,
+        pq_decode_codes,
     )
 
     e = _emb(spark, sf_dir)
@@ -507,9 +507,9 @@ def test_q203_partitioned_index_gets_dynamic_partition_pruning(spark, sf_dir, tm
         *[F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias(f"qv{m}")
           for m in range(PQ_M)],
     )
-    x = pq_decode_centroids(spark.read.parquet(idx), books, extra_cols=("label",))
+    x = pq_decode_codes(spark.read.parquet(idx), extra_cols=("label",))
     plan = (
-        adc_topk(qs, x, list_key=("plabel", "label"))
+        adc_topk(qs, x, books, list_key=("plabel", "label"))
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "dynamicpruning" in plan, plan[:3000]
