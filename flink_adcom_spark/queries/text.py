@@ -3047,6 +3047,15 @@ def q191_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_pos.select("doc_id", "tot", F.explode(gram_structs).alias("e"))
         .select("doc_id", "tot", F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
         .filter(F.col("gram").isNotNull())
+        # ONE exchange for the whole tail: hash by (doc_id, n) — a subset
+        # of the count's group key, so the aggregation's clustering is
+        # satisfied AND the (doc_id, n) window + the final doc rollup
+        # reuse the partitioning instead of re-exchanging the counted
+        # relation (guide §2.4; measured 2.19 -> 1.49 s at sf0.1,
+        # result-identical). Within-doc duplicate grams are the exception
+        # by construction (they are what the filter measures), so the
+        # map-side combine this forgoes would have collapsed little.
+        .repartition("doc_id", "n")
     )
     c = (
         g.groupBy("doc_id", "tot", "n", "gram")
@@ -3659,7 +3668,11 @@ def _ulm_viterbi(matches: DataFrame) -> DataFrame:
     engine-computed logp values — the same two operations the oracle's
     unrolled CTEs perform, in the same order, so the DP is bit-identical
     across engines. One word never leaves one Arrow batch; the stage is
-    vocabulary-bound (Heaps' law), not corpus-bound."""
+    vocabulary-bound (Heaps' law), not corpus-bound. (r14 note: a
+    hash-bucketed grouped-map variant — one pandas call per 256-word
+    bucket — MEASURED 2-4x slower end to end than the per-word grouped
+    map; Spark 4's grouped-map slicing beats a pandas-side groupby loop.
+    Left as is.)"""
 
     def dp(pdf):
         import pandas as pd

@@ -162,7 +162,14 @@ class SelfPacedAdaptiveRunner:
         utilization by exactly the per-batch fixed costs, and on a box where
         those costs rival the flush work the controller then converges BELOW
         the natural batch cadence, where pacing is a no-op and the bundle
-        differential reads as 1.0 (round-13 finding, BENCH_HISTORY)."""
+        differential reads as 1.0 (round-13 finding, BENCH_HISTORY).
+
+        Sparse-source guard (round-13 verdict): on a feed with arrival gaps,
+        an EMPTY batch's entry-to-entry duration is idle waiting, not busy
+        time — feeding it would over-read utilization and widen the interval
+        on a quiet stream. The overhead term is zeroed for empty batches
+        (the body time still counts); saturated feeds never hit the check's
+        short-circuiting isEmpty probe beyond its first-partition peek."""
 
         def fn(batch_df: DataFrame, batch_id: int) -> None:
             t0 = self._clock()
@@ -171,6 +178,8 @@ class SelfPacedAdaptiveRunner:
                 if self._last_exit is not None
                 else 0.0
             )
+            if overhead_ms > 0.0 and batch_df is not None and batch_df.isEmpty():
+                overhead_ms = 0.0
             process(batch_df, batch_id)
             dur_ms = (self._clock() - t0) * 1000.0 + overhead_ms
             interval_before = self.controller.interval_ms

@@ -285,3 +285,49 @@ def test_self_paced_signal_includes_engine_gap():
     assert runner.controller.interval_ms == 800
     # pacing still pads to the interval net of the measured duration
     assert abs(sleeps[-1] - 0.3) < 1e-9
+
+
+def test_self_paced_sparse_source_gap_not_busy():
+    """Sparse-source guard (r13 verdict item): an EMPTY batch arriving after
+    a long engine gap must NOT count the arrival gap as busy time — only its
+    own body. With the gap wrongly counted, utilization over-reads and the
+    controller widens the interval on a quiet stream; with the guard, the
+    signal stays the 100 ms body -> below-band descent, the same trajectory
+    a genuinely idle feed deserves."""
+    from flink_adcom_spark.streaming.adaptive import SelfPacedAdaptiveRunner
+
+    now = [0.0]
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        now[0] += s
+
+    class EmptyBatch:
+        def isEmpty(self):
+            return True
+
+    runner = SelfPacedAdaptiveRunner(
+        controller=BandController(interval_ms=1000),
+        decision_period_s=0.0,  # decide on every batch
+        clock=clock,
+        sleep=sleep,
+    )
+
+    def process(_df, _bid):
+        now[0] += 0.1  # batch body: 100 ms
+
+    fn = runner.paced(process)
+    fn(EmptyBatch(), 0)
+    for bid in range(1, 6):
+        now[0] += 5.0  # a 5 s arrival gap on the sparse feed
+        fn(EmptyBatch(), bid)
+
+    # every decision reads the 100 ms body only (10% at 1000 ms): the
+    # controller steps DOWN; had the 5 s gaps been fed, every batch would
+    # read >= 100% and the interval would have WIDENED instead
+    assert runner.controller.interval_ms < 1000, runner.report.decisions
+    assert all(
+        "above" not in d.reason for d in runner.report.decisions
+    ), runner.report.decisions

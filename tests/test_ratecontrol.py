@@ -104,21 +104,30 @@ def test_controller_adapts_to_rate_swap_both_directions(spark, tmp_path):
         peak_interval = runner.controller.interval_ms
 
         # phase 3: step the rate back DOWN mid-run -> idle -> the interval
-        # descends (decrease branch) until utilization re-enters the band.
-        # The literal 50 ms floor is NOT reachable under the real engine —
-        # the paced signal includes the per-batch fixed engine cost (the
-        # AdCom amortization target), so the band law correctly settles at
-        # the overhead-bound in-band equilibrium instead; the floor-
-        # convergence property is asserted by the simulated-time test
-        # below, where batch cost is controlled. The band's [40,65]
-        # hysteresis admits a RANGE of stable intervals and the descent
-        # halts at the first in-band point from above, so the bound is one
-        # controller step above the phase-1 equilibrium.
+        # descends (decrease branch). The literal 50 ms floor is NOT
+        # reachable under the real engine — the paced signal includes the
+        # per-batch fixed engine cost (the AdCom amortization target) — and
+        # FULL re-convergence to the phase-1 equilibrium is load-dependent:
+        # the r13 full-suite flake's captured trace showed a correct
+        # monotone descent that legitimately outlived the 90 s wait under a
+        # loaded JVM. Assert the decrease-branch BEHAVIOR instead (two
+        # monotone descent steps after the swap — the r13 verdict's
+        # re-assertion); full floor convergence is pinned by the
+        # simulated-clock test below, where batch cost is controlled.
         rf.write_rate(LOW_RATE)
-        assert wait_until(
-            lambda: runner.controller.interval_ms <= base_interval + 100, 90
-        ), (
-            f"no descent from {peak_interval} back to <= {base_interval + 100}: "
+        n_dec3 = len(runner.report.decisions)
+
+        def n_descents() -> int:
+            changed = [
+                d.interval_ms
+                for d in runner.report.decisions[n_dec3:]
+                if d.changed
+            ]
+            vals = [peak_interval] + changed
+            return sum(1 for a, b in zip(vals, vals[1:]) if b < a)
+
+        assert wait_until(lambda: n_descents() >= 2, 90), (
+            f"no 2-step descent from {peak_interval}: "
             f"{runner.report.decisions}"
         )
         # the whole descent happened IN-FLIGHT: same run, never restarted
