@@ -121,9 +121,11 @@ MUST_DETECT = {
 # behavior (fail loud instead of silently diverging).
 EXPECTED_GUARD = {
     # q252 shares the same byte==char oracle restatement and the same
-    # loud _assert_ascii_fixture guard as q80/q95
+    # loud _assert_ascii_fixture guard as q80/q95; q260 composes q252's
+    # manifest (registered after the r13 sweep froze this list — the
+    # guard firing is its designed loud behavior too)
     "unicode": {"q80_media_features", "q95_media_resize",
-                "q252_media_chunk_manifest"},
+                "q252_media_chunk_manifest", "q260_media_caption_gate"},
 }
 GUARD_MARKER = "no longer pure ASCII"
 
@@ -144,6 +146,12 @@ EXPECTED_CONTRACT = {
         # duplicated doc_id rows make the global token order ill-defined —
         # the same packing-family PK contract as q86/q134.
         "q186_needle_eval_samples",
+        # q260 pairs media rows with captions by media_id (= doc_id):
+        # duplicate ids fan the equi-join out with different
+        # multiplicities on the two engines — the q56/q135
+        # dimension-join PK contract (registered after the r13 sweep
+        # froze this list).
+        "q260_media_caption_gate",
         # q158: doc_id is the chunker's primary key — the Spark side chunks
         # each physical row independently (duplicate rows -> duplicate chunk
         # rows) while the oracle's LAG-window restatement interleaves the
