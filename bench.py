@@ -60,6 +60,37 @@ MINI_CANARY_ROWS = 250_000_000
 MINI_CANARY_REF_SEC = 0.29  # min-of-15 unloaded, r13 builder box
 MINI_CANARY_REF_MACHINE = "builder-local32-r13"
 
+# Bandwidth/allocation mini canary (VERDICT r14 #2, deferred from r13 #1):
+# the integer-hash canary is ALU-bound and blind to memory-bandwidth and
+# allocation contention — the load class suspected in the vector family's
+# wobble (q200 read 2.06 vs 3.26 s across two r14 runs at int-canary load
+# 1.0). A second fixed task with the family's own profile (per-row
+# 64-double array materialization + interpreted HOF fold) is SAMPLED beside
+# the int canary for ARRAY_FAMILY queries and published as a diagnostic.
+# It is deliberately NOT used to normalize: measured r15 on an idle box,
+# its min-of-3 wanders 0.41-0.64 s (+-25% intrinsic JIT/GC noise), so
+# dividing by it would deflate quiet-box numbers arbitrarily — and a
+# within-process rep ladder (q200: 12.0, 2.24, 2.15, 1.74, 1.73, 1.66 s)
+# shows the family's cross-run wobble is JIT-warming state, not external
+# load. The fix that addresses the wobble directly: ARRAY_FAMILY queries
+# time min-of-5 (EXTRA_REPS), with the r14-comparable min-of-first-3
+# published beside it (queries_min3_sec) so round-over-round deltas stay
+# like-for-like.
+MINI_BW_ROWS = 1_000_000
+MINI_BW_REF_SEC = 0.391  # min-of-15 unloaded, r15 builder box
+MINI_BW_REF_MACHINE = "builder-local32-r15"
+EXTRA_REPS = 2  # ARRAY_FAMILY: 3 + 2 reps; min-of-first-3 kept beside
+ARRAY_FAMILY = {
+    "q50_knn_bruteforce",
+    "q54_ivf_knn",
+    "q57_kmeans",
+    "q109_quantized_rescore_knn",
+    "q135_bitext_mining",
+    "q156b_contrastive_pool",
+    "q196_pq_adc_knn",
+    "q200_ivfpq_knn",
+}
+
 # queries whose result sets are large enough that collect() would measure
 # driver transfer, not query execution: materialize via count() instead
 COUNT_ONLY = {
@@ -106,8 +137,19 @@ def main() -> None:
     # relation build, AQE stats — that amortize away in any real deployment;
     # min-of-3 keeps one GC-pause outlier from distorting a recorded number)
     timings: dict[str, float] = {}
+    # cold_build_sec (VERDICT r14 #1, non-negotiable): rep-1 wall time per
+    # query, published BESIDE the min-of-3. Session-scoped artifact memos
+    # (_PQ_BOOK_CACHE/_kmeans_centroids/memo_relation) survive across the 3
+    # reps and across consumer queries, so a memo-backed query's min-of-3
+    # excludes its artifact derivation — rep 1 of its FIRST consumer is
+    # where that derivation is actually paid. Publishing it lets
+    # round-over-round deltas be read on unrelocated numbers (a memoized
+    # query's honest cold cost is its first consumer's cold row).
+    cold: dict[str, float] = {}
     q_load: dict[str, float] = {}
     q_mini: dict[str, float] = {}
+    q_mini_bw: dict[str, float] = {}
+    q_min3: dict[str, float] = {}
     errors: dict[str, str] = {}
     # both canary pins are 32-cpu fixed tasks: at any other SPARK_GRAFT_CPUS
     # the mini sample measures parallelism loss, not load — record the raw
@@ -117,14 +159,21 @@ def main() -> None:
         spec = specs[name]
         best = float("inf")
         try:
-            for _ in range(3):
+            n_reps = 3 + (EXTRA_REPS if name in ARRAY_FAMILY else 0)
+            for rep in range(n_reps):
                 t0 = time.time()
                 df = spec.build(spark, sf_dir)
                 if name in COUNT_ONLY:
                     df.count()
                 else:
                     df.collect()
-                best = min(best, time.time() - t0)
+                took = time.time() - t0
+                if rep == 0:
+                    cold[name] = round(took, 3)
+                if rep == 2 and name in ARRAY_FAMILY:
+                    # the r14-comparable min-of-first-3 for the family
+                    q_min3[name] = round(best if best < took else took, 3)
+                best = min(best, took)
             timings[name] = round(best, 3)
             # per-query load sample, taken WHEN this query ran (a bursty box
             # can't manufacture a phantom regression that the bracketing
@@ -137,6 +186,9 @@ def main() -> None:
                 if norm_valid
                 else 1.0
             )
+            if name in ARRAY_FAMILY:
+                # published diagnostic only — see the MINI_BW_REF_SEC note
+                q_mini_bw[name] = round(_mini_bw_canary(spark), 3)
         except Exception as e:  # noqa: BLE001
             # One broken query must not zero out the whole round's numbers
             # (round 3 lost every timing to a single schema-drift error):
@@ -155,6 +207,7 @@ def main() -> None:
     substr_stream = _substr_stream_probe_metric(spark, sf_dir)
     ccnet_stream = _ccnet_stream_probe_metric(spark, sf_dir)
     bundle = _adaptive_bundle_metric(spark)
+    sf1 = _sf1_tier(spark)
 
     total = round(sum(timings.values()), 3)
     # per-query load-normalized seconds: raw / the load factor sampled when
@@ -182,13 +235,25 @@ def main() -> None:
                 # per-query deltas that are.
                 "n_queries": len(timings),
                 "queries": timings,
+                # rep-1 wall per query (VERDICT r14 #1): the min-of-3
+                # excludes session-memoized artifact derivation; the cold
+                # column is where that derivation is visible. Compare
+                # memo-backed queries on THIS column across rounds.
+                "queries_cold_sec": cold,
                 "queries_norm": timings_norm,
                 "queries_load": q_load,
                 "queries_mini_canary_sec": q_mini,
+                "queries_mini_bw_canary_sec": q_mini_bw,
+                # ARRAY_FAMILY times min-of-5 since r15 (JIT-warming wobble,
+                # see EXTRA_REPS note); this is the min-of-first-3 those
+                # queries would have recorded under the r12-r14 methodology
+                "queries_min3_sec": q_min3,
                 "per_query_norm_applied": norm_valid,
                 "value_norm": round(sum(timings_norm.values()), 3),
                 "mini_canary_ref_sec": MINI_CANARY_REF_SEC,
                 "mini_canary_ref_machine": MINI_CANARY_REF_MACHINE,
+                "mini_bw_ref_sec": MINI_BW_REF_SEC,
+                "mini_bw_ref_machine": MINI_BW_REF_MACHINE,
                 "canary_spread": canary_spread,
                 "sf": sf_from_dir(sf_dir),
                 "warmup_sec": round(warmup_s, 3),
@@ -213,6 +278,7 @@ def main() -> None:
                 **ccnet_stream,
                 **({"errors": errors} if errors else {}),
                 **bundle,
+                **sf1,
             }
     # The driver keeps only the LAST ~2000 chars of stdout and parses the
     # final JSON line out of that tail; the full result line outgrew the
@@ -268,6 +334,87 @@ def _mini_canary(spark) -> float:
         spark.range(0, MINI_CANARY_ROWS, 1, 32).selectExpr(expr).collect()
         best = min(best, time.time() - t0)
     return best
+
+
+def _mini_bw_canary(spark) -> float:
+    """Min-of-2 of the fixed array-fold task: per row, materialize a
+    64-double array and left-fold it — the vector family's own execution
+    profile (allocation + interpreted HOF), so contention that slows the
+    pair folds shows here even when the ALU-bound int canary reads 1.0."""
+    expr = (
+        "sum(aggregate(transform(sequence(0, 63), "
+        "j -> cast(pmod(id + j, 97) as double)), 0D, (a, x) -> a + x)) AS s"
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(0, MINI_BW_ROWS, 1, 32).selectExpr(expr).collect()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _sf1_tier(spark) -> dict:
+    """Executor-bound evidence tier (VERDICT r14 #6): the vector/dedup
+    family ONCE each at sf1 (10x the bench corpus — the synthetic
+    deterministic corpus tools/make_sf1.py builds, same generator the
+    SCALING.md rows use), materialized through the noop sink (guide §1.4:
+    computes every column, no driver transfer). One cold run per query in
+    a process whose sf1 memos are empty, so each number INCLUDES artifact
+    derivation — at this scale executor work dominates the driver overhead
+    that makes sf0.1 a weak instrument for 100 TB claims. Gated on
+    SPARK_GRAFT_SF1=0 to opt out; failures degrade to an error key."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return {}
+    sf1_dir = "/tmp/spark_graft_sf1"
+    sf1_queries = (
+        "q135_bitext_mining",
+        "q156b_contrastive_pool",
+        "q196_pq_adc_knn",
+        "q200_ivfpq_knn",
+        "q42_ngram_jaccard_pairs",
+        "q44_simhash_neardup",
+        "q188_substring_dedup",
+    )
+    gen_s = 0.0
+    try:
+        import subprocess
+        missing = [
+            f
+            for f in ("documents.parquet", "embeddings.parquet", "events.parquet")
+            if not os.path.exists(os.path.join(sf1_dir, f))
+        ]
+        if missing:
+            t0 = time.time()
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "make_sf1.py")],
+                check=True, capture_output=True, timeout=900,
+            )
+            gen_s = time.time() - t0
+    except Exception as e:  # noqa: BLE001 — sf1 evidence is additive
+        return {"sf1_error": f"{type(e).__name__}: {e}"[:200]}
+    out: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    specs = registry.all_specs()
+    for name in sf1_queries:
+        try:
+            spark.sparkContext.setJobDescription(f"sf1: {name}")
+            t0 = time.time()
+            specs[name].build(spark, sf1_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errs[name] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            spark.sparkContext.setJobDescription(None)
+    return {
+        "sf1_queries": out,
+        "sf1_gen_sec": round(gen_s, 3),
+        "sf1_sink": "noop-cold-1run",
+        **({"sf1_query_errors": errs} if errs else {}),
+    }
 
 
 def _load_canary(spark) -> float:

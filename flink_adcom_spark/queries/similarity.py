@@ -677,8 +677,11 @@ def _kmeans_centroids(
     key = (sf_dir, _emb_fingerprint(sf_dir), selector, k, iters)
     cents = _KMEANS_CENT_CACHE.get(key)
     if cents is None:
+        # evict by (sf_dir, selector) REGARDLESS of k/iters (ADVICE r14): a
+        # regenerated table changes n and hence derive_kmeans_k's k, so a
+        # same-k match would strand the old-k entry resident forever
         for stale in [
-            x for x in _KMEANS_CENT_CACHE if x[0] == sf_dir and x[2:] == key[2:]
+            x for x in _KMEANS_CENT_CACHE if x[0] == sf_dir and x[2] == key[2]
         ]:
             del _KMEANS_CENT_CACHE[stale]
         _, cents = lloyd_kmeans(train_builder(), "v", "vec_id", k=k, iters=iters)
@@ -1354,11 +1357,28 @@ def q135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").cast("int").alias("cbucket"),
         )
     )
-    cos = F.round(_dot("qv", "dv") / (F.col("qn") * F.col("dn")), 6)
-    pairs = (
-        src.join(cand, F.col("probe") == F.col("cbucket"))
-        .withColumn("cosine", cos)
-        .select("src_id", "match_id", "match_lang", "cosine")
+    # pair dots via the cogrouped once-per-row Arrow kernel instead of a
+    # per-pair interpreted fold on the bucket equi-join (operators/pairdots;
+    # r15 — the r14 per-pair prototype was bit-identical but transfer-bound,
+    # this form moves each vector across the boundary once per probed
+    # bucket). Same pair multiset, bit-identical dots; divide + ROUND stay
+    # Spark-side, so cosine is the identical double.
+    from ..operators.pairdots import bucket_pair_dots
+
+    pairs = bucket_pair_dots(
+        src,
+        cand,
+        key_left="probe",
+        key_right="cbucket",
+        vec_left="qv",
+        vec_right="dv",
+        carry_left=["src_id", "qn"],
+        carry_right=["match_id", "match_lang", "dn"],
+    ).select(
+        "src_id",
+        "match_id",
+        "match_lang",
+        F.round(F.col("dot") / (F.col("qn") * F.col("dn")), 6).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -1970,7 +1990,10 @@ def adc_topk(
             ),
         ).alias(f"lut{m}")
 
-    keep = [c for c in q.columns if not c.startswith("qv")]
+    # drop exactly the PQ slice columns (ADVICE r14): a prefix match would
+    # silently swallow an unrelated future qv* column instead of erroring
+    slice_cols = {f"qv{m}" for m in range(PQ_M)}
+    keep = [c for c in q.columns if c not in slice_cols]
     ql = q.select(*keep, *[lut(m) for m in range(PQ_M)])
     adc = F.lit(0.0)
     for m in range(PQ_M):

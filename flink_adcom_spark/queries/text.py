@@ -3010,8 +3010,6 @@ def q191_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the legs), then one (doc, n, gram) count shuffle, one (doc, n) window
     + aggregate — linear in corpus tokens, no pairwise work. Fractions are
     single ROUND(int/int, 6) divisions."""
-    from pyspark.sql import Window
-
     w = words_col()
     t = widen_scan(
         _documents(spark, sf_dir)
@@ -3062,18 +3060,22 @@ def q191_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("glen", F.length("gram").cast("bigint"))
     )
-    wn = Window.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
-    a = (
-        c.withColumn("rn", F.row_number().over(wn))
-        .groupBy("doc_id", "tot", "n")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("cnt") * F.col("glen"))).alias(
-                "topchars"
-            ),
-            F.sum(
-                F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen")).otherwise(0)
-            ).alias("dupchars"),
-        )
+    # top-gram election WITHOUT the (doc, n) window sort (r15): min_by over
+    # struct(-cnt, gram) picks the max-cnt gram with the lexicographic
+    # tie-break in ONE hash aggregate — the comparator total-orders the
+    # group's rows (gram is the count's group key, so no two rows tie on
+    # (-cnt, gram)), eliminating the full sort of the counted gram relation
+    # that ROW_NUMBER required (measured equal-result, 1.33 -> 1.11 s for
+    # the count+election tail at sf0.1; at scale it removes a
+    # corpus-gram-sized sort, guide §1.2 step 1).
+    a = c.groupBy("doc_id", "tot", "n").agg(
+        F.min_by(
+            F.col("cnt") * F.col("glen"),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g")),
+        ).alias("topchars"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen")).otherwise(0)
+        ).alias("dupchars"),
     )
     metric_cols = [
         F.round(
@@ -3539,6 +3541,10 @@ ULM_PRUNE_K = 40    # pieces pruned between rounds (lowest usage first);
                     # a smaller K removes only never-used pieces and
                     # round 2 would be vacuously identical to round 1)
 ULM_WMAX = 16       # words longer than this are excluded (both engines)
+# docs threshold under which the vocabulary relation (Heaps-bounded — far
+# fewer rows than words) is safely broadcast into the post-DP joins; the
+# q190 LANGID_BCAST_MAX_DOCS size-gate discipline
+ULM_BCAST_MAX_DOCS = 500_000
 
 
 def _ulm_cand_sql(sc: str, j: int, L: int) -> str:
@@ -3808,7 +3814,15 @@ def q179_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = (
         multi1.select("piece")
-        .join(usage, "piece", "left")
+        # usage is bounded by the INVENTORY, not the corpus (multi-char
+        # pieces in any segmentation are a subset of multi1's
+        # ULM_TOP_MULTI={ULM_TOP_MULTI} rows), but it derives from the DP
+        # output so the planner cannot estimate it — without the hint this
+        # 48-row join planned as a SortMergeJoin (2 exchanges + 2 sorts),
+        # TWICE, since the pruned subtree feeds both inv2 consumers (r15;
+        # guide §3.1 "estimates are often badly wrong ... use an explicit
+        # broadcast")
+        .join(F.broadcast(usage), "piece", "left")
         .withColumn("usage", F.coalesce("usage", F.lit(0)))
         .orderBy(F.col("usage").asc(), F.col("piece").asc())
         .limit(ULM_PRUNE_K)
@@ -3816,10 +3830,15 @@ def q179_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv2 = singles.unionByName(multi1.join(pruned, "piece", "left_anti"))
     r2 = _ulm_viterbi(_ulm_matches(vocab, _ulm_scores(inv2)))
+    # r1's slim projection is vocabulary-sized; below the size gate it is
+    # broadcast (q190's LANGID_BCAST_MAX_DOCS discipline — the planner sees
+    # only an opaque DP output and picks SMJ), past it the shuffle join is
+    # the correct scale plan
+    r1_n = r1.select("word", F.col("n").alias("n_pieces_r1"))
+    if _doc_count(spark, sf_dir) <= ULM_BCAST_MAX_DOCS:
+        r1_n = F.broadcast(r1_n)
     return (
-        r2.join(
-            r1.select("word", F.col("n").alias("n_pieces_r1")), "word"
-        )
+        r2.join(r1_n, "word")
         .join(vocab.select("word", "freq"), "word")
         .select(
             "word",

@@ -178,11 +178,24 @@ class SelfPacedAdaptiveRunner:
                 if self._last_exit is not None
                 else 0.0
             )
-            if overhead_ms > 0.0 and batch_df is not None and batch_df.isEmpty():
-                overhead_ms = 0.0
-            process(batch_df, batch_id)
-            dur_ms = (self._clock() - t0) * 1000.0 + overhead_ms
             interval_before = self.controller.interval_ms
+            # ADVICE r14: the isEmpty probe is itself a Spark job; running
+            # it on every batch adds per-batch latency AND its wall time
+            # was counted as busy in dur_ms. Probe ONLY when the
+            # entry-to-entry gap exceeds the interval in force — an engine
+            # with data queued fires the next batch within one interval, so
+            # a longer gap is the sparse-feed arrival-gap case the guard
+            # exists for; saturated feeds never pay the probe. The probe
+            # runs before t_body so its cost stays out of the busy signal.
+            if (
+                overhead_ms > interval_before
+                and batch_df is not None
+                and batch_df.isEmpty()
+            ):
+                overhead_ms = 0.0
+            t_body = self._clock()
+            process(batch_df, batch_id)
+            dur_ms = (self._clock() - t_body) * 1000.0 + overhead_ms
             self.report.batches_observed += 1
             decision = self.listener.observe_progress(dur_ms)
             if decision is not None:

@@ -11,6 +11,7 @@ the original F.lit path on representative and adversarial values
 from __future__ import annotations
 
 import math
+import struct
 
 import pytest
 from pyspark.sql import functions as F
@@ -29,16 +30,34 @@ ADVERSARIAL_DOUBLES = [
 ]
 
 
+def _flatten(v):
+    if isinstance(v, (list, tuple)):
+        out = []
+        for x in v:
+            out.extend(_flatten(x))
+        return out
+    return [v]
+
+
 def _cmp(spark, fast_col, slow_col):
     df = spark.range(1).select(fast_col.alias("a"), slow_col.alias("b"))
     assert (
         df.schema["a"].dataType.simpleString()
         == df.schema["b"].dataType.simpleString()
     )
-    row = df.select(
-        F.expr("a = b").alias("eq"), "a", "b"
-    ).collect()[0]
-    assert row["eq"], f"value drift: {row['a']!r} != {row['b']!r}"
+    row = df.select("a", "b").collect()[0]
+    a, b = _flatten(row["a"]), _flatten(row["b"])
+    assert len(a) == len(b), f"shape drift: {row['a']!r} != {row['b']!r}"
+    for x, y in zip(a, b):
+        # BIT-level equality (ADVICE r14): SQL `a = b` treats -0.0 == 0.0,
+        # so a sign-of-zero drift between the F.expr and F.lit paths would
+        # pass silently; struct.pack compares the raw 8/4-byte payloads
+        if isinstance(x, float) or isinstance(y, float):
+            assert struct.pack("<d", x) == struct.pack("<d", y), (
+                f"bit drift: {x!r} != {y!r} (of {row['a']!r} vs {row['b']!r})"
+            )
+        else:
+            assert x == y, f"value drift: {x!r} != {y!r}"
 
 
 def test_double_array_lit_matches_f_lit(spark):

@@ -117,17 +117,22 @@ def test_controller_adapts_to_rate_swap_both_directions(spark, tmp_path):
         rf.write_rate(LOW_RATE)
         n_dec3 = len(runner.report.decisions)
 
-        def n_descents() -> int:
+        def descent_ok() -> bool:
             changed = [
                 d.interval_ms
                 for d in runner.report.decisions[n_dec3:]
                 if d.changed
             ]
             vals = [peak_interval] + changed
-            return sum(1 for a, b in zip(vals, vals[1:]) if b < a)
+            n_desc = sum(1 for a, b in zip(vals, vals[1:]) if b < a)
+            # ADVICE r14: two descent steps alone would pass a controller
+            # that descends twice then stalls far above equilibrium —
+            # additionally require a NET descent of >= 200 ms below the
+            # true post-swap peak (the mirror of the phase-2 rise check)
+            return n_desc >= 2 and min(vals) <= max(vals) - 200
 
-        assert wait_until(lambda: n_descents() >= 2, 90), (
-            f"no 2-step descent from {peak_interval}: "
+        assert wait_until(descent_ok, 90), (
+            f"no 2-step/200ms net descent from {peak_interval}: "
             f"{runner.report.decisions}"
         )
         # the whole descent happened IN-FLIGHT: same run, never restarted
